@@ -1,0 +1,403 @@
+package graft.relational
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.9) re-expressed as
+  * declarative DataFrame plans. Where the reference only *parses* a
+  * construct (LIKE/IN/BETWEEN/CASE/CAST/subqueries — SURVEY §2.3) we
+  * execute it for real via Catalyst.
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - every aggregate / computed column is aliased identically on both sides;
+  *  - double-valued aggregates are rounded (sums of 2-dec data → 2,
+  *    products → 4, averages → 6) so bit-level accumulation-order noise
+  *    cannot flip the driver's hash compare;
+  *  - every result carries a deterministic total ORDER BY.
+  *
+  * Reference semantics notes: filters/joins/aggs mirror
+  * `relational_engine/src/lib.rs` (joins :4021-4410, aggregates :4423-4742,
+  * group-by :3581-3674); we adopt SQL 3VL null semantics (SURVEY §7 M0
+  * decision) to stay oracle-compatible.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val defs: Seq[(String, QDef)] = Seq(
+
+    // ---- scans / filters / projection (§2.2, §2.3) ----
+    "q01_agg_pricing_summary" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_extendedprice),6) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q02_filter_project_sort" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin),
+
+    "q03_like_in_between" -> QDef(
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").like("%AND%") &&
+          col("p_size").between(10, 30) &&
+          col("p_brand").isin("Brand#1", "Brand#12", "Brand#22"))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_type LIKE '%AND%' AND p_size BETWEEN 10 AND 30
+        |  AND p_brand IN ('Brand#1','Brand#12','Brand#22')
+        |ORDER BY p_partkey""".stripMargin),
+
+    "q04_case_cast_arithmetic" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") >= 40, "bulk")
+            .when(col("l_quantity") >= 20, "mid")
+            .otherwise("small").as("qty_band"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_floor"),
+          (col("l_quantity") * 2 + 1).as("qx"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 20 THEN 'mid' ELSE 'small' END AS qty_band,
+        | CAST(floor(l_extendedprice*(1-l_discount)) AS BIGINT) AS net_floor,
+        | l_quantity*2+1 AS qx
+        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- joins (§2.4) ----
+    "q05_join_inner_agg" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("total_rev"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS total_rev, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "q06_join_left" -> QDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice),0),2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    "q07_join_right" -> QDef(
+      (s, d) => t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"), "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_nationkey"),
+      """SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin),
+
+    "q08_join_full_outer" -> QDef(
+      (s, d) => {
+        val c = t(s, d, "customer").groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("n_cust"))
+        val p = t(s, d, "supplier").groupBy(col("s_nationkey").as("k2")).agg(count(lit(1)).as("n_supp"))
+        c.join(p, col("k") === col("k2"), "full")
+          .select(coalesce(col("k"), col("k2")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      """SELECT coalesce(c.k, s.k2) AS nationkey, coalesce(n_cust,0) AS n_cust, coalesce(n_supp,0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k2, count(*) AS n_supp FROM supplier GROUP BY 1) s ON c.k = s.k2
+        |ORDER BY nationkey""".stripMargin),
+
+    "q09_join_cross" -> QDef(
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name"),
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
+
+    "q10_join_natural" -> QDef(
+      (s, d) => t(s, d, "nation").withColumnRenamed("n_regionkey", "regionkey")
+        .join(broadcast(t(s, d, "region").withColumnRenamed("r_regionkey", "regionkey")), Seq("regionkey"))
+        .select("n_name", "r_name").orderBy("n_name"),
+      """SELECT n_name, r_name
+        |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) a
+        |NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b
+        |ORDER BY n_name""".stripMargin),
+
+    "q11_join_semi" -> QDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q12_join_anti" -> QDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey"),
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q13_join_multiway" -> QDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        val su = t(s, d, "supplier"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // ---- aggregation (§2.5) ----
+    "q14_group_having" -> QDef(
+      (s, d) => t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 20)
+        .orderBy(desc("n"), col("o_custkey")),
+      """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 20 ORDER BY n DESC, o_custkey""".stripMargin),
+
+    "q15_distinct" -> QDef(
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q16_count_distinct" -> QDef(
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q17_order_limit_offset" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .offset(10).limit(20),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin),
+
+    // ---- set operations (§2.8; absent in the reference's surface, SQL-standard here) ----
+    "q18_union" -> QDef(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").cast("int")))
+        .distinct().orderBy("nationkey"),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    "q19_intersect" -> QDef(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").cast("int")))
+        .orderBy("nationkey"),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    "q20_except" -> QDef(
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").cast("int")))
+        .orderBy("nationkey"),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    // ---- window functions (§2.6 — absent in reference; Spark-native upgrade) ----
+    "q21_window_topk_per_group" -> QDef(
+      (s, d) => {
+        val joined = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        joined.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("c_mktsegment", "rn")
+      },
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) q
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin),
+
+    "q22_window_running_lag" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").filter(col("o_custkey") < 100)
+          .withColumn("running_spend",
+            round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+          .select("o_custkey", "o_orderkey", "running_spend", "prev_price")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+        | round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS prev_price
+        |FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ---- scalar functions (§2.9 — reference has none; full library here) ----
+    "q23_string_functions" -> QDef(
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name,1,8) AS prefix,
+        | CAST(length(c_name) AS INT) AS name_len,
+        | c_mktsegment || ':' || c_name AS tagged
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin),
+
+    "q24_date_functions" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_year", "o_month"),
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month,
+        | count(*) AS n, round(sum(o_totalprice),2) AS rev
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin),
+
+    "q25_null_semantics" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_or_null"))
+        .groupBy("o_orderstatus", "prio_or_null")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("prio_or_null").asc_nulls_first),
+      """SELECT o_orderstatus, nullif(o_orderpriority, '1-URGENT') AS prio_or_null, count(*) AS n
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderstatus, prio_or_null ASC NULLS FIRST""".stripMargin),
+
+    "q26_subqueries" -> QDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgP = o.agg(avg("o_totalprice").as("ap"))
+        val bld = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        o.crossJoin(broadcast(avgP))
+          .filter(col("o_totalprice") > col("ap") * 1.5)
+          .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q27_rollup" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    "q28_stats_aggregates" -> QDef(
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity),6) AS sd_qty,
+        | round(var_samp(l_quantity),6) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice),6) AS corr_qe,
+        | round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE),4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- events: time + JSON (§2.9 passthrough / date functions) ----
+    "q29_time_bucket_agg" -> QDef(
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type"),
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(sum(value),4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    "q30_sessionization" -> QDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          .withColumn("sess_id", sum("new_sess").over(run))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"), max("ts").as("sess_end"))
+          .orderBy("user_id", "sess_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM m)
+        |SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin),
+
+    "q31_json_extract" -> QDef(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 80)
+        .orderBy("event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+        |ORDER BY event_id""".stripMargin)
+  )
+}

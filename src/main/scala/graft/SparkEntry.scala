@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All declared operator queries, in build order. */
   def allDefs: Seq[(String, QDef)] =
-    graft.relational.RelationalQueries.defs
+    graft.relational.RelationalQueries.defs ++
+      graft.vector.VectorQueries.defs ++
+      graft.pipeline.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,294 @@
+package graft.pipeline
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), text
+  * analysis (token stats, quality scoring, language-ID heuristic,
+  * fingerprinting) and multimodal binary-column plumbing.
+  *
+  * All hashing is MD5-derived so every stage (including the LSH banding)
+  * is reproducible in the DuckDB oracle — no engine-specific hash
+  * functions in the data path. At scale the patterns stay shuffle-lean:
+  * shingling/hashing is map-side, candidate generation is a band-bucket
+  * shuffle join (not all-pairs), and only candidate pairs pay the exact
+  * Jaccard verification.
+  */
+object PipelineQueries {
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** Distinct non-empty whitespace tokens per doc. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Distinct word-3-gram shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2]))")).as("sh"))
+      .distinct()
+
+  /** Exact shingle-set Jaccard for a given pair set (da < db). */
+  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .filter(col("sha") === col("shb"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+  }
+
+  val defs: Seq[(String, QDef)] = Seq(
+
+    // ---- deduplication ----
+    "d01_dedup_exact_stats" -> QDef(
+      (s, d) => docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).as("n_dups")),
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        | count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin),
+
+    "d02_dedup_exact_keep_first" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("h")
+        docs(s, d).withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("keep", min("doc_id").over(w))
+          .filter(col("doc_id") === col("keep"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      """SELECT source, count(*) AS n_kept FROM (
+        |  SELECT source, doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |  FROM documents) t
+        |WHERE doc_id = keep GROUP BY source ORDER BY source""".stripMargin),
+
+    "d03_neardup_word_jaccard" -> QDef(
+      (s, d) => {
+        val w = words(s, d)
+        val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = w.select(col("doc_id").as("da"), col("source").as("sa"), col("w"))
+          .join(w.select(col("doc_id").as("db"), col("source").as("sb"), col("w")),
+            Seq("w"))
+          .filter(col("da") < col("db") && col("sa") === col("sb"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+        inter
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM w2 a JOIN w2 b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE c / (x.n + y.n - c) >= 0.8 ORDER BY da, db""".stripMargin),
+
+    // MinHash + LSH banding: 16 md5-derived min-hashes, 4 bands × 4 rows;
+    // band-bucket join → candidate pairs → exact-Jaccard verification.
+    "d04_neardup_minhash_lsh" -> QDef(
+      (s, d) => {
+        val sh = shingles(s, d)
+        val mh = sh
+          .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 15)")).as("i"))
+          .groupBy("doc_id", "i")
+          .agg(min(substring(md5(concat(col("i").cast("string"), lit(":"), col("sh")).cast("binary")), 1, 16)).as("mh"))
+        val bands = mh.groupBy(col("doc_id"), expr("i div 4").as("band"))
+          .agg(md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(i, mh))), p -> p.mh)")).cast("binary")).as("bh"))
+        val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
+          .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        jaccardOf(cand, sh)
+          .filter(col("jaccard") >= 0.6)
+          .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |           WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+        |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |hi AS (SELECT doc_id, sh, unnest(generate_series(0, 15)) AS i FROM sh),
+        |mh AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 16)) AS mh
+        |       FROM hi GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
+        |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
+        |          GROUP BY c.da, c.db)
+        |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin),
+
+    // SimHash: 48-bit signature from md5 nibble votes over distinct words;
+    // near-dup = same-source pairs with Hamming distance <= 10.
+    "d05_neardup_simhash" -> QDef(
+      (s, d) => {
+        val w = words(s, d)
+        val bits = w
+          .select(col("doc_id"), col("source"), col("w"), explode(expr("sequence(0, 47)")).as("b"))
+          .withColumn("nib",
+            expr("instr('0123456789abcdef', substring(md5(cast(w as binary)), 1 + cast(b div 4 as int), 1)) - 1"))
+          .withColumn("bit", expr("(shiftright(nib, cast(b % 4 as int))) & 1"))
+          .withColumn("vote", when(col("bit") === 1, 1).otherwise(-1))
+        val sig = bits.groupBy("doc_id", "source", "b")
+          .agg(sum("vote").as("v"))
+          .groupBy("doc_id", "source")
+          .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), cast(b as int)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+        val pairs = sig.select(col("doc_id").as("da"), col("source"), col("simhash").as("ha"))
+          .join(sig.select(col("doc_id").as("db"), col("source"), col("simhash").as("hb")), Seq("source"))
+          .filter(col("da") < col("db"))
+          .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+          .filter(col("hamming") <= 10)
+        pairs.select(col("da"), col("db"), col("hamming")).orderBy("da", "db")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
+        |bits AS (
+        |  SELECT doc_id, source, w, unnest(generate_series(0, 47)) AS b FROM w2),
+        |votes AS (
+        |  SELECT doc_id, source, b,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(md5(w), 1 + b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+        |         THEN 1 ELSE -1 END AS vote
+        |  FROM bits),
+        |sums AS (SELECT doc_id, source, b, sum(vote) AS v FROM votes GROUP BY 1, 2, 3),
+        |sig AS (SELECT doc_id, source,
+        |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM sums GROUP BY 1, 2)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        |ORDER BY da, db""".stripMargin),
+
+    // ---- text analysis ----
+    "t01_token_stats" -> QDef(
+      (s, d) => docs(s, d)
+        .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("source"),
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+        | round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    "t02_quality_score" -> QDef(
+      (s, d) => docs(s, d)
+        .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
+        .withColumn("n_stop", regexp_count(col("text"), lit("\\b(the|a|and|of|to|in|is|it)\\b")))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("alpha_ratio", regexp_count(col("text"), lit("[a-z]")) / col("n_chars"))
+        .withColumn("quality",
+          round(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(0.5) + col("stop_ratio")), 4))
+        .select(col("doc_id"), col("n_tokens"), round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("alpha_ratio"), 4).as("alpha_ratio"), col("quality"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) * 1.0
+        |   / len(regexp_extract_all(text, '\S+')), 4) AS stop_ratio,
+        | round(len(regexp_extract_all(text, '[a-z]')) * 1.0 / n_chars, 4) AS alpha_ratio,
+        | round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0)
+        |   * (0.5 + len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) * 1.0
+        |        / len(regexp_extract_all(text, '\S+'))), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // n-gram-frequency language-ID heuristic (deterministic scoring; the
+    // synthetic corpus shares one vocabulary, so this measures the operator,
+    // not linguistic truth). Output = labeled-vs-predicted confusion counts.
+    "t03_langid_confusion" -> QDef(
+      (s, d) => docs(s, d)
+        .withColumn("s_en", regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")))
+        .withColumn("s_de", regexp_count(col("text"), lit("\\b(der|die|das|und|von|mit)\\b")))
+        .withColumn("s_fr", regexp_count(col("text"), lit("\\b(le|la|et|les|des|un)\\b")))
+        .withColumn("s_es", regexp_count(col("text"), lit("\\b(el|los|las|y|una|por)\\b")))
+        .withColumn("pred", expr(
+          """CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+            |     WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+            |     WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            |     WHEN s_es > 0 THEN 'es'
+            |     ELSE 'und' END""".stripMargin))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred"),
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|von|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des|un)\b')) AS s_fr,
+        |    len(regexp_extract_all(text, '\b(el|los|las|y|una|por)\b')) AS s_es
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+        |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |         WHEN s_es > 0 THEN 'es'
+        |         ELSE 'und' END AS pred
+        |  FROM scored)
+        |SELECT lang, pred, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin),
+
+    // document fingerprint = MinHash(1) over word-3-gram shingles
+    // (md5-keyed), the standard near-dup clustering key.
+    "t04_fingerprint" -> QDef(
+      (s, d) => shingles(s, d)
+        .groupBy("doc_id")
+        .agg(min(md5(col("sh").cast("binary"))).as("fingerprint"))
+        .orderBy("doc_id"),
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |           WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+        |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+        |SELECT doc_id, min(md5(sh)) AS fingerprint FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- multimodal plumbing: opaque binary payload + typed metadata.
+    // Decode is a deterministic stub (no media libs in-container); the
+    // Spark-side schema/partitioning/batch shape is real.
+    "m01_multimodal_binary" -> QDef(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
+          expr("transform(sequence(1, 8), j -> CAST((n_bytes * j) % 97 AS DOUBLE))").as("features"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
+        | [CAST((octet_length(CAST(text AS BLOB)) * j) % 97 AS DOUBLE) FOR j IN generate_series(1, 8)] AS features
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

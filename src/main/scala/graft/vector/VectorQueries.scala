@@ -1,0 +1,189 @@
+package graft.vector
+
+import graft.{QDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-engine operators (SURVEY.md §2.11): SIMILAR top-k by key with
+  * cosine/euclidean/dot metrics, metadata-filtered search, batched search,
+  * all-pairs near-duplicate detection, and an IVF-style pruned search.
+  *
+  * Semantics follow the reference's brute-force search
+  * (`vector_engine/src/lib.rs:1950-2277`: top-k by score, metric selectable)
+  * with scores computed by the native codegen expressions in
+  * `graft.functions`. Scores are rounded to 4 decimals *before* ranking on
+  * both the Spark and oracle side, with `vec_id` as tiebreaker, so the
+  * driver's hash compare is deterministic.
+  *
+  * Scale notes: the scan side never collects; the single query vector (or
+  * small query set) is a broadcast cross join, so a 100 TB embedding table
+  * stays a single parquet scan with codegen'd similarity + TakeOrderedAndProject.
+  */
+object VectorQueries {
+  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  /** The query vector(s) as a 1-row broadcastable frame. */
+  private def qv(s: SparkSession, d: String, id: Long): DataFrame =
+    emb(s, d).filter(col("vec_id") === id).select(col("embedding").as("qv"))
+
+  val defs: Seq[(String, QDef)] = Seq(
+
+    "v01_similar_topk_cosine" -> QDef(
+      (s, d) => emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv(s, d, 0)))
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    "v02_similar_topk_euclidean" -> QDef(
+      (s, d) => emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv(s, d, 0)))
+        .select(col("vec_id"),
+          round(l2_distance(col("embedding"), col("qv")), 4).as("dist"))
+        .orderBy(asc("dist"), col("vec_id")).limit(10),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY dist ASC, e.vec_id LIMIT 10""".stripMargin),
+
+    "v03_similar_topk_dot" -> QDef(
+      (s, d) => emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv(s, d, 0)))
+        .select(col("vec_id"),
+          round(dot_product(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // metadata-filtered search — pre-filter compiled into the scan
+    // (reference strategy logic `vector_engine/src/lib.rs:387-455` is
+    // unnecessary: Catalyst pushes the filter below the sort).
+    "v04_similar_filtered" -> QDef(
+      (s, d) => emb(s, d).filter(col("vec_id") =!= 0 && col("label").isin(1, 3, 5, 7))
+        .crossJoin(broadcast(qv(s, d, 0)))
+        .select(col("vec_id"), col("label"),
+          round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label IN (1,3,5,7)
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // top-k per group — reference has per-collection search
+    // (`lib.rs:1585-1697`); labels stand in for collections.
+    "v05_similar_topk_per_label" -> QDef(
+      (s, d) => {
+        val scored = emb(s, d).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv(s, d, 0)))
+          .select(col("label"), col("vec_id"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        val w = Window.partitionBy("label").orderBy(desc("score"), col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("label", "rn")
+      },
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT label, vec_id, score, CAST(rn AS INT) AS rn FROM (
+        |  SELECT label, vec_id, score,
+        |    row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
+
+    // batched SIMILAR (reference EMBED BATCH + per-key search):
+    // 5 query vectors resolved and ranked in one distributed plan.
+    "v06_similar_batch" -> QDef(
+      (s, d) => {
+        val queries = emb(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb(s, d).crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      },
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]),4) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, vec_id, score, CAST(rn AS INT) AS rn FROM (
+        |  SELECT qid, vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+
+    // embedding near-duplicate pairs (training-data dedup, cosine variant).
+    // All-pairs here; the LSH/blocked variants live in the pipeline module.
+    "v07_near_dup_pairs_cosine" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        a.join(b, col("va") < col("vb"))
+          .withColumn("score", cosine_similarity(col("ea"), col("eb")))
+          .filter(col("score") >= 0.45)
+          .select(col("va"), col("vb"), round(col("score"), 4).as("score"))
+          .orderBy("va", "vb")
+      },
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY va, vb""".stripMargin),
+
+    // IVF-style pruned ANN: coarse cells = label clusters, centroid = mean
+    // embedding per cell, probe nprobe=1 nearest cell, exact rank inside it.
+    // (Reference IVF: `vector_engine/src/lib.rs:2647-2860`; k-means cells
+    // there, pre-assigned cells here so the oracle stays deterministic.)
+    "v08_ivf_pruned_search" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+        val q = qv(s, d, 0)
+        val best = cent.crossJoin(broadcast(q))
+          .select(col("label"),
+            cosine_similarity(col("centroid").cast("array<float>"), col("qv")).as("cs"))
+          .orderBy(desc("cs"), col("label")).limit(1)
+          .select(col("label").as("best_label"))
+        e.join(broadcast(best), col("label") === col("best_label"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(10)
+      },
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |flat AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+        |         FROM (SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i) GROUP BY label),
+        |best AS (SELECT label AS best_label FROM cent, q
+        |         ORDER BY list_cosine_similarity(CAST(centroid AS FLOAT[])::DOUBLE[], q.embedding::DOUBLE[]) DESC, label
+        |         LIMIT 1)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings e, best, q WHERE e.label = best.best_label AND e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)
+  )
+}

@@ -19,11 +19,14 @@ def load_spark_result(out_dir, name):
     return pq.read_table(files[0]).to_pandas()
 
 def canon(df):
-    df = df[sorted(df.columns)]
-    # normalize dtypes: timestamps to ns, ints to int64 where lossless
+    import numpy as np
+    df = df[sorted(df.columns)].copy()
+    # normalize dtypes: timestamps to us; array columns to repr strings
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].apply(lambda v: str(list(v)))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

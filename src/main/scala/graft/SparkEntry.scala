@@ -16,7 +16,9 @@ object SparkEntry {
   def allDefs: Seq[(String, QDef)] =
     graft.relational.RelationalQueries.defs ++
       graft.vector.VectorQueries.defs ++
-      graft.pipeline.PipelineQueries.defs
+      graft.pipeline.PipelineQueries.defs ++
+      graft.graph.GraphQueries.defs ++
+      graft.unified.UnifiedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

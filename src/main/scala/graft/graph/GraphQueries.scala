@@ -1,0 +1,255 @@
+package graft.graph
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operator inventory (SURVEY.md §2.10) over the TPC-H-derived
+  * property graph: neighbors/degree, BFS, shortest paths (unweighted and
+  * weighted), variable-length paths, connected components, triangles,
+  * PageRank, node similarity, and motif/pattern matching.
+  *
+  * Every algorithm is a fixed-iteration lazy DataFrame plan
+  * (`graft.graph.Algorithms`), so the DuckDB oracle can unroll the same
+  * number of steps and hash-match exactly.
+  */
+object GraphQueries {
+
+  // Shared oracle CTE fragments (keys are '<label>:<id>' strings).
+  private val nodesSql =
+    """nds AS (
+      |  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS key, 'region' AS label, r_name AS name FROM region
+      |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'nation', n_name FROM nation
+      |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'customer', c_name FROM customer
+      |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'supplier', s_name FROM supplier)""".stripMargin
+
+  private val treeEdgesSql =
+    """edt AS (
+      |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src, 'region:' || CAST(n_regionkey AS VARCHAR) AS dst, 'in_region' AS etype FROM nation
+      |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'nation:' || CAST(c_nationkey AS VARCHAR), 'in_nation' FROM customer
+      |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'nation:' || CAST(s_nationkey AS VARCHAR), 'in_nation' FROM supplier)""".stripMargin
+
+  private val cliqueEdgesSql =
+    """edc AS (
+      |  SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR) AS src, 'nation:' || CAST(b.n_nationkey AS VARCHAR) AS dst, 'same_region' AS etype
+      |  FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey)""".stripMargin
+
+  private val allEdgesSql =
+    s"""$treeEdgesSql,
+       |$cliqueEdgesSql,
+       |ed AS (SELECT * FROM edt UNION ALL SELECT * FROM edc),
+       |und AS (SELECT src, dst, etype FROM ed UNION ALL SELECT dst AS src, src AS dst, etype FROM ed)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank oracle (must mirror Algorithms.pageRank). */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $nodesSql,\n$treeEdgesSql,\n"
+    sb ++= "deg AS (SELECT src, count(*) AS od FROM edt GROUP BY src),\n"
+    sb ++= "pr0 AS (SELECT key, 1.0 AS pr FROM nds)"
+    for (i <- 1 to iters) {
+      sb ++= s""",
+                |pr$i AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.mass, 0) AS pr FROM nds n
+                |  LEFT JOIN (SELECT e.dst, sum(p.pr / d.od) AS mass FROM edt e
+                |             JOIN pr${i - 1} p ON p.key = e.src JOIN deg d ON d.src = e.src
+                |             GROUP BY e.dst) m ON m.dst = n.key)""".stripMargin
+    }
+    sb ++= s"\nSELECT key, round(pr, 6) AS pr FROM pr$iters ORDER BY pr DESC, key LIMIT 20"
+    sb.toString
+  }
+
+  val defs: Seq[(String, QDef)] = Seq(
+
+    "g01_node_degree" -> QDef(
+      (s, d) => TpchGraph.undirected(TpchGraph.edges(s, d))
+        .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
+        .orderBy(desc("degree"), col("key")).limit(30),
+      s"""WITH $allEdgesSql
+         |SELECT src AS key, count(*) AS degree FROM und GROUP BY src
+         |ORDER BY degree DESC, key LIMIT 30""".stripMargin),
+
+    "g02_neighbors" -> QDef(
+      (s, d) => TpchGraph.undirected(TpchGraph.edges(s, d))
+        .filter(col("src") === "nation:0")
+        .select(col("dst").as("neighbor"), col("etype"))
+        .orderBy("neighbor", "etype"),
+      s"""WITH $allEdgesSql
+         |SELECT dst AS neighbor, etype FROM und WHERE src = 'nation:0'
+         |ORDER BY neighbor, etype""".stripMargin),
+
+    "g03_bfs_depth3" -> QDef(
+      (s, d) => Algorithms.bfs(TpchGraph.undirected(TpchGraph.edges(s, d)), "region:0", 3)
+        .orderBy("key"),
+      s"""WITH $allEdgesSql,
+         |d0 AS (SELECT 'region:0' AS key, 0 AS depth),
+         |d1 AS (SELECT DISTINCT u.dst AS key, 1 AS depth FROM und u JOIN d0 ON u.src = d0.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0)),
+         |d2 AS (SELECT DISTINCT u.dst AS key, 2 AS depth FROM und u JOIN d1 ON u.src = d1.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1)),
+         |d3 AS (SELECT DISTINCT u.dst AS key, 3 AS depth FROM und u JOIN d2 ON u.src = d2.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1 UNION ALL SELECT key FROM d2))
+         |SELECT key, CAST(min(depth) AS INT) AS depth
+         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) t
+         |GROUP BY key ORDER BY key""".stripMargin),
+
+    "g04_shortest_path_len" -> QDef(
+      (s, d) => Algorithms.bfs(TpchGraph.undirected(TpchGraph.edges(s, d)), "region:0", 3)
+        .filter(col("key").isin((0 to 9).map(i => s"customer:$i"): _*))
+        .orderBy("key"),
+      s"""WITH $allEdgesSql,
+         |d0 AS (SELECT 'region:0' AS key, 0 AS depth),
+         |d1 AS (SELECT DISTINCT u.dst AS key, 1 AS depth FROM und u JOIN d0 ON u.src = d0.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0)),
+         |d2 AS (SELECT DISTINCT u.dst AS key, 2 AS depth FROM und u JOIN d1 ON u.src = d1.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1)),
+         |d3 AS (SELECT DISTINCT u.dst AS key, 3 AS depth FROM und u JOIN d2 ON u.src = d2.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1 UNION ALL SELECT key FROM d2))
+         |SELECT key, CAST(min(depth) AS INT) AS depth
+         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) t
+         |WHERE key IN ('customer:0','customer:1','customer:2','customer:3','customer:4',
+         |              'customer:5','customer:6','customer:7','customer:8','customer:9')
+         |GROUP BY key ORDER BY key""".stripMargin),
+
+    "g05_pagerank" -> QDef(
+      (s, d) => Algorithms.pageRank(TpchGraph.treeEdges(s, d), TpchGraph.nodes(s, d), 10)
+        .select(col("key"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), col("key")).limit(20),
+      pageRankSql(10)),
+
+    "g06_connected_components" -> QDef(
+      (s, d) => Algorithms.connectedComponents(
+        TpchGraph.undirected(TpchGraph.edges(s, d)), TpchGraph.nodes(s, d), 6)
+        .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("component"),
+      // Oracle exploits known structure: component = region tree,
+      // label = lexicographic min key among its members.
+      s"""WITH memb AS (
+         |  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS key, r_regionkey AS rk FROM region
+         |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), n_regionkey FROM nation
+         |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), n.n_regionkey
+         |    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), n.n_regionkey
+         |    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         |comp AS (SELECT rk, min(key) AS component FROM memb GROUP BY rk)
+         |SELECT c.component, count(*) AS n_nodes
+         |FROM memb m JOIN comp c ON m.rk = c.rk
+         |GROUP BY c.component ORDER BY c.component""".stripMargin),
+
+    "g07_triangle_count" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.sameRegionEdges(s, d).select("src", "dst")
+        val tri = e.select(col("src").as("a"), col("dst").as("b"))
+          .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+          .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("key")
+      },
+      s"""WITH $cliqueEdgesSql,
+         |tri AS (
+         |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+         |  FROM edc ab JOIN edc bc ON ab.dst = bc.src
+         |              JOIN edc ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         |uns AS (SELECT a AS key FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT key, count(*) AS n_triangles FROM uns GROUP BY key ORDER BY key""".stripMargin),
+
+    // node similarity by Jaccard of neighbor sets (reference
+    // `algorithms/similarity.rs`): suppliers compared by the set of parts
+    // they ship (bipartite projection of lineitem).
+    "g08_node_similarity_jaccard" -> QDef(
+      (s, d) => {
+        val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
+        val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        val inter = sp.select(col("l_suppkey").as("sa"), col("l_partkey"))
+          .join(sp.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
+        inter
+          .join(sz.select(col("l_suppkey").as("sa"), col("n").as("na")), Seq("sa"))
+          .join(sz.select(col("l_suppkey").as("sb"), col("n").as("nb")), Seq("sb"))
+          .select(col("sa"), col("sb"),
+            round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+          .orderBy(desc("jaccard"), col("sa"), col("sb")).limit(20)
+      },
+      """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_suppkey, count(*) AS n FROM sp GROUP BY 1),
+        |inter AS (
+        |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, round(c / (x.n + y.n - c), 4) AS jaccard
+        |FROM inter JOIN sz x ON sa = x.l_suppkey JOIN sz y ON sb = y.l_suppkey
+        |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin),
+
+    // variable-length path enumeration *1..2 from region:0 following
+    // reversed tree edges (parent → children), endpoint census by depth.
+    "g09_var_length_paths" -> QDef(
+      (s, d) => {
+        val rev = TpchGraph.treeEdges(s, d).select(col("dst").as("src"), col("src").as("dst"))
+        val h1 = rev.filter(col("src") === "region:0").select(col("dst").as("key"), lit(1).as("depth"))
+        val h2 = h1.join(rev, col("key") === col("src"))
+          .select(col("dst").as("key"), lit(2).as("depth"))
+        h1.union(h2)
+          .select(substring_index(col("key"), ":", 1).as("label"), col("depth"))
+          .groupBy("depth", "label").agg(count(lit(1)).as("n"))
+          .orderBy("depth", "label")
+      },
+      s"""WITH $treeEdgesSql,
+         |rev AS (SELECT dst AS src, src AS dst FROM edt),
+         |h1 AS (SELECT dst AS key, 1 AS depth FROM rev WHERE src = 'region:0'),
+         |h2 AS (SELECT r.dst AS key, 2 AS depth FROM h1 JOIN rev r ON h1.key = r.src),
+         |hs AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+         |SELECT depth, split_part(key, ':', 1) AS label, count(*) AS n
+         |FROM hs GROUP BY 1, 2 ORDER BY depth, label""".stripMargin),
+
+    // weighted shortest path (reference PATH WEIGHTED / Dijkstra):
+    // 3-round Bellman-Ford relaxation, weights by edge type.
+    "g10_weighted_sssp" -> QDef(
+      (s, d) => {
+        val w = TpchGraph.undirected(TpchGraph.edges(s, d))
+          .withColumn("w", expr(
+            "CASE etype WHEN 'in_region' THEN 2.0 WHEN 'in_nation' THEN 1.0 ELSE 1.5 END"))
+        Algorithms.sssp(w, "customer:0", 3)
+          .filter(col("key").like("nation:%") || col("key").like("region:%"))
+          .select(col("key"), round(col("cost"), 4).as("cost"))
+          .orderBy("key")
+      },
+      s"""WITH $allEdgesSql,
+         |uw AS (SELECT src, dst, CASE etype WHEN 'in_region' THEN 2.0 WHEN 'in_nation' THEN 1.0 ELSE 1.5 END AS w FROM und),
+         |d0 AS (SELECT 'customer:0' AS key, 0.0 AS cost),
+         |d1 AS (SELECT key, min(cost) AS cost FROM (
+         |  SELECT * FROM d0 UNION ALL SELECT u.dst, d0.cost + u.w FROM d0 JOIN uw u ON u.src = d0.key) t GROUP BY key),
+         |d2 AS (SELECT key, min(cost) AS cost FROM (
+         |  SELECT * FROM d1 UNION ALL SELECT u.dst, d1.cost + u.w FROM d1 JOIN uw u ON u.src = d1.key) t GROUP BY key),
+         |d3 AS (SELECT key, min(cost) AS cost FROM (
+         |  SELECT * FROM d2 UNION ALL SELECT u.dst, d2.cost + u.w FROM d2 JOIN uw u ON u.src = d2.key) t GROUP BY key)
+         |SELECT key, round(cost, 4) AS cost FROM d3
+         |WHERE key LIKE 'nation:%' OR key LIKE 'region:%' ORDER BY key""".stripMargin),
+
+    // motif / pattern match (reference Pattern chains + Cypher MATCH):
+    // (c:customer)-[:in_nation]->(n:nation)-[:in_region]->(r {name:'ASIA'})
+    "g11_motif_match" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.treeEdges(s, d)
+        val nodes = TpchGraph.nodes(s, d)
+        val cn = e.filter(col("etype") === "in_nation" && col("src").like("customer:%"))
+          .select(col("src").as("c"), col("dst").as("n"))
+        val nr = e.filter(col("etype") === "in_region")
+          .select(col("src").as("n"), col("dst").as("r"))
+        val asia = nodes.filter(col("label") === "region" && col("name") === "ASIA")
+          .select(col("key").as("r"))
+        cn.join(nr, Seq("n")).join(asia, Seq("r"))
+          .join(nodes.select(col("key").as("n"), col("name").as("nation_name")), Seq("n"))
+          .groupBy("nation_name").agg(count(lit(1)).as("n_customers"))
+          .orderBy("nation_name")
+      },
+      s"""WITH $nodesSql,
+         |$treeEdgesSql
+         |SELECT nn.name AS nation_name, count(*) AS n_customers
+         |FROM edt cn
+         |JOIN edt nr ON cn.dst = nr.src AND nr.etype = 'in_region'
+         |JOIN nds r ON nr.dst = r.key AND r.label = 'region' AND r.name = 'ASIA'
+         |JOIN nds nn ON cn.dst = nn.key
+         |WHERE cn.etype = 'in_nation' AND cn.src LIKE 'customer:%'
+         |GROUP BY nn.name ORDER BY nation_name""".stripMargin)
+  )
+}

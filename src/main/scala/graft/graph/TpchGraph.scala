@@ -1,0 +1,141 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property-graph view over the driver testdata (SURVEY.md §1.3 model:
+  * `nodes(key, label, name)` + directed typed `edges(src, dst, etype)`),
+  * derived from the TPC-H hierarchy:
+  *
+  *   customer:{k} --in_nation-->  nation:{k} --in_region--> region:{k}
+  *   supplier:{k} --in_nation-->  nation:{k}
+  *   nation:{a}  --same_region--  nation:{b}   (undirected clique per region)
+  *
+  * This yields five trees (one per region) plus five 5-cliques — enough
+  * structure for BFS, shortest paths, components, triangles and PageRank
+  * with deterministic, SQL-checkable answers.
+  */
+object TpchGraph {
+  private def k(prefix: String, c: String) = concat(lit(prefix + ":"), col(c).cast("string"))
+
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val r = Tables(s, d, "region").select(k("region", "r_regionkey").as("key"), lit("region").as("label"), col("r_name").as("name"))
+    val n = Tables(s, d, "nation").select(k("nation", "n_nationkey").as("key"), lit("nation").as("label"), col("n_name").as("name"))
+    val c = Tables(s, d, "customer").select(k("customer", "c_custkey").as("key"), lit("customer").as("label"), col("c_name").as("name"))
+    val p = Tables(s, d, "supplier").select(k("supplier", "s_suppkey").as("key"), lit("supplier").as("label"), col("s_name").as("name"))
+    r.union(n).union(c).union(p)
+  }
+
+  /** Directed tree edges (child → parent). */
+  def treeEdges(s: SparkSession, d: String): DataFrame = {
+    val n2r = Tables(s, d, "nation")
+      .select(k("nation", "n_nationkey").as("src"), k("region", "n_regionkey").as("dst"), lit("in_region").as("etype"))
+    val c2n = Tables(s, d, "customer")
+      .select(k("customer", "c_custkey").as("src"), k("nation", "c_nationkey").as("dst"), lit("in_nation").as("etype"))
+    val s2n = Tables(s, d, "supplier")
+      .select(k("supplier", "s_suppkey").as("src"), k("nation", "s_nationkey").as("dst"), lit("in_nation").as("etype"))
+    n2r.union(c2n).union(s2n)
+  }
+
+  /** Undirected same-region nation cliques, stored once with src < dst. */
+  def sameRegionEdges(s: SparkSession, d: String): DataFrame = {
+    val n = Tables(s, d, "nation")
+    val a = n.select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
+    val b = n.select(col("n_nationkey").as("kb"), col("n_regionkey").as("rb"))
+    a.join(b, col("ra") === col("rb") && col("ka") < col("kb"))
+      .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
+        concat(lit("nation:"), col("kb").cast("string")).as("dst"),
+        lit("same_region").as("etype"))
+  }
+
+  /** All edges (tree + cliques). */
+  def edges(s: SparkSession, d: String): DataFrame =
+    treeEdges(s, d).union(sameRegionEdges(s, d))
+
+  /** Symmetric closure for undirected traversal. */
+  def undirected(e: DataFrame): DataFrame =
+    e.select(col("src"), col("dst"), col("etype"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst"), col("etype")))
+}
+
+/** Iterative-join graph algorithms as *pure lazy plans* (fixed iteration
+  * counts, no driver-side convergence loop) so results are deterministic
+  * and the driver's oracle can unroll the same number of steps in SQL.
+  * At cluster scale each iteration is one shuffle on the node key; lineage
+  * stays bounded by the fixed depth.
+  *
+  * Reference counterparts: BFS `graph_engine/src/lib.rs:4674-4790`,
+  * shortest path `:4794-4930`, weighted `:4933-5070`, connected components
+  * `:6898-6941`, PageRank `:6943-7055`.
+  */
+object Algorithms {
+
+  /** Min-depth BFS from `source` to `maxDepth` over `edges` (directed as
+    * given — pass the symmetric closure for undirected semantics).
+    * Returns (key, depth).
+    */
+  def bfs(edges: DataFrame, source: String, maxDepth: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    var reached = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0).as("depth"))
+    var frontier = reached
+    for (i <- 1 to maxDepth) {
+      val next = frontier.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), lit(i).as("depth"))
+        .distinct()
+        .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti")
+      reached = reached.union(next)
+      frontier = next
+    }
+    // min() guards duplicate keys if maxDepth revisits via shorter paths
+    reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
+  }
+
+  /** Bounded-hop single-source shortest paths over weighted edges
+    * (src, dst, w) — Bellman-Ford style relaxation, `iters` rounds.
+    * Returns (key, cost) for reached nodes.
+    */
+  def sssp(edges: DataFrame, source: String, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst", "w")
+    var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
+      dist = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
+    }
+    dist
+  }
+
+  /** Connected components by min-key label propagation, `iters` rounds
+    * (pick iters ≥ graph diameter). Returns (key, component).
+    */
+  def connectedComponents(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val e = undirectedEdges.select("src", "dst")
+    var labels = nodes.select(col("key"), col("key").as("component"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = labels.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), col("component"))
+      labels = labels.union(viaNeighbor).groupBy("key").agg(min("component").as("component"))
+    }
+    labels
+  }
+
+  /** PageRank, `iters` fixed iterations, damping 0.85, init 1.0, no
+    * dangling-mass redistribution (sinks absorb; matches the unrolled
+    * oracle). Returns (key, pr).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val contrib = edges.join(outDeg, "src")
+    var pr = nodes.select(col("key"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      val mass = pr.join(contrib, col("key") === col("src"))
+        .select(col("dst"), (col("pr") / col("od")).as("m"))
+        .groupBy("dst").agg(sum("m").as("mass"))
+      pr = nodes.select(col("key"))
+        .join(mass, col("key") === col("dst"), "left")
+        .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}

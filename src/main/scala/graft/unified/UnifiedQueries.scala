@@ -1,0 +1,109 @@
+package graft.unified
+
+import graft.{QDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unified cross-engine operators (SURVEY.md §2.12) — the reference's
+  * flagship: one entity key resolves to relational fields, graph edges and
+  * an embedding simultaneously. Entities here are `vec:{id}` over the
+  * embeddings table; the graph relation is the same-label clique
+  * (neighbors(e) = other members of e's label).
+  *
+  * `SIMILAR k CONNECTED TO e` reproduces the reference semantics exactly
+  * (`tensor_unified/src/lib.rs:884-938`): take top-2k by similarity
+  * (2× oversample), intersect with neighbors(e), keep top-k by score.
+  */
+object UnifiedQueries {
+  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  private def qv(s: SparkSession, d: String, id: Long): DataFrame =
+    emb(s, d).filter(col("vec_id") === id).select(col("embedding").as("qv"))
+
+  /** neighbors(e) = same-label entities, excluding e itself. */
+  private def neighbors(s: SparkSession, d: String, id: Long): DataFrame = {
+    val lab = emb(s, d).filter(col("vec_id") === id).select(col("label").as("elabel"))
+    emb(s, d).crossJoin(broadcast(lab))
+      .filter(col("label") === col("elabel") && col("vec_id") =!= id)
+      .select(col("vec_id"))
+  }
+
+  val defs: Seq[(String, QDef)] = Seq(
+
+    // FIND ... WHERE over the entity table (uniform relational-style scan).
+    "u01_entity_find" -> QDef(
+      (s, d) => emb(s, d)
+        .filter(col("label").isin(2, 4) && col("vec_id") < 100)
+        .select(concat(lit("vec:"), col("vec_id").cast("string")).as("key"), col("label"))
+        .orderBy("key"),
+      """SELECT 'vec:' || CAST(vec_id AS VARCHAR) AS key, label
+        |FROM embeddings WHERE label IN (2, 4) AND vec_id < 100
+        |ORDER BY key""".stripMargin),
+
+    // SIMILAR 'vec:0' CONNECTED TO 'vec:1' LIMIT 10 — top-2k similar ∩
+    // neighbors(e), then top-k by score desc (2× oversample semantics).
+    "u02_similar_connected_to" -> QDef(
+      (s, d) => {
+        val top2k = emb(s, d).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv(s, d, 0)))
+          .select(col("vec_id"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(20)
+        top2k.join(neighbors(s, d, 1), Seq("vec_id"))
+          .orderBy(desc("score"), col("vec_id")).limit(10)
+          .select("vec_id", "score")
+      },
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |el AS (SELECT label AS elabel FROM embeddings WHERE vec_id = 1),
+        |top2k AS (
+        |  SELECT e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 20),
+        |nb AS (SELECT vec_id FROM embeddings, el WHERE label = elabel AND vec_id <> 1)
+        |SELECT t.vec_id, t.score FROM top2k t JOIN nb USING (vec_id)
+        |ORDER BY t.score DESC, t.vec_id LIMIT 10""".stripMargin),
+
+    // filtered variant (`tensor_unified/src/lib.rs:966-1014`): graph
+    // constraint ∩ user metadata filter before ranking.
+    "u03_similar_connected_filtered" -> QDef(
+      (s, d) => {
+        val top2k = emb(s, d).filter(col("vec_id") =!= 0 && col("vec_id") % 2 === 0)
+          .crossJoin(broadcast(qv(s, d, 0)))
+          .select(col("vec_id"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(20)
+        top2k.join(neighbors(s, d, 1), Seq("vec_id"))
+          .orderBy(desc("score"), col("vec_id")).limit(10)
+          .select("vec_id", "score")
+      },
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |el AS (SELECT label AS elabel FROM embeddings WHERE vec_id = 1),
+        |top2k AS (
+        |  SELECT e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 2 = 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 20),
+        |nb AS (SELECT vec_id FROM embeddings, el WHERE label = elabel AND vec_id <> 1)
+        |SELECT t.vec_id, t.score FROM top2k t JOIN nb USING (vec_id)
+        |ORDER BY t.score DESC, t.vec_id LIMIT 10""".stripMargin),
+
+    // NEIGHBORS 'vec:1' BY SIMILARITY TO <query vector> — rank e's graph
+    // neighbors by similarity to a query embedding
+    // (`tensor_unified/src/lib.rs:1021-1050`).
+    "u04_neighbors_by_similarity" -> QDef(
+      (s, d) => neighbors(s, d, 1)
+        .join(emb(s, d), Seq("vec_id"))
+        .crossJoin(broadcast(qv(s, d, 2)))
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 2),
+        |el AS (SELECT label AS elabel FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
+        |FROM embeddings e, q, el WHERE e.label = elabel AND e.vec_id <> 1
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)
+  )
+}

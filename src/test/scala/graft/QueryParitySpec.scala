@@ -41,7 +41,10 @@ class QueryParitySpec extends AnyFunSuite {
   // customers, etc.) — exempt from the rows>0 smoke check.
   // (q03/q14 have selective filters that only match from sf0.01 up — the
   // parity gate's scale — and can be empty on the 10× smaller smoke data.)
-  private val mayBeEmpty = Set("q12_join_anti", "q20_except", "q03_like_in_between", "q14_group_having")
+  // (u03's top-2k ∩ neighbors ∩ meta-filter intersection is legitimately
+  // empty on the 500-vector smoke data — parity-confirmed vs DuckDB.)
+  private val mayBeEmpty = Set("q12_join_anti", "q20_except", "q03_like_in_between",
+    "q14_group_having", "u03_similar_connected_filtered")
 
   SparkEntry.allDefs.foreach { case (name, qd) =>
     test(s"$name runs at sf0.001") {

@@ -19,7 +19,17 @@ import org.apache.spark.sql.functions._
 object TpchGraph {
   private def k(prefix: String, c: String) = concat(lit(prefix + ":"), col(c).cast("string"))
 
-  def nodes(s: SparkSession, d: String): DataFrame = {
+  /** The graph frames derive from TPC-H *dimension* tables (≤ tens of MB
+    * even at sf100), and the iterative algorithms re-reference them every
+    * round — cache() so a 10-iteration PageRank does 1 scan, not 10.
+    * Spark dedups cache entries by canonicalized plan, so repeated calls
+    * share one in-memory copy.
+    */
+  def nodes(s: SparkSession, d: String): DataFrame = nodesUncached(s, d).cache()
+  def treeEdges(s: SparkSession, d: String): DataFrame = treeEdgesUncached(s, d).cache()
+  def sameRegionEdges(s: SparkSession, d: String): DataFrame = sameRegionEdgesUncached(s, d).cache()
+
+  private def nodesUncached(s: SparkSession, d: String): DataFrame = {
     val r = Tables(s, d, "region").select(k("region", "r_regionkey").as("key"), lit("region").as("label"), col("r_name").as("name"))
     val n = Tables(s, d, "nation").select(k("nation", "n_nationkey").as("key"), lit("nation").as("label"), col("n_name").as("name"))
     val c = Tables(s, d, "customer").select(k("customer", "c_custkey").as("key"), lit("customer").as("label"), col("c_name").as("name"))
@@ -28,7 +38,7 @@ object TpchGraph {
   }
 
   /** Directed tree edges (child → parent). */
-  def treeEdges(s: SparkSession, d: String): DataFrame = {
+  private def treeEdgesUncached(s: SparkSession, d: String): DataFrame = {
     val n2r = Tables(s, d, "nation")
       .select(k("nation", "n_nationkey").as("src"), k("region", "n_regionkey").as("dst"), lit("in_region").as("etype"))
     val c2n = Tables(s, d, "customer")
@@ -39,7 +49,7 @@ object TpchGraph {
   }
 
   /** Undirected same-region nation cliques, stored once with src < dst. */
-  def sameRegionEdges(s: SparkSession, d: String): DataFrame = {
+  private def sameRegionEdgesUncached(s: SparkSession, d: String): DataFrame = {
     val n = Tables(s, d, "nation")
     val a = n.select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
     val b = n.select(col("n_nationkey").as("kb"), col("n_regionkey").as("rb"))
@@ -59,11 +69,16 @@ object TpchGraph {
       .union(e.select(col("dst").as("src"), col("src").as("dst"), col("etype")))
 }
 
-/** Iterative-join graph algorithms as *pure lazy plans* (fixed iteration
-  * counts, no driver-side convergence loop) so results are deterministic
-  * and the driver's oracle can unroll the same number of steps in SQL.
-  * At cluster scale each iteration is one shuffle on the node key; lineage
-  * stays bounded by the fixed depth.
+/** Iterative-join graph algorithms with fixed iteration counts (no
+  * driver-side convergence loop) so results are deterministic and the
+  * driver's oracle can unroll the same number of steps in SQL.
+  *
+  * Each iteration ends in `localCheckpoint()` — without it the
+  * accumulator frame appears twice in the next iteration's plan (union +
+  * join) and Spark recomputes ~2^k subplans by iteration k. Checkpointing
+  * keeps the work linear in iterations, which is exactly how iterative
+  * graph frameworks on Spark (GraphFrames, GraphX Pregel) handle lineage.
+  * At cluster scale each iteration is one shuffle on the node key.
   *
   * Reference counterparts: BFS `graph_engine/src/lib.rs:4674-4790`,
   * shortest path `:4794-4930`, weighted `:4933-5070`, connected components
@@ -84,7 +99,8 @@ object Algorithms {
         .select(col("dst").as("key"), lit(i).as("depth"))
         .distinct()
         .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti")
-      reached = reached.union(next)
+        .localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
       frontier = next
     }
     // min() guards duplicate keys if maxDepth revisits via shorter paths
@@ -101,7 +117,7 @@ object Algorithms {
     for (_ <- 1 to iters) {
       val relaxed = dist.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
-      dist = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
+      dist = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost")).localCheckpoint()
     }
     dist
   }
@@ -116,6 +132,7 @@ object Algorithms {
       val viaNeighbor = labels.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), col("component"))
       labels = labels.union(viaNeighbor).groupBy("key").agg(min("component").as("component"))
+        .localCheckpoint()
     }
     labels
   }
@@ -135,6 +152,7 @@ object Algorithms {
       pr = nodes.select(col("key"))
         .join(mass, col("key") === col("dst"), "left")
         .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     pr
   }

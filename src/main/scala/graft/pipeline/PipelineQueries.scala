@@ -48,6 +48,14 @@ object PipelineQueries {
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
   }
 
+  // MinHash family: h_i(v) = (a_i·v + b_i) mod P over v = first 28 bits of
+  // md5(shingle). One md5 per shingle + 16 cheap linear permutations
+  // (classic construction) instead of 16 md5 calls; constants are injected
+  // into both the Spark plan and the oracle SQL from this single source.
+  private val P = 2147483647L
+  private val hashAB: Seq[(Long, Long)] =
+    (0 until 16).map(i => (((2654435761L * (i + 1)) % P) | 1L, (40503L * (i + 7) * 9973L) % P))
+
   val defs: Seq[(String, QDef)] = Seq(
 
     // ---- deduplication ----
@@ -104,18 +112,25 @@ object PipelineQueries {
         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE c / (x.n + y.n - c) >= 0.8 ORDER BY da, db""".stripMargin),
 
-    // MinHash + LSH banding: 16 md5-derived min-hashes, 4 bands × 4 rows;
-    // band-bucket join → candidate pairs → exact-Jaccard verification.
+    // MinHash + LSH banding: 16 linear-permutation min-hashes over one md5
+    // per shingle, 4 bands × 4 rows, band-bucket join → candidate pairs →
+    // exact-Jaccard verification. Map-side until the band shuffle; no
+    // all-pairs stage anywhere, so it scales to web-corpus row counts.
     "d04_neardup_minhash_lsh" -> QDef(
       (s, d) => {
         val sh = shingles(s, d)
-        val mh = sh
-          .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 15)")).as("i"))
-          .groupBy("doc_id", "i")
-          .agg(min(substring(md5(concat(col("i").cast("string"), lit(":"), col("sh")).cast("binary")), 1, 16)).as("mh"))
-        val bands = mh.groupBy(col("doc_id"), expr("i div 4").as("band"))
-          .agg(md5(concat_ws(",",
-            expr("transform(array_sort(collect_list(struct(i, mh))), p -> p.mh)")).cast("binary")).as("bh"))
+        val withV = sh.withColumn("v",
+          expr("CAST(conv(substr(md5(cast(sh as binary)), 1, 7), 16, 10) AS BIGINT)"))
+        val minAggs = hashAB.zipWithIndex.map { case ((a, b), i) =>
+          min(expr(s"($a * v + $b) % $P")).as(s"mh$i")
+        }
+        val mh = withV.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val bandExprs = (0 until 4).map { b =>
+          val cols = (4 * b until 4 * b + 4).map(i => s"cast(mh$i as string)").mkString(", ")
+          s"md5(cast(concat_ws(',', $cols) as binary)) AS bh$b"
+        }
+        val bands = mh.selectExpr("doc_id" +: bandExprs: _*)
+          .selectExpr("doc_id", "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)")
         val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
           .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
           .filter(col("da") < col("db"))
@@ -124,70 +139,79 @@ object PipelineQueries {
           .filter(col("jaccard") >= 0.6)
           .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("da", "db")
-      },
-      """WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
-        |           WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
-        |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
-        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-        |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        |hi AS (SELECT doc_id, sh, unnest(generate_series(0, 15)) AS i FROM sh),
-        |mh AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 16)) AS mh
-        |       FROM hi GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS bh
-        |          FROM mh GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
-        |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
-        |          GROUP BY c.da, c.db)
-        |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
-        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin),
+      }, {
+        val mhCols = hashAB.zipWithIndex
+          .map { case ((a, b), i) => s"min(($a * v + $b) % $P) AS mh$i" }.mkString(",\n        ")
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (4 * b until 4 * b + 4).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM mh"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+           |           WHERE len(regexp_split_to_array(text, '\\s+')) >= 3),
+           |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
+           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+           |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+           |hv AS (SELECT doc_id, sh, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS v FROM sh),
+           |mh AS (SELECT doc_id,
+           |        $mhCols
+           |       FROM hv GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
+           |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
+           |          GROUP BY c.da, c.db)
+           |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
+           |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+           |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin
+      }),
 
-    // SimHash: 48-bit signature from md5 nibble votes over distinct words;
-    // near-dup = same-source pairs with Hamming distance <= 10.
+    // SimHash: 48-bit signature — one hex parse of md5(word) yields all 48
+    // bit votes, aggregated as 48 pivoted sum columns (no 48× row
+    // explosion); near-dup = same-source pairs with Hamming ≤ 3.
     "d05_neardup_simhash" -> QDef(
       (s, d) => {
         val w = words(s, d)
-        val bits = w
-          .select(col("doc_id"), col("source"), col("w"), explode(expr("sequence(0, 47)")).as("b"))
-          .withColumn("nib",
-            expr("instr('0123456789abcdef', substring(md5(cast(w as binary)), 1 + cast(b div 4 as int), 1)) - 1"))
-          .withColumn("bit", expr("(shiftright(nib, cast(b % 4 as int))) & 1"))
-          .withColumn("vote", when(col("bit") === 1, 1).otherwise(-1))
-        val sig = bits.groupBy("doc_id", "source", "b")
-          .agg(sum("vote").as("v"))
-          .groupBy("doc_id", "source")
-          .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), cast(b as int)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-        val pairs = sig.select(col("doc_id").as("da"), col("source"), col("simhash").as("ha"))
+        val withV = w.withColumn("v",
+          expr("CAST(conv(substr(md5(cast(w as binary)), 1, 12), 16, 10) AS BIGINT)"))
+        val sumCols = (0 until 48).map(b =>
+          sum(expr(s"CASE WHEN (shiftright(v, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+        val sums = withV.groupBy("doc_id", "source").agg(sumCols.head, sumCols.tail: _*)
+        val sigExpr = (0 until 48)
+          .map(b => s"(CASE WHEN s$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        val sig = sums.select(col("doc_id"), col("source"), expr(sigExpr).as("simhash"))
+        sig.select(col("doc_id").as("da"), col("source"), col("simhash").as("ha"))
           .join(sig.select(col("doc_id").as("db"), col("source"), col("simhash").as("hb")), Seq("source"))
           .filter(col("da") < col("db"))
           .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-          .filter(col("hamming") <= 10)
-        pairs.select(col("da"), col("db"), col("hamming")).orderBy("da", "db")
-      },
-      """WITH w AS (
-        |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
-        |  FROM documents),
-        |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
-        |bits AS (
-        |  SELECT doc_id, source, w, unnest(generate_series(0, 47)) AS b FROM w2),
-        |votes AS (
-        |  SELECT doc_id, source, b,
-        |    CASE WHEN ((instr('0123456789abcdef', substr(md5(w), 1 + b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
-        |         THEN 1 ELSE -1 END AS vote
-        |  FROM bits),
-        |sums AS (SELECT doc_id, source, b, sum(vote) AS v FROM votes GROUP BY 1, 2, 3),
-        |sig AS (SELECT doc_id, source,
-        |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |        FROM sums GROUP BY 1, 2)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-        |ORDER BY da, db""".stripMargin),
+          .filter(col("hamming") <= 3)
+          .select(col("da"), col("db"), col("hamming")).orderBy("da", "db")
+      }, {
+        val sumCols = (0 until 48)
+          .map(b => s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n        ")
+        val sigExpr = (0 until 48)
+          .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+          .mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS w
+           |  FROM documents),
+           |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
+           |hv AS (SELECT doc_id, source, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS v FROM w2),
+           |sums AS (SELECT doc_id, source,
+           |        $sumCols
+           |        FROM hv GROUP BY 1, 2),
+           |sig AS (SELECT doc_id, source, CAST($sigExpr AS BIGINT) AS simhash FROM sums)
+           |SELECT a.doc_id AS da, b.doc_id AS db,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY da, db""".stripMargin
+      }),
 
     // ---- text analysis ----
     "t01_token_stats" -> QDef(

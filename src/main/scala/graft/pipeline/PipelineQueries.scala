@@ -298,6 +298,17 @@ object PipelineQueries {
         |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
         |SELECT doc_id, min(md5(sh)) AS fingerprint FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- streaming-equivalent windowed aggregation: the same
+    // EventStreams.tumblingCounts plan the streaming path uses, run over
+    // the bounded events table (oracle via epoch-floor arithmetic —
+    // Spark's window() is epoch-aligned).
+    "s01_stream_tumbling_window" -> QDef(
+      (s, d) => graft.streaming.EventStreams.tumblingCounts(Tables(s, d, "events"))
+        .orderBy("w_start", "event_type"),
+      """SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP) AS w_start,
+        | event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+
     // ---- multimodal plumbing: opaque binary payload + typed metadata.
     // Decode is a deterministic stub (no media libs in-container); the
     // Spark-side schema/partitioning/batch shape is real.

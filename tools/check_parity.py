@@ -24,6 +24,8 @@ def canon(df):
     # normalize dtypes: timestamps to us; array columns to repr strings
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
             df[c] = df[c].apply(lambda v: str(list(v)))

@@ -1,0 +1,53 @@
+package graft.nql
+
+/** AST for the NQL-specific statement surface (grammar shape follows the
+  * reference parser `neumann_parser/src/ast.rs` §2.10-2.12 statements;
+  * pure-SQL statements are not represented here — they pass through to
+  * Catalyst's own parser, which supersedes the reference's SQL subset).
+  */
+sealed trait Statement
+
+/** Any statement Catalyst can parse natively (SELECT/WITH/SHOW/...). */
+final case class SqlPassthrough(sql: String) extends Statement
+
+sealed trait Metric
+object Metric {
+  case object Cosine extends Metric
+  case object Euclidean extends Metric
+  case object Dot extends Metric
+}
+
+/** Single comparison `ident op literal`, chained with AND. */
+final case class Cond(column: String, op: String, value: Any)
+
+final case class Similar(
+    key: String,
+    metric: Metric = Metric.Cosine,
+    limit: Int = 10,
+    connectedTo: Option[String] = None,
+    where: Seq[Cond] = Nil) extends Statement
+
+final case class Neighbors(
+    key: String,
+    bySimilarityTo: Option[String] = None,
+    etype: Option[String] = None,
+    limit: Option[Int] = None) extends Statement
+
+final case class PathShortest(from: String, to: String, maxDepth: Int = 6) extends Statement
+final case class PathWeighted(from: String, to: String, maxHops: Int = 6) extends Statement
+
+final case class NodeGet(key: String) extends Statement
+final case class NodeList(label: Option[String], limit: Option[Int]) extends Statement
+final case class EdgeList(etype: Option[String], limit: Option[Int]) extends Statement
+final case class Degree(key: String) extends Statement
+
+sealed trait GraphAlgo extends Statement
+final case class GraphPageRank(iterations: Int = 10) extends GraphAlgo
+case object GraphComponents extends GraphAlgo
+case object GraphTriangles extends GraphAlgo
+
+final case class EmbedGet(key: String) extends Statement
+final case class EntityGet(key: String) extends Statement
+final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
+
+final case class NqlParseException(msg: String) extends RuntimeException(msg)

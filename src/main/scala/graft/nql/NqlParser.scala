@@ -1,0 +1,190 @@
+package graft.nql
+
+import scala.util.matching.Regex
+
+/** Tokenizer + recursive-descent parser for the NQL-specific statements.
+  * Keyword dispatch mirrors the reference router's first-token dispatch
+  * (`query_router/src/lib.rs:1511-1537`); anything starting with a
+  * SQL keyword becomes a [[SqlPassthrough]] for Catalyst.
+  */
+object NqlParser {
+
+  private val sqlKeywords = Set(
+    "SELECT", "WITH", "INSERT", "CREATE", "DROP", "ALTER", "SHOW",
+    "DESCRIBE", "DESC", "EXPLAIN", "VALUES", "UPDATE", "DELETE", "TABLE")
+
+  private val tokenRe: Regex =
+    """\s*(?:('(?:[^'\\]|\\.)*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|!=|<>|=|<|>|\*|,|\(|\)))""".r
+
+  private def tokenize(q: String): Vector[String] = {
+    var rest = q.trim
+    val out = Vector.newBuilder[String]
+    while (rest.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          out += m.group(0).trim
+          rest = rest.substring(m.end)
+        case None => throw NqlParseException(s"cannot tokenize at: ${rest.take(30)}")
+      }
+    }
+    out.result()
+  }
+
+  /** Parser state over the token vector. */
+  private final class P(ts: Vector[String]) {
+    var i = 0
+    def peek: Option[String] = if (i < ts.length) Some(ts(i)) else None
+    def peekUpper: Option[String] = peek.map(_.toUpperCase)
+    def next(): String = { val t = ts(i); i += 1; t }
+    def expectKw(kw: String): Unit = {
+      val t = next()
+      if (t.toUpperCase != kw) throw NqlParseException(s"expected $kw, got $t")
+    }
+    def accept(kw: String): Boolean =
+      if (peekUpper.contains(kw)) { i += 1; true } else false
+    def stringLit(): String = {
+      val t = next()
+      if (!t.startsWith("'")) throw NqlParseException(s"expected string literal, got $t")
+      t.substring(1, t.length - 1).replace("\\'", "'")
+    }
+    def int(): Int = next().toInt
+    def done: Boolean = i >= ts.length
+  }
+
+  def parse(query: String): Statement = {
+    val trimmed = query.trim.stripSuffix(";")
+    val ts = tokenize(trimmed)
+    if (ts.isEmpty) throw NqlParseException("empty query")
+    val head = ts.head.toUpperCase
+    if (sqlKeywords.contains(head)) return SqlPassthrough(trimmed)
+    val p = new P(ts)
+    head match {
+      case "SIMILAR"   => p.next(); parseSimilar(p)
+      case "NEIGHBORS" => p.next(); parseNeighbors(p)
+      case "PATH"      => p.next(); parsePath(p)
+      case "NODE"      => p.next(); parseNode(p)
+      case "EDGE"      => p.next(); parseEdge(p)
+      case "DEGREE"    => p.next(); Degree(p.stringLit())
+      case "GRAPH"     => p.next(); parseGraphAlgo(p)
+      case "EMBED"     => p.next(); p.expectKw("GET"); EmbedGet(p.stringLit())
+      case "ENTITY"    => p.next(); p.expectKw("GET"); EntityGet(p.stringLit())
+      case "FIND"      => p.next(); parseFind(p)
+      case other        => throw NqlParseException(s"unknown statement: $other")
+    }
+  }
+
+  private def parseSimilar(p: P): Similar = {
+    val key = p.stringLit()
+    var s = Similar(key)
+    var continue = true
+    while (continue && !p.done) {
+      p.peekUpper match {
+        case Some("METRIC") =>
+          p.next()
+          s = s.copy(metric = p.next().toUpperCase match {
+            case "COSINE" => Metric.Cosine
+            case "EUCLIDEAN" => Metric.Euclidean
+            case "DOT" | "DOT_PRODUCT" => Metric.Dot
+            case m => throw NqlParseException(s"unknown metric $m")
+          })
+        case Some("CONNECTED") =>
+          p.next(); p.expectKw("TO"); s = s.copy(connectedTo = Some(p.stringLit()))
+        case Some("WHERE") =>
+          p.next(); s = s.copy(where = parseConds(p))
+        case Some("LIMIT") =>
+          p.next(); s = s.copy(limit = p.int())
+        case _ => continue = false
+      }
+    }
+    s
+  }
+
+  private def parseNeighbors(p: P): Neighbors = {
+    val key = p.stringLit()
+    var n = Neighbors(key)
+    var continue = true
+    while (continue && !p.done) {
+      p.peekUpper match {
+        case Some("TYPE") => p.next(); n = n.copy(etype = Some(p.stringLit()))
+        case Some("BY") =>
+          p.next(); p.expectKw("SIMILARITY"); p.expectKw("TO")
+          n = n.copy(bySimilarityTo = Some(p.stringLit()))
+        case Some("LIMIT") => p.next(); n = n.copy(limit = Some(p.int()))
+        case _ => continue = false
+      }
+    }
+    n
+  }
+
+  private def parsePath(p: P): Statement = {
+    val kind = p.next().toUpperCase
+    val from = p.stringLit()
+    p.expectKw("TO")
+    val to = p.stringLit()
+    val depth = if (p.accept("MAX")) Some(p.int()) else None
+    kind match {
+      case "SHORTEST" => PathShortest(from, to, depth.getOrElse(6))
+      case "WEIGHTED" => PathWeighted(from, to, depth.getOrElse(6))
+      case k => throw NqlParseException(s"unknown path kind $k")
+    }
+  }
+
+  private def parseNode(p: P): Statement = p.next().toUpperCase match {
+    case "GET" => NodeGet(p.stringLit())
+    case "LIST" =>
+      val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
+      val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+      NodeList(label, limit)
+    case k => throw NqlParseException(s"unknown NODE op $k")
+  }
+
+  private def parseEdge(p: P): Statement = p.next().toUpperCase match {
+    case "LIST" =>
+      val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
+      val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+      EdgeList(etype, limit)
+    case k => throw NqlParseException(s"unknown EDGE op $k")
+  }
+
+  private def parseGraphAlgo(p: P): GraphAlgo = p.next().toUpperCase match {
+    case "PAGERANK" =>
+      val it = if (p.accept("ITERATIONS")) p.int() else 10
+      GraphPageRank(it)
+    case "COMPONENTS" => GraphComponents
+    case "TRIANGLES" => GraphTriangles
+    case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
+  }
+
+  private def parseFind(p: P): Find = {
+    p.expectKw("ROWS")
+    val target = p.next()
+    val conds = if (p.accept("WHERE")) parseConds(p) else Nil
+    val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+    Find(target, conds, limit)
+  }
+
+  /** `ident op literal (AND ident op literal)*` — the condition surface the
+    * reference executes (`query_router/src/lib.rs:5769-5820`: binary
+    * compares joined by AND; richer predicates go through SQL passthrough).
+    */
+  private def parseConds(p: P): Seq[Cond] = {
+    val out = Seq.newBuilder[Cond]
+    var continue = true
+    while (continue) {
+      val colName = p.next()
+      val op = p.next() match {
+        case "<>" => "!="
+        case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+        case o => throw NqlParseException(s"unsupported operator $o")
+      }
+      val raw = p.next()
+      val value: Any =
+        if (raw.startsWith("'")) raw.substring(1, raw.length - 1)
+        else if (raw.contains('.')) raw.toDouble
+        else raw.toLong
+      out += Cond(colName, op, value)
+      continue = p.accept("AND")
+    }
+    out.result()
+  }
+}

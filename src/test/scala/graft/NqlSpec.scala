@@ -1,0 +1,80 @@
+package graft
+
+import graft.nql._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parses and executes every NQL statement kind end-to-end on sf0.001,
+  * cross-checking results against the equivalent direct DataFrame plans.
+  */
+class NqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(q: String) = Nql.execute(spark, sf, q)
+
+  test("SQL passthrough reaches Catalyst with registered views") {
+    val df = run("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
+    assert(df.count() == 3)
+  }
+
+  test("SIMILAR matches the direct vector plan") {
+    val got = run("SIMILAR 'vec:0' LIMIT 10").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = SparkEntry.queries("v01_similar_topk_cosine")(spark, sf)
+      .collect().map(r => ("vec:" + r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("SIMILAR metrics + WHERE filter parse and run") {
+    assert(run("SIMILAR 'vec:0' METRIC EUCLIDEAN LIMIT 5").count() == 5)
+    assert(run("SIMILAR 'vec:0' METRIC DOT LIMIT 5").count() == 5)
+    val filtered = run("SIMILAR 'vec:0' WHERE label = 3 LIMIT 5")
+    assert(filtered.count() == 5)
+  }
+
+  test("SIMILAR CONNECTED TO applies the 2x-oversample intersection") {
+    val got = run("SIMILAR 'vec:0' CONNECTED TO 'vec:1' LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = SparkEntry.queries("u02_similar_connected_to")(spark, sf)
+      .collect().map(r => ("vec:" + r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("NEIGHBORS graph and BY SIMILARITY variants") {
+    val nb = run("NEIGHBORS 'nation:0'")
+    assert(nb.filter(col("neighbor") === "region:0").count() == 1)
+    val typed = run("NEIGHBORS 'nation:0' TYPE 'same_region'")
+    assert(typed.count() == 4) // 5-nation clique
+    assert(run("NEIGHBORS 'vec:1' BY SIMILARITY TO 'vec:2' LIMIT 5").count() == 5)
+  }
+
+  test("PATH SHORTEST and PATH WEIGHTED") {
+    val p = run("PATH SHORTEST 'customer:0' TO 'region:0' MAX 4").collect()
+    assert(p.length <= 1)
+    val pw = run("PATH WEIGHTED 'customer:0' TO 'region:0' MAX 4").collect()
+    assert(pw.length == p.length)
+  }
+
+  test("NODE / EDGE / DEGREE / GRAPH algorithms") {
+    assert(run("NODE GET 'nation:0'").count() == 1)
+    assert(run("NODE LIST LABEL 'region' LIMIT 10").count() == 5)
+    assert(run("EDGE LIST TYPE 'in_region' LIMIT 100").count() == 25)
+    val deg = run("DEGREE 'region:0'").collect()(0)
+    assert(deg.getLong(1) >= 5)
+    assert(run("GRAPH COMPONENTS").count() == 5)
+    assert(run("GRAPH PAGERANK ITERATIONS 5").count() > 0)
+    assert(run("GRAPH TRIANGLES").count() == 25)
+  }
+
+  test("EMBED GET / ENTITY GET / FIND ROWS") {
+    assert(run("EMBED GET 'vec:42'").count() == 1)
+    assert(run("ENTITY GET 'vec:42'").count() == 1)
+    val f = run("FIND ROWS orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0 LIMIT 20")
+    assert(f.count() == 20)
+  }
+
+  test("parse errors are informative") {
+    assertThrows[NqlParseException](Nql.parse("FROB 'x'"))
+    assertThrows[NqlParseException](Nql.parse("SIMILAR missing_quotes"))
+    assertThrows[NqlParseException](Nql.parse("PATH SHORTEST 'a' 'b'"))
+  }
+}

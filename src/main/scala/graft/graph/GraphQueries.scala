@@ -3,6 +3,7 @@ package graft.graph
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph operator inventory (SURVEY.md §2.10) over the TPC-H-derived
   * property graph: neighbors/degree, BFS, shortest paths (unweighted and
@@ -224,6 +225,120 @@ object GraphQueries {
          |  SELECT * FROM d2 UNION ALL SELECT u.dst, d2.cost + u.w FROM d2 JOIN uw u ON u.src = d2.key) t GROUP BY key)
          |SELECT key, round(cost, 4) AS cost FROM d3
          |WHERE key LIKE 'nation:%' OR key LIKE 'region:%' ORDER BY key""".stripMargin),
+
+    // fulltext fuzzy search (reference `graph_engine/src/fulltext.rs`:
+    // tokenize + prefix + Levenshtein): words within edit distance 2 of
+    // 'spark' plus prefix matches.
+    "g12_fulltext_fuzzy" -> QDef(
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("dist", levenshtein(col("w"), lit("spark")))
+        .filter(col("dist") <= 2 || col("w").startsWith("spar"))
+        .groupBy("w").agg(min("dist").cast("int").as("dist"), count(lit(1)).as("n_docs"))
+        .orderBy("dist", "w"),
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, w, levenshtein(w, 'spark') AS dist FROM w WHERE w <> '')
+        |SELECT w, CAST(min(dist) AS INT) AS dist, count(*) AS n_docs
+        |FROM w2 WHERE dist <= 2 OR w LIKE 'spar%'
+        |GROUP BY w ORDER BY dist, w""".stripMargin),
+
+    // geo radius search (reference `graph_engine/src/geo.rs:93-260`):
+    // deterministic synthetic coordinates per customer, Haversine ≤ 3000 km
+    // of (10, 20). Formula text is identical on both sides so libm noise
+    // stays below the 2-decimal rounding.
+    "g13_geo_radius" -> QDef(
+      (s, d) => {
+        import graft.functions.GeoFunctions.haversine_km
+        Tables(s, d, "customer")
+          .withColumn("lat", (col("c_custkey") * 7 % 17000) / lit(100.0) - 85.0)
+          .withColumn("lon", (col("c_custkey") * 13 % 36000) / lit(100.0) - 180.0)
+          .withColumn("dist_km", round(haversine_km(col("lat"), col("lon"), lit(10.0), lit(20.0)), 2))
+          .filter(col("dist_km") <= 3000)
+          .select("c_custkey", "lat", "lon", "dist_km")
+          .orderBy("c_custkey")
+      },
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7 % 17000) / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 13 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |dist AS (
+        |  SELECT c_custkey, lat, lon,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(10.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(10.0)) * pow(sin(radians(20.0 - lon) / 2), 2))), 2) AS dist_km
+        |  FROM pts)
+        |SELECT c_custkey, lat, lon, dist_km FROM dist
+        |WHERE dist_km <= 3000 ORDER BY c_custkey""".stripMargin),
+
+    // k-core decomposition (reference `algorithms/kcore.rs`): iteratively
+    // prune nodes with degree < 2; 3 fixed rounds (converged — leaves drop
+    // in round 1, the nation/region core is stable).
+    "g14_kcore" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        var alive = TpchGraph.nodes(s, d).select("key")
+        for (_ <- 1 to 3) {
+          val deg = und
+            .join(alive.select(col("key").as("src")), Seq("src"))
+            .join(alive.select(col("key").as("dst")), Seq("dst"))
+            .groupBy("src").agg(count(lit(1)).as("deg"))
+          alive = deg.filter(col("deg") >= 2).select(col("src").as("key")).localCheckpoint()
+        }
+        alive.select(substring_index(col("key"), ":", 1).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("label")
+      },
+      s"""WITH $nodesSql,
+         |$allEdgesSql,
+         |e0 AS (SELECT src, dst FROM und),
+         |a1 AS (SELECT src AS key FROM e0 GROUP BY src HAVING count(*) >= 2),
+         |a2 AS (SELECT e.src AS key FROM e0 e
+         |       JOIN a1 x ON e.src = x.key JOIN a1 y ON e.dst = y.key
+         |       GROUP BY e.src HAVING count(*) >= 2),
+         |a3 AS (SELECT e.src AS key FROM e0 e
+         |       JOIN a2 x ON e.src = x.key JOIN a2 y ON e.dst = y.key
+         |       GROUP BY e.src HAVING count(*) >= 2)
+         |SELECT split_part(key, ':', 1) AS label, count(*) AS n_nodes
+         |FROM a3 GROUP BY 1 ORDER BY label""".stripMargin),
+
+    // synchronous label propagation (reference `lib.rs:7361-7440`), 3
+    // rounds: each node takes the most frequent neighbor label, ties →
+    // lexicographically smallest; deterministic, oracle unrolls the rounds.
+    "g15_label_propagation" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        var labels = TpchGraph.nodes(s, d).select(col("key"), col("key").as("lbl"))
+        for (_ <- 1 to 3) {
+          val counts = und
+            .join(labels.select(col("key").as("dst"), col("lbl")), Seq("dst"))
+            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy("src").orderBy(desc("c"), col("lbl"))
+          labels = counts.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("src").as("key"), col("lbl"))
+            .localCheckpoint()
+        }
+        labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+          .orderBy(desc("n_nodes"), col("lbl")).limit(20)
+      },
+      s"""WITH $nodesSql,
+         |$allEdgesSql,
+         |l0 AS (SELECT key, key AS lbl FROM nds),
+         |c1 AS (SELECT u.src, l.lbl, count(*) AS c FROM und u JOIN l0 l ON u.dst = l.key GROUP BY 1, 2),
+         |l1 AS (SELECT src AS key, lbl FROM (
+         |   SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM c1) t WHERE rn = 1),
+         |c2 AS (SELECT u.src, l.lbl, count(*) AS c FROM und u JOIN l1 l ON u.dst = l.key GROUP BY 1, 2),
+         |l2 AS (SELECT src AS key, lbl FROM (
+         |   SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM c2) t WHERE rn = 1),
+         |c3 AS (SELECT u.src, l.lbl, count(*) AS c FROM und u JOIN l2 l ON u.dst = l.key GROUP BY 1, 2),
+         |l3 AS (SELECT src AS key, lbl FROM (
+         |   SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM c3) t WHERE rn = 1)
+         |SELECT lbl, count(*) AS n_nodes FROM l3 GROUP BY lbl
+         |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin),
 
     // motif / pattern match (reference Pattern chains + Cypher MATCH):
     // (c:customer)-[:in_nation]->(n:nation)-[:in_region]->(r {name:'ASIA'})

@@ -44,7 +44,7 @@ class QueryParitySpec extends AnyFunSuite {
   // (u03's top-2k ∩ neighbors ∩ meta-filter intersection is legitimately
   // empty on the 500-vector smoke data — parity-confirmed vs DuckDB.)
   private val mayBeEmpty = Set("q12_join_anti", "q20_except", "q03_like_in_between",
-    "q14_group_having", "u03_similar_connected_filtered")
+    "q14_group_having", "u03_similar_connected_filtered", "g13_geo_radius")
 
   SparkEntry.allDefs.foreach { case (name, qd) =>
     test(s"$name runs at sf0.001") {

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for the named queries (or a
+  * representative default set) so pushdown/broadcast/codegen can be
+  * inspected:  sbt 'runMain graft.Explain q01_agg_pricing_summary'
+  */
+object Explain {
+  val defaultSet = Seq(
+    "q01_agg_pricing_summary", "q02_filter_project_sort", "q13_join_multiway",
+    "v01_similar_topk_cosine", "d04_neardup_minhash_lsh", "q21_window_topk_per_group")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else defaultSet
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -18,7 +18,8 @@ object SparkEntry {
       graft.vector.VectorQueries.defs ++
       graft.pipeline.PipelineQueries.defs ++
       graft.graph.GraphQueries.defs ++
-      graft.unified.UnifiedQueries.defs
+      graft.unified.UnifiedQueries.defs ++
+      graft.nql.NqlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,151 @@
+package graft.nql
+
+import scala.util.matching.Regex
+
+/** Cypher-subset MATCH (reference executor scope
+  * `query_router/src/cypher.rs:47-500`: one pattern chain, optional
+  * labels/property maps, bounded variable-length hops, WHERE on
+  * `var.col`, RETURN projection, ORDER BY / LIMIT).
+  *
+  *   MATCH (a:nation {name: 'CHINA'})-[:same_region*1..2]-(b:nation)
+  *   WHERE b.key <> 'nation:0' RETURN b.name ORDER BY b.name LIMIT 10
+  */
+object CypherParser {
+
+  final case class NodePat(variable: String, label: Option[String], props: Map[String, String])
+  final case class EdgePat(etype: Option[String], minHops: Int, maxHops: Int, direction: Int) // 1 = ->, -1 = <-, 0 = undirected
+  final case class MatchStmt(
+      nodes: Seq[NodePat], edges: Seq[EdgePat],
+      where: Seq[Cond], returns: Seq[String],
+      orderBy: Seq[(String, Boolean)], limit: Option[Int]) extends Statement
+
+  private val tokenRe: Regex =
+    """\s*(?:('(?:[^'\\]|\\.)*')|(\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|<>|!=|\.\.|->|<-|-|=|<|>|\*|,|\(|\)|\[|\]|\{|\}|:))""".r
+
+  private def tokenize(q: String): Vector[String] = {
+    var rest = q.trim
+    val out = Vector.newBuilder[String]
+    while (rest.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) => out += m.group(0).trim; rest = rest.substring(m.end)
+        case None => throw NqlParseException(s"cypher: cannot tokenize at: ${rest.take(30)}")
+      }
+    }
+    out.result()
+  }
+
+  private final class P(ts: Vector[String]) {
+    var i = 0
+    def peek: Option[String] = if (i < ts.length) Some(ts(i)) else None
+    def next(): String = {
+      if (i >= ts.length) throw NqlParseException("cypher: unexpected end of input")
+      val t = ts(i); i += 1; t
+    }
+    def expect(t: String): Unit = { val g = next(); if (g != t && g.toUpperCase != t) throw NqlParseException(s"cypher: expected $t, got $g") }
+    def accept(t: String): Boolean = if (peek.exists(x => x == t || x.toUpperCase == t)) { i += 1; true } else false
+    def stringLit(): String = {
+      val t = next()
+      if (!t.startsWith("'")) throw NqlParseException(s"cypher: expected string, got $t")
+      t.substring(1, t.length - 1).replace("\\'", "'")
+    }
+    def done: Boolean = i >= ts.length
+  }
+
+  def parse(query: String): MatchStmt = {
+    val p = new P(tokenize(query.trim.stripSuffix(";")))
+    p.expect("MATCH")
+    val nodes = Seq.newBuilder[NodePat]
+    val edges = Seq.newBuilder[EdgePat]
+    nodes += parseNode(p)
+    while (p.peek.exists(t => t == "-" || t == "<-")) {
+      edges += parseEdge(p)
+      nodes += parseNode(p)
+    }
+    val where =
+      if (p.accept("WHERE")) parseConds(p) else Nil
+    p.expect("RETURN")
+    val rets = Seq.newBuilder[String]
+    rets += p.next()
+    while (p.accept(",")) rets += p.next()
+    val order = Seq.newBuilder[(String, Boolean)]
+    if (p.accept("ORDER")) {
+      p.expect("BY")
+      var go = true
+      while (go) {
+        val c = p.next()
+        val asc = if (p.accept("DESC")) false else { p.accept("ASC"); true }
+        order += ((c, asc))
+        go = p.accept(",")
+      }
+    }
+    val limit = if (p.accept("LIMIT")) Some(p.next().toInt) else None
+    if (!p.done) throw NqlParseException(s"cypher: trailing tokens at ${p.peek.get}")
+    MatchStmt(nodes.result(), edges.result(), where, rets.result(), order.result(), limit)
+  }
+
+  private def parseNode(p: P): NodePat = {
+    p.expect("(")
+    val variable = p.next()
+    val label = if (p.accept(":")) Some(p.next()) else None
+    var props = Map.empty[String, String]
+    if (p.accept("{")) {
+      var go = true
+      while (go) {
+        val k = p.next(); p.expect(":"); val v = p.stringLit()
+        props += (k -> v)
+        go = p.accept(",")
+      }
+      p.expect("}")
+    }
+    p.expect(")")
+    NodePat(variable, label, props)
+  }
+
+  private def parseEdge(p: P): EdgePat = {
+    // forms: -[:T]->  <-[:T]-  -[:T]-  with optional *min..max
+    val leftArrow = p.next() match {
+      case "-" => false
+      case "<-" => true
+      case t => throw NqlParseException(s"cypher: expected edge, got $t")
+    }
+    p.expect("[")
+    val etype = if (p.accept(":")) Some(p.next()) else None
+    var (minH, maxH) = (1, 1)
+    if (p.accept("*")) {
+      minH = p.next().toInt; p.expect(".."); maxH = p.next().toInt
+      if (minH < 1 || maxH < minH || maxH > 8)
+        throw NqlParseException("cypher: hop range must satisfy 1 <= min <= max <= 8")
+    }
+    p.expect("]")
+    val rightArrow = p.next() match {
+      case "->" => true
+      case "-" => false
+      case t => throw NqlParseException(s"cypher: expected -> or -, got $t")
+    }
+    val dir = (leftArrow, rightArrow) match {
+      case (false, true) => 1
+      case (true, false) => -1
+      case (false, false) => 0
+      case _ => throw NqlParseException("cypher: invalid edge direction")
+    }
+    EdgePat(etype, minH, maxH, dir)
+  }
+
+  private def parseConds(p: P): Seq[Cond] = {
+    val out = Seq.newBuilder[Cond]
+    var go = true
+    while (go) {
+      val colName = p.next()
+      val op = p.next() match {
+        case "<>" => "!="
+        case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+        case o => throw NqlParseException(s"cypher: unsupported operator $o")
+      }
+      val raw = p.next()
+      val v: Any = if (raw.startsWith("'")) raw.substring(1, raw.length - 1) else raw.toLong
+      out += Cond(colName, op, v)
+      go = p.accept("AND")
+    }
+    out.result()
+  }
+}

@@ -5,7 +5,7 @@ package graft.nql
   * pure-SQL statements are not represented here — they pass through to
   * Catalyst's own parser, which supersedes the reference's SQL subset).
   */
-sealed trait Statement
+trait Statement // extension point: CypherParser adds MatchStmt
 
 /** Any statement Catalyst can parse natively (SELECT/WITH/SHOW/...). */
 final case class SqlPassthrough(sql: String) extends Statement

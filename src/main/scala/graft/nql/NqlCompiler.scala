@@ -130,11 +130,81 @@ final class NqlCompiler(spark: SparkSession, sfDir: String) {
     case EntityGet(key) =>
       emb.filter(col("key") === key).select("key", "label", "embedding")
 
+    case m: CypherParser.MatchStmt => compileMatch(m)
+
     case Find(target, where, limit) =>
       val base = Tables(spark, sfDir, target)
       val f = where.foldLeft(base)((df, c) => df.filter(cond(c)))
       val ordered = f.orderBy(f.columns.head)
       limit.fold(ordered)(ordered.limit)
+  }
+
+  /** Cypher MATCH → chain of joins over the property graph (the motif
+    * machinery of GraphQueries.g11, generalized). `var.col` references
+    * compile to `var_col` columns; variable-length hops expand to a
+    * bounded union of h-hop pair frames (cap 8, mirroring the reference's
+    * max_depth guard `graph_engine/src/lib.rs:857-884`).
+    */
+  private def compileMatch(m: CypherParser.MatchStmt): DataFrame = {
+    import CypherParser.{EdgePat, NodePat}
+    val nodes = TpchGraph.nodes(spark, sfDir)
+    val edges = TpchGraph.edges(spark, sfDir)
+
+    def nodeDf(np: NodePat): DataFrame = {
+      var df = nodes
+      np.label.foreach(l => df = df.filter(col("label") === l))
+      np.props.foreach { case (k, v) => df = df.filter(col(k) === v) }
+      df.select(df.columns.map(c => col(c).as(s"${np.variable}_$c")): _*)
+    }
+
+    def hopPairs(ep: EdgePat): DataFrame = {
+      val oriented = ep.direction match {
+        case 1 => edges.select(col("src").as("f"), col("dst").as("t"), col("etype"))
+        case -1 => edges.select(col("dst").as("f"), col("src").as("t"), col("etype"))
+        case 0 => TpchGraph.undirected(edges).select(col("src").as("f"), col("dst").as("t"), col("etype"))
+      }
+      val base = ep.etype.fold(oriented)(t => oriented.filter(col("etype") === t)).select("f", "t")
+      var hop = base
+      var acc: DataFrame = if (ep.minHops <= 1) base else null
+      for (h <- 2 to ep.maxHops) {
+        hop = hop.select(col("f"), col("t").as("mid"))
+          .join(base.select(col("f").as("mid"), col("t")), Seq("mid"))
+          .select("f", "t").distinct().localCheckpoint()
+        if (h >= ep.minHops) acc = if (acc == null) hop else acc.union(hop)
+      }
+      acc.distinct()
+    }
+
+    def ref(name: String): Column = col(name.replace('.', '_'))
+
+    var df = nodeDf(m.nodes.head)
+    for (i <- m.edges.indices) {
+      val srcVar = m.nodes(i).variable
+      val dstVar = m.nodes(i + 1).variable
+      df = df.join(hopPairs(m.edges(i)), col(s"${srcVar}_key") === col("f"))
+        .join(nodeDf(m.nodes(i + 1)), col("t") === col(s"${dstVar}_key"))
+        .drop("f", "t")
+    }
+    val filtered = m.where.foldLeft(df)((acc, c) =>
+      acc.filter(condOn(ref(c.column), c)))
+    val projected = filtered.select(m.returns.map(ref): _*)
+    val ordered =
+      if (m.orderBy.nonEmpty)
+        projected.orderBy(m.orderBy.map { case (c, asc) => if (asc) ref(c).asc else ref(c).desc }: _*)
+      else projected
+    m.limit.fold(ordered)(ordered.limit)
+  }
+
+  private def condOn(l: Column, c: Cond): Column = {
+    val v = lit(c.value)
+    c.op match {
+      case "=" => l === v
+      case "!=" => l =!= v
+      case "<" => l < v
+      case "<=" => l <= v
+      case ">" => l > v
+      case ">=" => l >= v
+    }
   }
 
   private def cond(c: Cond): Column = {

@@ -53,10 +53,14 @@ object NqlParser {
 
   def parse(query: String): Statement = {
     val trimmed = query.trim.stripSuffix(";")
+    if (trimmed.isEmpty) throw NqlParseException("empty query")
+    // dispatch on the first word before touching the NQL lexer — SQL and
+    // Cypher have their own richer token sets
+    val firstWord = trimmed.takeWhile(!_.isWhitespace).toUpperCase
+    if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
+    if (firstWord == "MATCH") return CypherParser.parse(trimmed)
     val ts = tokenize(trimmed)
-    if (ts.isEmpty) throw NqlParseException("empty query")
     val head = ts.head.toUpperCase
-    if (sqlKeywords.contains(head)) return SqlPassthrough(trimmed)
     val p = new P(ts)
     head match {
       case "SIMILAR"   => p.next(); parseSimilar(p)

@@ -72,6 +72,23 @@ class NqlSpec extends AnyFunSuite {
     assert(f.count() == 20)
   }
 
+  test("Cypher MATCH chain, property map, var-length, reverse arrow") {
+    val chain = run("MATCH (n:nation)-[:in_region]->(r:region {name: 'ASIA'}) RETURN n.name ORDER BY n.name")
+    assert(chain.count() == 5)
+    val vl = run("MATCH (a:nation {name: 'NATION_3'})-[:same_region*1..2]-(b:nation) RETURN b.name ORDER BY b.name")
+    assert(vl.count() == 5) // full region incl. start (2-hop returns)
+    val rev = run("MATCH (r:region {name: 'EUROPE'})<-[:in_region]-(n:nation) RETURN n.key ORDER BY n.key")
+    assert(rev.count() == 5)
+    val lim = run("MATCH (c:customer)-[:in_nation]->(n:nation) RETURN c.key, n.name ORDER BY c.key LIMIT 7")
+    assert(lim.count() == 7)
+  }
+
+  test("Cypher rejects malformed patterns") {
+    assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
+    assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))
+    assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x]->(b)"))
+  }
+
   test("parse errors are informative") {
     assertThrows[NqlParseException](Nql.parse("FROB 'x'"))
     assertThrows[NqlParseException](Nql.parse("SIMILAR missing_quotes"))

@@ -1,0 +1,107 @@
+package graft.unified
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Writable unified entity store (reference ENTITY CREATE/UPDATE/DELETE/
+  * CONNECT + EMBED STORE + NODE/EDGE CREATE —
+  * `tensor_unified/src/lib.rs:475-880`), rebuilt as a lakehouse append
+  * log: every mutation appends a versioned parquet batch; readers take
+  * latest-wins per key. No in-place mutation, no locks — the pattern that
+  * scales to many concurrent writers on object storage. Compaction =
+  * rewrite of the latest view (`compact()`).
+  */
+final class EntityStore(spark: SparkSession, path: String) {
+  import EntityStore._
+
+  private val entityDir = s"$path/entities"
+  private val edgeDir = s"$path/edges"
+  private val seq = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000)
+
+  private def nextSeq(): Long = seq.incrementAndGet()
+
+  /** Create or fully replace entities (props + optional embedding). */
+  def put(rows: Seq[EntityRow]): Unit = append(rows.map(r => (r.key, r.props, r.embedding, false)))
+
+  /** Tombstone: the key disappears from the latest view. */
+  def delete(keys: Seq[String]): Unit = append(keys.map(k => (k, Map.empty[String, String], None, true)))
+
+  private def append(rows: Seq[(String, Map[String, String], Option[Array[Float]], Boolean)]): Unit = {
+    val s = nextSeq()
+    val data = rows.map { case (k, p, e, del) => (k, p, e.orNull, del, s) }
+    spark.createDataFrame(data)
+      .toDF("key", "props", "embedding", "deleted", "seq")
+      .write.mode(SaveMode.Append).parquet(entityDir)
+  }
+
+  /** Directed typed edge between entity keys. */
+  def connect(src: String, dst: String, etype: String): Unit =
+    spark.createDataFrame(Seq((src, dst, etype, false, nextSeq())))
+      .toDF("src", "dst", "etype", "deleted", "seq")
+      .write.mode(SaveMode.Append).parquet(edgeDir)
+
+  def disconnect(src: String, dst: String, etype: String): Unit =
+    spark.createDataFrame(Seq((src, dst, etype, true, nextSeq())))
+      .toDF("src", "dst", "etype", "deleted", "seq")
+      .write.mode(SaveMode.Append).parquet(edgeDir)
+
+  /** Latest-wins live view of entities. */
+  def entities: DataFrame = {
+    val w = Window.partitionBy("key").orderBy(desc("seq"))
+    spark.read.parquet(entityDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .drop("rn", "deleted", "seq")
+  }
+
+  /** Latest-wins live view of edges. */
+  def edges: DataFrame = {
+    val w = Window.partitionBy("src", "dst", "etype").orderBy(desc("seq"))
+    spark.read.parquet(edgeDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .drop("rn", "deleted", "seq")
+  }
+
+  /** 1-hop neighbors (out + in). */
+  def neighbors(key: String): DataFrame = {
+    val e = edges
+    e.filter(col("src") === key).select(col("dst").as("key"), col("etype"))
+      .union(e.filter(col("dst") === key).select(col("src").as("key"), col("etype")))
+  }
+
+  /** Brute-force top-k cosine against a stored entity's embedding. */
+  def similar(key: String, k: Int): DataFrame = {
+    val q = entities.filter(col("key") === key)
+      .select(col("embedding").as("qv")).limit(1)
+    entities.filter(col("key") =!= key && col("embedding").isNotNull)
+      .crossJoin(broadcast(q))
+      .select(col("key"), round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+      .orderBy(desc("score"), col("key")).limit(k)
+  }
+
+  /** SIMILAR k CONNECTED TO e over the live store (2× oversample). */
+  def similarConnectedTo(key: String, e: String, k: Int): DataFrame =
+    similar(key, 2 * k)
+      .join(neighbors(e).select("key").distinct(), Seq("key"))
+      .orderBy(desc("score"), col("key")).limit(k)
+
+  /** Rewrite the logs down to their latest view (bounds read amplification). */
+  def compact(): Unit = {
+    val ent = entities.withColumn("deleted", lit(false)).withColumn("seq", lit(nextSeq()))
+    val tmpE = s"$entityDir.compact"
+    ent.write.mode(SaveMode.Overwrite).parquet(tmpE)
+    spark.read.parquet(tmpE).write.mode(SaveMode.Overwrite).parquet(entityDir)
+    val ed = edges.withColumn("deleted", lit(false)).withColumn("seq", lit(nextSeq()))
+    val tmpD = s"$edgeDir.compact"
+    ed.write.mode(SaveMode.Overwrite).parquet(tmpD)
+    spark.read.parquet(tmpD).write.mode(SaveMode.Overwrite).parquet(edgeDir)
+  }
+}
+
+object EntityStore {
+  final case class EntityRow(key: String, props: Map[String, String], embedding: Option[Array[Float]])
+}

@@ -340,6 +340,26 @@ object GraphQueries {
          |SELECT lbl, count(*) AS n_nodes FROM l3 GROUP BY lbl
          |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin),
 
+    // eigenvector centrality (reference `lib.rs:7278-7360`): 4 power
+    // iterations with max-normalization, top 20.
+    "g16_eigenvector_centrality" -> QDef(
+      (s, d) => Algorithms.eigenvector(
+        TpchGraph.undirected(TpchGraph.edges(s, d)), TpchGraph.nodes(s, d), 4)
+        .select(col("key"), round(col("x"), 6).as("score"))
+        .orderBy(desc("score"), col("key")).limit(20), {
+        val sb = new StringBuilder
+        sb ++= s"WITH $nodesSql,\n$allEdgesSql,\n"
+        sb ++= "x0 AS (SELECT key, 1.0 AS x FROM nds)"
+        for (i <- 1 to 4) {
+          sb ++= s""",
+                    |ax$i AS (SELECT u.dst AS key, sum(p.x) AS ax FROM und u JOIN x${i - 1} p ON p.key = u.src GROUP BY u.dst),
+                    |x$i AS (SELECT n.key, coalesce(a.ax, 0) / (SELECT max(ax) FROM ax$i) AS x
+                    |        FROM nds n LEFT JOIN ax$i a ON a.key = n.key)""".stripMargin
+        }
+        sb ++= "\nSELECT key, round(x, 6) AS score FROM x4 ORDER BY score DESC, key LIMIT 20"
+        sb.toString
+      }),
+
     // motif / pattern match (reference Pattern chains + Cypher MATCH):
     // (c:customer)-[:in_nation]->(n:nation)-[:in_region]->(r {name:'ASIA'})
     "g11_motif_match" -> QDef(

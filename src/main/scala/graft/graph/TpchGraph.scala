@@ -137,6 +137,27 @@ object Algorithms {
     labels
   }
 
+  /** Eigenvector centrality: power iteration x ← A·x / max(A·x) over the
+    * undirected adjacency, `iters` fixed rounds from x₀ = 1. Max-
+    * normalization keeps the scale exact (max is order-insensitive,
+    * unlike a sum), so the oracle can unroll the same steps.
+    */
+  def eigenvector(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val e = undirectedEdges.select("src", "dst")
+    var x = nodes.select(col("key"), lit(1.0).as("x"))
+    for (_ <- 1 to iters) {
+      val ax = x.join(e, col("key") === col("src"))
+        .groupBy(col("dst").as("key")).agg(sum("x").as("ax"))
+      val mx = ax.agg(max("ax").as("mx"))
+      x = nodes.select(col("key"))
+        .join(ax, Seq("key"), "left")
+        .crossJoin(mx)
+        .select(col("key"), (coalesce(col("ax"), lit(0.0)) / col("mx")).as("x"))
+        .localCheckpoint()
+    }
+    x
+  }
+
   /** PageRank, `iters` fixed iterations, damping 0.85, init 1.0, no
     * dangling-mass redistribution (sinks absorb; matches the unrolled
     * oracle). Returns (key, pr).

@@ -20,12 +20,15 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val storeDir = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      java.nio.file.Files.createTempDirectory("graft-shell-store").toString)
+    val store = new graft.unified.EntityStore(spark, storeDir)
     val statements =
       if (args.nonEmpty) args.toSeq
       else scala.io.Source.stdin.getLines().filter(_.trim.nonEmpty).toSeq
     statements.foreach { q =>
       println(s"nql> $q")
-      try graft.nql.Nql.execute(spark, sfDir, q).show(20, truncate = false)
+      try graft.nql.Nql.execute(spark, sfDir, store, q).show(20, truncate = false)
       catch { case e: Exception => println(s"error: ${e.getMessage}") }
     }
     spark.stop()

@@ -48,6 +48,12 @@ case object GraphTriangles extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement
+
+// write-path statements (execute against the session's EntityStore)
+final case class EntityCreate(key: String, props: Map[String, String], embedding: Option[Array[Float]]) extends Statement
+final case class EntityDelete(key: String) extends Statement
+final case class EntityConnect(src: String, dst: String, etype: String) extends Statement
+final case class EmbedStore(key: String, vector: Array[Float]) extends Statement
 final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
 
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

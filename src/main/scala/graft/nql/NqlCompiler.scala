@@ -15,7 +15,21 @@ import org.apache.spark.sql.functions._
   * (graph relation = same-label); all other keys (`nation:0`, …) resolve
   * to the property graph.
   */
-final class NqlCompiler(spark: SparkSession, sfDir: String) {
+final class NqlCompiler(spark: SparkSession, sfDir: String,
+    store: Option[graft.unified.EntityStore] = None) {
+
+  /** Key routing: vec:* → bundled embeddings; region/nation/customer/
+    * supplier:* → the property graph; anything else → the writable
+    * EntityStore (when configured).
+    */
+  private def isVecKey(k: String) = k.startsWith("vec:")
+  private def isGraphKey(k: String) =
+    Seq("region:", "nation:", "customer:", "supplier:").exists(k.startsWith)
+  private def storeOrFail(op: String): graft.unified.EntityStore =
+    store.getOrElse(throw NqlParseException(
+      s"$op requires a writable entity store (configure a store dir)"))
+  private def status(key: String, op: String): DataFrame =
+    spark.createDataFrame(Seq((key, op))).toDF("key", "status")
 
   private def emb: DataFrame = Tables(spark, sfDir, "embeddings")
     .withColumn("key", concat(lit("vec:"), col("vec_id").cast("string")))
@@ -34,6 +48,12 @@ final class NqlCompiler(spark: SparkSession, sfDir: String) {
     case SqlPassthrough(sql) =>
       registerViews()
       spark.sql(sql)
+
+    case Similar(key, _, limit, connectedTo, _) if !isVecKey(key) && store.isDefined =>
+      connectedTo match {
+        case Some(e) => storeOrFail("SIMILAR").similarConnectedTo(key, e, limit)
+        case None => storeOrFail("SIMILAR").similar(key, limit)
+      }
 
     case Similar(key, metric, limit, None, where) =>
       val scoreCol = metric match {
@@ -65,6 +85,11 @@ final class NqlCompiler(spark: SparkSession, sfDir: String) {
         .select(col("key"), round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
         .orderBy(desc("score"), col("key"))
         .limit(limit.getOrElse(10))
+
+    case Neighbors(key, None, etype, limit) if !isGraphKey(key) && store.isDefined =>
+      val nb = storeOrFail("NEIGHBORS").neighbors(key)
+      val filtered = etype.fold(nb)(t => nb.filter(col("etype") === t)).orderBy("key")
+      limit.fold(filtered)(filtered.limit)
 
     case Neighbors(key, None, etype, limit) =>
       val e = TpchGraph.undirected(TpchGraph.edges(spark, sfDir))
@@ -125,10 +150,28 @@ final class NqlCompiler(spark: SparkSession, sfDir: String) {
         .orderBy("key")
 
     case EmbedGet(key) =>
-      emb.filter(col("key") === key).select("key", "embedding")
+      if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
+      else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")
 
     case EntityGet(key) =>
-      emb.filter(col("key") === key).select("key", "label", "embedding")
+      if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "label", "embedding")
+      else storeOrFail("ENTITY GET").entities.filter(col("key") === key)
+
+    case EntityCreate(key, props, embedding) =>
+      storeOrFail("ENTITY CREATE").put(Seq(graft.unified.EntityStore.EntityRow(key, props, embedding)))
+      status(key, "created")
+
+    case EntityDelete(key) =>
+      storeOrFail("ENTITY DELETE").delete(Seq(key))
+      status(key, "deleted")
+
+    case EntityConnect(src, dst, etype) =>
+      storeOrFail("ENTITY CONNECT").connect(src, dst, etype)
+      status(s"$src->$dst", s"connected:$etype")
+
+    case EmbedStore(key, vector) =>
+      storeOrFail("EMBED STORE").put(Seq(graft.unified.EntityStore.EntityRow(key, Map.empty, Some(vector))))
+      status(key, "stored")
 
     case m: CypherParser.MatchStmt => compileMatch(m)
 
@@ -225,4 +268,6 @@ object Nql {
   def parse(query: String): Statement = NqlParser.parse(query)
   def execute(spark: SparkSession, sfDir: String, query: String): DataFrame =
     new NqlCompiler(spark, sfDir).compile(parse(query))
+  def execute(spark: SparkSession, sfDir: String, store: graft.unified.EntityStore, query: String): DataFrame =
+    new NqlCompiler(spark, sfDir, Some(store)).compile(parse(query))
 }

@@ -70,8 +70,8 @@ object NqlParser {
       case "EDGE"      => p.next(); parseEdge(p)
       case "DEGREE"    => p.next(); Degree(p.stringLit())
       case "GRAPH"     => p.next(); parseGraphAlgo(p)
-      case "EMBED"     => p.next(); p.expectKw("GET"); EmbedGet(p.stringLit())
-      case "ENTITY"    => p.next(); p.expectKw("GET"); EntityGet(p.stringLit())
+      case "EMBED"     => p.next(); parseEmbed(p)
+      case "ENTITY"    => p.next(); parseEntity(p)
       case "FIND"      => p.next(); parseFind(p)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
@@ -148,6 +148,50 @@ object NqlParser {
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
       EdgeList(etype, limit)
     case k => throw NqlParseException(s"unknown EDGE op $k")
+  }
+
+  private def parseEmbed(p: P): Statement = p.next().toUpperCase match {
+    case "GET" => EmbedGet(p.stringLit())
+    case "STORE" =>
+      val key = p.stringLit()
+      EmbedStore(key, parseVector(p))
+    case k => throw NqlParseException(s"unknown EMBED op $k")
+  }
+
+  private def parseEntity(p: P): Statement = p.next().toUpperCase match {
+    case "GET" => EntityGet(p.stringLit())
+    case "DELETE" => EntityDelete(p.stringLit())
+    case "CONNECT" =>
+      val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
+      val etype = if (p.accept("TYPE")) p.stringLit() else "related"
+      EntityConnect(src, dst, etype)
+    case "CREATE" =>
+      val key = p.stringLit()
+      var props = Map.empty[String, String]
+      if (p.accept("SET")) {
+        var go = true
+        while (go) {
+          val k = p.next(); p.expectKw("="); val v = p.stringLit()
+          props += (k -> v)
+          go = p.accept(",")
+        }
+      }
+      val emb = if (p.accept("EMBEDDING")) Some(parseVector(p)) else None
+      EntityCreate(key, props, emb)
+    case k => throw NqlParseException(s"unknown ENTITY op $k")
+  }
+
+  /** `( num, num, ... )` */
+  private def parseVector(p: P): Array[Float] = {
+    p.expectKw("(")
+    val out = Array.newBuilder[Float]
+    var go = true
+    while (go) {
+      out += p.next().toFloat
+      go = p.accept(",")
+    }
+    p.expectKw(")")
+    out.result()
   }
 
   private def parseGraphAlgo(p: P): GraphAlgo = p.next().toUpperCase match {

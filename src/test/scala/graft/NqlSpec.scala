@@ -83,6 +83,24 @@ class NqlSpec extends AnyFunSuite {
     assert(lim.count() == 7)
   }
 
+  test("entity write statements round-trip through a store") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("ENTITY CREATE 'user:a' SET team = 'ml' EMBEDDING (1.0, 0.0)")
+    runS("ENTITY CREATE 'user:b' EMBEDDING (0.9, 0.1)")
+    runS("ENTITY CONNECT 'user:a' TO 'user:b' TYPE 'knows'")
+    assert(runS("ENTITY GET 'user:a'").count() == 1)
+    assert(runS("NEIGHBORS 'user:a'").collect().map(_.getString(0)).toSeq == Seq("user:b"))
+    assert(runS("SIMILAR 'user:b' LIMIT 1").collect()(0).getString(0) == "user:a")
+    runS("ENTITY DELETE 'user:b'")
+    assert(runS("ENTITY GET 'user:b'").count() == 0)
+    // vec:* keys still route to the bundled embeddings with a store present
+    assert(runS("SIMILAR 'vec:0' LIMIT 3").count() == 3)
+    // writes without a store fail with a clear message
+    assertThrows[NqlParseException](run("ENTITY CREATE 'x' SET a = 'b'"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

@@ -340,6 +340,22 @@ object GraphQueries {
          |SELECT lbl, count(*) AS n_nodes FROM l3 GROUP BY lbl
          |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin),
 
+    // strongly connected components (reference Tarjan `algorithms/scc.rs`)
+    // over tree edges + directed per-region nation rings: each ring is one
+    // 5-nation SCC, everything else is a singleton. Oracle derives the
+    // expected size histogram independently from the table counts.
+    "g17_scc" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.treeEdges(s, d).union(TpchGraph.nationCycleEdges(s, d))
+        Algorithms.stronglyConnectedComponents(e, TpchGraph.nodes(s, d), 7)
+          .groupBy("scc").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("scc_size")).agg(count(lit(1)).as("n_sccs"))
+          .orderBy("scc_size")
+      },
+      """SELECT CAST(1 AS BIGINT) AS scc_size,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + 5 AS BIGINT) AS n_sccs
+        |UNION ALL SELECT 5, 5 ORDER BY scc_size""".stripMargin),
+
     // eigenvector centrality (reference `lib.rs:7278-7360`): 4 power
     // iterations with max-normalization, top 20.
     "g16_eigenvector_centrality" -> QDef(

@@ -63,6 +63,21 @@ object TpchGraph {
   def edges(s: SparkSession, d: String): DataFrame =
     treeEdges(s, d).union(sameRegionEdges(s, d))
 
+  /** Directed ring over each region's nations (n₀→n₁→…→n₀), giving the
+    * directed graph nontrivial SCCs (one 5-nation cycle per region).
+    */
+  def nationCycleEdges(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_regionkey").orderBy("n_nationkey")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("n_regionkey")
+    Tables(s, d, "nation")
+      .withColumn("nxt", lead("n_nationkey", 1).over(w))
+      .withColumn("fst", min("n_nationkey").over(wAll))
+      .select(k("nation", "n_nationkey").as("src"),
+        concat(lit("nation:"), coalesce(col("nxt"), col("fst")).cast("string")).as("dst"),
+        lit("cycle").as("etype"))
+  }
+
   /** Symmetric closure for undirected traversal. */
   def undirected(e: DataFrame): DataFrame =
     e.select(col("src"), col("dst"), col("etype"))
@@ -135,6 +150,38 @@ object Algorithms {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** Min label of any node reachable (in ≤ iters hops) along directed
+    * edges — building block for SCC detection.
+    */
+  def minReachLabel(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    var f = nodes.select(col("key"), col("key").as("lbl"))
+    for (_ <- 1 to iters) {
+      val pulled = e.join(f.select(col("key").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("key"), col("lbl"))
+      f = f.union(pulled).groupBy("key").agg(min("lbl").as("lbl")).localCheckpoint()
+    }
+    f
+  }
+
+  /** Strongly connected components via forward/backward min-label
+    * reachability: nodes sharing the pair (min forward-reachable label,
+    * min backward-reachable label) form one SCC. Exact when distinct SCCs
+    * have distinct signatures (true for this graph's region cycles;
+    * the general algorithm peels and repeats — reference Tarjan
+    * `algorithms/scc.rs` is inherently sequential and doesn't map to a
+    * cluster). Returns (key, scc) with scc = min key in the component.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val fwd = minReachLabel(edges, nodes, iters)
+      .select(col("key"), col("lbl").as("flbl"))
+    val bwd = minReachLabel(edges.select(col("dst").as("src"), col("src").as("dst")), nodes, iters)
+      .select(col("key"), col("lbl").as("blbl"))
+    val sig = fwd.join(bwd, Seq("key"))
+    val sccId = sig.groupBy("flbl", "blbl").agg(min("key").as("scc"))
+    sig.join(sccId, Seq("flbl", "blbl")).select("key", "scc")
   }
 
   /** Eigenvector centrality: power iteration x ← A·x / max(A·x) over the

@@ -340,6 +340,87 @@ object GraphQueries {
          |SELECT lbl, count(*) AS n_nodes FROM l3 GROUP BY lbl
          |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin),
 
+    // closeness centrality (reference `lib.rs:7222-7277`) over the
+    // nation–region star subgraph: multi-source BFS (2 hops = diameter),
+    // closeness = (reached−1)/Σdist.
+    "g18_closeness_centrality" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.treeEdges(s, d).filter(col("etype") === "in_region")
+        val und = e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val n30 = und.select(col("src").as("key")).distinct()
+        var reach = n30.select(col("key").as("source"), col("key"), lit(0).as("dd"))
+        var frontier = reach
+        for (i <- 1 to 2) {
+          frontier = frontier.join(und, col("key") === col("src"))
+            .select(col("source"), col("dst").as("key"), lit(i).as("dd"))
+            .localCheckpoint()
+          reach = reach.union(frontier)
+        }
+        reach.groupBy("source", "key").agg(min("dd").as("dd"))
+          .groupBy("source").agg(count(lit(1)).as("cnt"), sum("dd").as("sd"))
+          .select(col("source").as("key"),
+            round((col("cnt") - 1) / col("sd"), 6).as("closeness"))
+          .orderBy(desc("closeness"), col("key")).limit(30)
+      },
+      s"""WITH $treeEdgesSql,
+         |e AS (SELECT src, dst FROM edt WHERE etype = 'in_region'),
+         |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |n30 AS (SELECT DISTINCT src AS key FROM und),
+         |r0 AS (SELECT key AS source, key, 0 AS dd FROM n30),
+         |r1 AS (SELECT r0.source, u.dst AS key, 1 AS dd FROM r0 JOIN und u ON r0.key = u.src),
+         |r2 AS (SELECT r1.source, u.dst AS key, 2 AS dd FROM r1 JOIN und u ON r1.key = u.src),
+         |mind AS (SELECT source, key, min(dd) AS dd FROM
+         |         (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2) t
+         |         GROUP BY 1, 2)
+         |SELECT source AS key, round((count(*) - 1) * 1.0 / sum(dd), 6) AS closeness
+         |FROM mind GROUP BY source ORDER BY closeness DESC, key LIMIT 30""".stripMargin),
+
+    // minimum spanning tree via Borůvka rounds (reference Kruskal-style
+    // `algorithms/mst.rs`): each component picks its cheapest outgoing
+    // edge, components merge, repeat. Unique weights w = ka·1000 + kb make
+    // the MST deterministic (a star around each region's min nation),
+    // which the oracle derives in closed form.
+    "g19_mst_boruvka" -> QDef(
+      (s, d) => {
+        val n = Tables(s, d, "nation")
+        val e = n.select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
+          .join(n.select(col("n_nationkey").as("kb"), col("n_regionkey").as("rb")),
+            col("ra") === col("rb") && col("ka") < col("kb"))
+          .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
+            concat(lit("nation:"), col("kb").cast("string")).as("dst"),
+            (col("ka") * 1000 + col("kb")).cast("long").as("w"))
+        val nodes = n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"))
+        var comp = nodes.select(col("key"), col("key").as("cmp"))
+        var mst = e.limit(0)
+        for (_ <- 1 to 2) {
+          val labeled = e
+            .join(comp.select(col("key").as("src"), col("cmp").as("csrc")), Seq("src"))
+            .join(comp.select(col("key").as("dst"), col("cmp").as("cdst")), Seq("dst"))
+            .filter(col("csrc") =!= col("cdst"))
+          val cand = labeled.select(col("csrc").as("c"), col("w"), col("src"), col("dst"))
+            .union(labeled.select(col("cdst").as("c"), col("w"), col("src"), col("dst")))
+          val wnd = Window.partitionBy("c").orderBy(col("w"), col("src"), col("dst"))
+          val picked = cand.withColumn("rn", row_number().over(wnd))
+            .filter(col("rn") === 1).select("src", "dst", "w")
+          mst = mst.union(picked).distinct().localCheckpoint()
+          val undMst = mst.select("src", "dst").union(mst.select(col("dst").as("src"), col("src").as("dst")))
+          comp = Algorithms.connectedComponents(undMst, nodes, 4)
+            .select(col("key"), col("component").as("cmp"))
+        }
+        mst.join(Tables(s, d, "nation")
+            .select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("src"),
+              col("n_regionkey").as("region")), Seq("src"))
+          .groupBy("region")
+          .agg(count(lit(1)).as("n_edges"), sum("w").as("total_w"))
+          .orderBy("region")
+      },
+      """WITH m AS (SELECT n_regionkey AS region, min(n_nationkey) AS k0 FROM nation GROUP BY 1)
+        |SELECT m.region, count(*) AS n_edges,
+        |  CAST(sum(m.k0 * 1000 + n.n_nationkey) AS BIGINT) AS total_w
+        |FROM nation n JOIN m ON n.n_regionkey = m.region AND n.n_nationkey <> m.k0
+        |GROUP BY m.region ORDER BY m.region""".stripMargin),
+
     // strongly connected components (reference Tarjan `algorithms/scc.rs`)
     // over tree edges + directed per-region nation rings: each ring is one
     // 5-nation SCC, everything else is a singleton. Oracle derives the

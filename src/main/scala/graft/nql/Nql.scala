@@ -42,9 +42,9 @@ final case class EdgeList(etype: Option[String], limit: Option[Int]) extends Sta
 final case class Degree(key: String) extends Statement
 
 sealed trait GraphAlgo extends Statement
-final case class GraphPageRank(iterations: Int = 10) extends GraphAlgo
-case object GraphComponents extends GraphAlgo
-case object GraphTriangles extends GraphAlgo
+final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe") extends GraphAlgo
+final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
+final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement

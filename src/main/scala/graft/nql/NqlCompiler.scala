@@ -2,7 +2,7 @@ package graft.nql
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.graph.{Algorithms, TpchGraph}
+import graft.graph.{Algorithms, GraphXAdapters, TpchGraph}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -129,25 +129,41 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .filter(col("src") === key)
         .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
 
-    case GraphPageRank(iters) =>
-      Algorithms.pageRank(TpchGraph.treeEdges(spark, sfDir), TpchGraph.nodes(spark, sfDir), iters)
-        .select(col("key"), round(col("pr"), 6).as("pr"))
+    case GraphPageRank(iters, engine) =>
+      val pr =
+        if (engine == "graphx")
+          GraphXAdapters.pageRank(TpchGraph.nodes(spark, sfDir), TpchGraph.treeEdges(spark, sfDir), iters)
+        else
+          Algorithms.pageRank(TpchGraph.treeEdges(spark, sfDir), TpchGraph.nodes(spark, sfDir), iters)
+      pr.select(col("key"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), col("key"))
 
-    case GraphComponents =>
-      Algorithms.connectedComponents(
-        TpchGraph.undirected(TpchGraph.edges(spark, sfDir)), TpchGraph.nodes(spark, sfDir), 6)
-        .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    case GraphComponents(engine) =>
+      val cc =
+        if (engine == "graphx")
+          GraphXAdapters.connectedComponents(TpchGraph.nodes(spark, sfDir),
+            TpchGraph.undirected(TpchGraph.edges(spark, sfDir)))
+        else
+          Algorithms.connectedComponents(
+            TpchGraph.undirected(TpchGraph.edges(spark, sfDir)), TpchGraph.nodes(spark, sfDir), 6)
+      cc.groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
 
-    case GraphTriangles =>
-      val e = TpchGraph.sameRegionEdges(spark, sfDir).select("src", "dst")
-      e.select(col("src").as("a"), col("dst").as("b"))
-        .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
-        .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("key"))
-        .groupBy("key").agg(count(lit(1)).as("n_triangles"))
-        .orderBy("key")
+    case GraphTriangles(engine) =>
+      if (engine == "graphx")
+        GraphXAdapters.triangleCount(
+          TpchGraph.nodes(spark, sfDir).filter(col("label") === "nation"),
+          TpchGraph.sameRegionEdges(spark, sfDir))
+          .filter(col("n_triangles") > 0).orderBy("key")
+      else {
+        val e = TpchGraph.sameRegionEdges(spark, sfDir).select("src", "dst")
+        e.select(col("src").as("a"), col("dst").as("b"))
+          .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+          .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("key")
+      }
 
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")

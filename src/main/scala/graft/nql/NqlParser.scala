@@ -194,13 +194,22 @@ object NqlParser {
     out.result()
   }
 
-  private def parseGraphAlgo(p: P): GraphAlgo = p.next().toUpperCase match {
-    case "PAGERANK" =>
-      val it = if (p.accept("ITERATIONS")) p.int() else 10
-      GraphPageRank(it)
-    case "COMPONENTS" => GraphComponents
-    case "TRIANGLES" => GraphTriangles
-    case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
+  private def parseGraphAlgo(p: P): GraphAlgo = {
+    val algo = p.next().toUpperCase
+    def engine(): String = if (p.accept("ENGINE")) {
+      val e = p.stringLit().toLowerCase
+      if (e != "dataframe" && e != "graphx")
+        throw NqlParseException(s"unknown engine '$e' (expected 'dataframe' or 'graphx')")
+      e
+    } else "dataframe"
+    algo match {
+      case "PAGERANK" =>
+        val it = if (p.accept("ITERATIONS")) p.int() else 10
+        GraphPageRank(it, engine())
+      case "COMPONENTS" => GraphComponents(engine())
+      case "TRIANGLES" => GraphTriangles(engine())
+      case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
+    }
   }
 
   private def parseFind(p: P): Find = {

@@ -1,0 +1,50 @@
+package graft
+
+import graft.graph.{Algorithms, GraphXAdapters, TpchGraph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-validates the GraphX adapters against the oracle-checked
+  * DataFrame algorithms on the same graph.
+  */
+class GraphXAdaptersSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val nodes = TpchGraph.nodes(spark, sf)
+  private lazy val edges = TpchGraph.undirected(TpchGraph.edges(spark, sf))
+
+  test("GraphX connected components partition nodes identically to the DF impl") {
+    val gx = GraphXAdapters.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val df = Algorithms.connectedComponents(edges, nodes, 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gx.keySet == df.keySet)
+    // same partition = same groups, even if the representative differs
+    val gxGroups = gx.groupBy(_._2).values.map(_.keySet).toSet
+    val dfGroups = df.groupBy(_._2).values.map(_.keySet).toSet
+    assert(gxGroups == dfGroups)
+    assert(gxGroups.size == 5)
+  }
+
+  test("GraphX triangle counts match the motif-join counts on the cliques") {
+    val clique = TpchGraph.sameRegionEdges(spark, sf)
+    val nationNodes = nodes.filter(col("label") === "nation")
+    val gx = GraphXAdapters.triangleCount(nationNodes, clique)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val df = SparkEntry.queries("g07_triangle_count")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // every nation in a 5-clique sits on C(4,2)=6 triangles
+    df.foreach { case (k, n) => assert(gx.getOrElse(k, 0L) == n, s"mismatch at $k") }
+  }
+
+  test("GraphX static PageRank ranks hubs like the DF impl") {
+    val tree = TpchGraph.treeEdges(spark, sf)
+    val gx = GraphXAdapters.pageRank(nodes, tree, 10)
+      .orderBy(desc("pr"), col("key")).limit(5).collect().map(_.getString(0)).toSet
+    val df = Algorithms.pageRank(tree, nodes, 10)
+      .orderBy(desc("pr"), col("key")).limit(5).collect().map(_.getString(0)).toSet
+    // top-5 hubs (regions/nations) should coincide despite GraphX's
+    // different dangling-mass normalization
+    assert((gx intersect df).size >= 3, s"gx=$gx df=$df")
+  }
+}

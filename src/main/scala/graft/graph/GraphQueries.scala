@@ -376,6 +376,39 @@ object GraphQueries {
          |SELECT source AS key, round((count(*) - 1) * 1.0 / sum(dd), 6) AS closeness
          |FROM mind GROUP BY source ORDER BY closeness DESC, key LIMIT 30""".stripMargin),
 
+    // betweenness centrality (reference Brandes `lib.rs:7058-7220`) over
+    // the nation–region star subgraph. Exact for diameter-2 graphs: v is
+    // on the (unique-length-2) shortest s→t path iff d(s,v)=d(v,t)=1 and
+    // d(s,t)=2, weighted by 1/σ_st (σ = number of such midpoints). The
+    // general sampled-Brandes variant stays a round-2 item.
+    "g20_betweenness" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.treeEdges(s, d).filter(col("etype") === "in_region")
+        val und = e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val d1 = und.select(col("src").as("a"), col("dst").as("b"))
+        // d(s,t)=2 pairs with midpoint count σ (s < t to halve work)
+        val two = d1.select(col("a").as("s"), col("b").as("m"))
+          .join(d1.select(col("a").as("m"), col("b").as("t")), Seq("m"))
+          .filter(col("s") < col("t"))
+          .join(d1.select(col("a").as("s"), col("b").as("t")), Seq("s", "t"), "left_anti") // exclude d=1 pairs
+        val sigma = two.groupBy("s", "t").agg(count(lit(1)).as("sigma"))
+        two.join(sigma, Seq("s", "t"))
+          .groupBy(col("m").as("key"))
+          .agg(round(sum(lit(1.0) / col("sigma")), 6).as("betweenness"))
+          .orderBy(desc("betweenness"), col("key")).limit(10)
+      },
+      s"""WITH $treeEdgesSql,
+         |e AS (SELECT src, dst FROM edt WHERE etype = 'in_region'),
+         |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+         |two AS (
+         |  SELECT x.a AS s, x.b AS m, y.b AS t FROM und x JOIN und y ON x.b = y.a
+         |  WHERE x.a < y.b AND NOT EXISTS (SELECT 1 FROM und z WHERE z.a = x.a AND z.b = y.b)),
+         |sigma AS (SELECT s, t, count(*) AS sigma FROM two GROUP BY s, t)
+         |SELECT m AS key, round(sum(1.0 / sigma), 6) AS betweenness
+         |FROM two JOIN sigma USING (s, t)
+         |GROUP BY m ORDER BY betweenness DESC, key LIMIT 10""".stripMargin),
+
     // minimum spanning tree via Borůvka rounds (reference Kruskal-style
     // `algorithms/mst.rs`): each component picks its cheapest outgoing
     // edge, components merge, repeat. Unique weights w = ka·1000 + kb make

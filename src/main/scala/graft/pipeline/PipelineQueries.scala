@@ -248,6 +248,24 @@ object PipelineQueries {
         |        / len(regexp_extract_all(text, '\S+'))), 4) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // BPE-ish subword counting: alternation of letter-runs, digit-runs and
+    // single punctuation marks (disjoint classes, so Java leftmost-first
+    // and RE2 leftmost-longest agree). Complements the whitespace counts
+    // in t01.
+    "t05_subword_token_stats" -> QDef(
+      (s, d) => docs(s, d)
+        .withColumn("n_words", regexp_count(col("text"), lit("\\S+")))
+        .withColumn("n_subwords", regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+        .groupBy("source")
+        .agg(sum(col("n_subwords").cast("long")).as("total_subwords"),
+          round(avg(col("n_subwords") / col("n_words")), 6).as("subwords_per_word"))
+        .orderBy("source"),
+      """SELECT source,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subwords,
+        | round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0
+        |   / len(regexp_extract_all(text, '\S+'))), 6) AS subwords_per_word
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // n-gram-frequency language-ID heuristic (deterministic scoring; the
     // synthetic corpus shares one vocabulary, so this measures the operator,
     // not linguistic truth). Output = labeled-vs-predicted confusion counts.

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column processing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extract run as
+  * `mapPartitions` batch jobs (the Scala analogue of `mapInPandas`) so a
+  * real decoder would amortize library init per partition and stream
+  * batches without collecting.
+  *
+  * The decode itself is STUBBED (no media libraries in-container) with
+  * deterministic byte arithmetic — which makes even this path
+  * oracle-checkable — but the plumbing is real: typed input/output
+  * schemas, per-partition iteration, explicit repartition for decode
+  * parallelism.
+  */
+object Multimodal {
+
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class MediaOut(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      n_frames: Int, features: Array[Double])
+
+  /** Stub decoder: "header" fields and an 8-dim "feature vector" derived
+    * from the first bytes. A real implementation would hand `payload` to
+    * an image/audio codec here; everything around it stays unchanged.
+    */
+  def decodeStub(m: MediaIn): MediaOut = {
+    val b = m.payload
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else 0
+    val headSum = (0 until 16).map(at).sum
+    MediaOut(
+      doc_id = m.doc_id,
+      n_bytes = b.length,
+      width = 64 + at(0) % 64,
+      height = 64 + at(1) % 64,
+      n_frames = 1 + headSum % 7,
+      features = (1 to 8).map(j => ((headSum * j + at(j)) % 97).toDouble).toArray)
+  }
+
+  /** The batch pipeline: repartition for decode parallelism, then one
+    * decoder instance per partition (`mapPartitions`), typed end to end.
+    */
+  def decodeAll(media: Dataset[MediaIn], parallelism: Int): Dataset[MediaOut] = {
+    import media.sparkSession.implicits._
+    media.repartition(parallelism)
+      .mapPartitions { it =>
+        // per-partition init of a (stub) decoder would go here
+        it.map(decodeStub)
+      }
+  }
+
+  /** documents.text as the stand-in payload (UTF-8 bytes). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
+  }
+}

@@ -316,6 +316,30 @@ object PipelineQueries {
         |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
         |SELECT doc_id, min(md5(sh)) AS fingerprint FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // mapPartitions batch-decode pipeline (Multimodal.decodeAll): the
+    // typed per-partition path a real media decoder would use; the stub's
+    // deterministic byte arithmetic keeps it oracle-checkable.
+    "m02_multimodal_decode" -> QDef(
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, docs(s, d))
+        Multimodal.decodeAll(media, parallelism = 8).toDF().orderBy("doc_id")
+      }, {
+        val headSum = (1 to 16)
+          .map(i => s"(CASE WHEN length(text) >= $i THEN ord(substr(text, $i, 1)) ELSE 0 END)")
+          .mkString(" + ")
+        val features = (1 to 8)
+          .map(j => s"CAST((hs * $j + (CASE WHEN length(text) >= ${j + 1} THEN ord(substr(text, ${j + 1}, 1)) ELSE 0 END)) % 97 AS DOUBLE)")
+          .mkString(", ")
+        s"""WITH h AS (SELECT doc_id, text, $headSum AS hs FROM documents)
+           |SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           |  CAST(64 + ord(substr(text, 1, 1)) % 64 AS INT) AS width,
+           |  CAST(64 + ord(substr(text, 2, 1)) % 64 AS INT) AS height,
+           |  CAST(1 + hs % 7 AS INT) AS n_frames,
+           |  [$features] AS features
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- streaming-equivalent windowed aggregation: the same
     // EventStreams.tumblingCounts plan the streaming path uses, run over
     // the bounded events table (oracle via epoch-floor arithmetic —

@@ -340,6 +340,59 @@ object GraphQueries {
          |SELECT lbl, count(*) AS n_nodes FROM l3 GROUP BY lbl
          |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin),
 
+    // Louvain-style community detection (reference `lib.rs:7442-7610`),
+    // one-level synchronous variant: each sweep every node moves to the
+    // neighboring community maximizing the modularity gain proxy
+    // e(v,c) − deg(v)·Σtot(c)/(2m), ties → smallest community label.
+    // The gain arithmetic is a fixed-shape IEEE expression over integers,
+    // so both engines compute bit-identical doubles and the argmax
+    // (and therefore the oracle) is deterministic. 2 sweeps.
+    "g21_louvain_communities" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val nodes = TpchGraph.nodes(s, d).select("key")
+        val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
+        val m2 = und.count().toDouble // = 2m (symmetric closure)
+        var comm = nodes.select(col("key"), col("key").as("comm"))
+        for (_ <- 1 to 2) {
+          val tot = comm.join(deg, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
+          val evc = und
+            .join(comm.select(col("key").as("dst"), col("comm")), Seq("dst"))
+            .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
+          val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
+            .withColumn("gain",
+              col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
+          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
+          comm = gains.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("key"), col("comm"))
+            .localCheckpoint()
+        }
+        comm.groupBy("comm").agg(count(lit(1)).as("n_nodes"))
+          .filter(col("n_nodes") >= 2)
+          .orderBy(desc("n_nodes"), col("comm")).limit(30)
+      }, {
+        def sweep(prev: String, i: Int): String =
+          s"""tot$i AS (SELECT comm, CAST(sum(deg) AS BIGINT) AS tot FROM $prev JOIN deg USING (key) GROUP BY comm),
+             |evc$i AS (SELECT u.src AS key, p.comm, count(*) AS evc
+             |          FROM und u JOIN $prev p ON p.key = u.dst GROUP BY u.src, p.comm),
+             |gain$i AS (SELECT e.key, e.comm,
+             |             e.evc - (CAST(d.deg AS DOUBLE) * t.tot) / (2.0 * (SELECT count(*) FROM und) / 2.0) AS gain
+             |           FROM evc$i e JOIN tot$i t USING (comm) JOIN deg d ON d.key = e.key),
+             |c$i AS (SELECT key, comm FROM (
+             |          SELECT key, comm, row_number() OVER (PARTITION BY key ORDER BY gain DESC, comm) AS rn
+             |          FROM gain$i) q WHERE rn = 1)""".stripMargin
+        s"""WITH $nodesSql,
+           |$allEdgesSql,
+           |u2 AS (SELECT src, dst FROM und),
+           |deg AS (SELECT src AS key, count(*) AS deg FROM und GROUP BY src),
+           |c0 AS (SELECT key, key AS comm FROM nds),
+           |${sweep("c0", 1)},
+           |${sweep("c1", 2)}
+           |SELECT comm, count(*) AS n_nodes FROM c2 GROUP BY comm
+           |HAVING count(*) >= 2 ORDER BY n_nodes DESC, comm LIMIT 30""".stripMargin
+      }),
+
     // closeness centrality (reference `lib.rs:7222-7277`) over the
     // nation–region star subgraph: multi-source BFS (2 hops = diameter),
     // closeness = (reached−1)/Σdist.

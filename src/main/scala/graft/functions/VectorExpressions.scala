@@ -111,6 +111,46 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** l2_distance_squared(a, b) = Σ (aᵢ-bᵢ)² — sqrt-free radius-search form;
+  * the optimizer rewrites `l2_distance(a,b) ⋈ r` into this
+  * (graft.plans.RewriteL2Comparison).
+  */
+case class L2DistanceSquared(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "l2_distance_squared"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-API + SQL-registration front door for the vector expressions. */
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)

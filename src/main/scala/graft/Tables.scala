@@ -17,9 +17,15 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor-convert to
-      // microseconds — identical to DuckDB's ns→µs truncation.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ([PARQUET_TYPE_ILLEGAL]) unless the session was built with
+      // spark.sql.legacy.parquet.nanosAsLong=true (GraftSession sets it at
+      // construction — deliberately NOT mutated here, so building this plan
+      // never changes how unrelated reads behave). Nanos come in as long;
+      // floor-convert to microseconds — identical to DuckDB's ns→µs
+      // truncation.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet is TIMESTAMP(NANOS): build the session via graft.GraftSession " +
+          "(or set spark.sql.legacy.parquet.nanosAsLong=true at construction)")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -15,7 +15,26 @@ import org.apache.spark.sql.types._
   * euclidean over f32 embeddings — reference `tensor_store/src/distance.rs`,
   * `vector_engine/src/lib.rs:2278`) but accumulate in double, sequentially,
   * to line up with double-precision SQL oracles.
+  *
+  * Dimension mismatch is an error in both eval paths (the reference's
+  * DimensionMismatch — mixed-dimension or corrupt embeddings must not
+  * yield plausible-looking prefix scores). The zero-norm → 0.0 cosine
+  * convention is a separate, documented case.
   */
+object VectorBinaryExpression {
+  def dimCheck(name: String, a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$name: embedding dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+
+  /** Generated-Java equivalent of [[dimCheck]]. */
+  def dimCheckCode(name: String, a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$name: embedding dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
+}
+
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
@@ -26,7 +45,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VectorBinaryExpression.dimCheck(prettyName, a, b)
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -44,7 +64,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorBinaryExpression.dimCheckCode(prettyName, a, b)}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
@@ -82,7 +103,8 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VectorBinaryExpression.dimCheck(prettyName, a, b)
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -98,7 +120,8 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorBinaryExpression.dimCheckCode(prettyName, a, b)}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
@@ -122,7 +145,8 @@ case class L2DistanceSquared(left: Expression, right: Expression) extends Binary
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VectorBinaryExpression.dimCheck(prettyName, a, b)
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -138,7 +162,8 @@ case class L2DistanceSquared(left: Expression, right: Expression) extends Binary
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorBinaryExpression.dimCheckCode(prettyName, a, b)}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);

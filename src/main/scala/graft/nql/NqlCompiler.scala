@@ -49,7 +49,21 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       registerViews()
       spark.sql(sql)
 
-    case Similar(key, _, limit, connectedTo, _) if !isVecKey(key) && store.isDefined =>
+    // Graph nodes have no embedding anywhere — reject loudly instead of
+    // silently returning an empty frame (or hijacking the entity store).
+    case Similar(key, _, _, _, _) if isGraphKey(key) =>
+      throw NqlParseException(
+        s"SIMILAR requires an embedding key ('vec:*') or a store entity; " +
+          s"'$key' is a property-graph node (use NEIGHBORS / PATH for graph proximity)")
+
+    case Similar(key, metric, limit, connectedTo, where) if !isVecKey(key) && store.isDefined =>
+      // The entity store's native metric is cosine, and its props are not
+      // the embeddings metadata — surface unsupported clauses instead of
+      // silently ignoring them.
+      if (metric != Metric.Cosine) throw NqlParseException(
+        "store-entity SIMILAR supports METRIC COSINE only (the store's native metric)")
+      if (where.nonEmpty) throw NqlParseException(
+        "store-entity SIMILAR does not support WHERE (metadata filters apply to the bundled embeddings)")
       connectedTo match {
         case Some(e) => storeOrFail("SIMILAR").similarConnectedTo(key, e, limit)
         case None => storeOrFail("SIMILAR").similar(key, limit)
@@ -70,13 +84,20 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       }
       ordered.limit(limit)
 
-    case s @ Similar(key, _, limit, Some(e), where) =>
+    case s @ Similar(key, metric, limit, Some(e), where) =>
       // top-2k similar ∩ neighbors(e), top-k — tensor_unified/src/lib.rs:884-938
       val top2k = compile(s.copy(connectedTo = None, limit = 2 * limit))
       val nb = emb.crossJoin(broadcast(labelOf(e)))
         .filter(col("label") === col("elabel") && col("key") =!= e)
         .select("key")
-      top2k.join(nb, Seq("key")).orderBy(desc("score"), col("key")).limit(limit)
+      // Rank direction follows the metric, like the plain SIMILAR case:
+      // euclidean is a distance (smaller = closer), the rest are
+      // similarities.
+      val ranked = metric match {
+        case Metric.Euclidean => top2k.join(nb, Seq("key")).orderBy(asc("score"), col("key"))
+        case _ => top2k.join(nb, Seq("key")).orderBy(desc("score"), col("key"))
+      }
+      ranked.limit(limit)
 
     case Neighbors(key, Some(simTo), _, limit) =>
       val nb = emb.crossJoin(broadcast(labelOf(key)))

@@ -319,16 +319,24 @@ object PipelineQueries {
     // mapPartitions batch-decode pipeline (Multimodal.decodeAll): the
     // typed per-partition path a real media decoder would use; the stub's
     // deterministic byte arithmetic keeps it oracle-checkable.
+    // The decoded feature vector is emitted as a ';'-joined signature
+    // string (features stay Array[Double] in the library API — the gate
+    // needs scalar cells because the driver's compare sorts/hashes columns
+    // and array cells aren't hashable there).
     "m02_multimodal_decode" -> QDef(
       (s, d) => {
         val media = Multimodal.mediaFromDocuments(s, docs(s, d))
-        Multimodal.decodeAll(media, parallelism = 8).toDF().orderBy("doc_id")
+        Multimodal.decodeAll(media, parallelism = 8).toDF()
+          .withColumn("features_sig",
+            expr("array_join(transform(features, x -> CAST(CAST(x AS BIGINT) AS STRING)), ';')"))
+          .drop("features")
+          .orderBy("doc_id")
       }, {
         val headSum = (1 to 16)
           .map(i => s"(CASE WHEN length(text) >= $i THEN ord(substr(text, $i, 1)) ELSE 0 END)")
           .mkString(" + ")
         val features = (1 to 8)
-          .map(j => s"CAST((hs * $j + (CASE WHEN length(text) >= ${j + 1} THEN ord(substr(text, ${j + 1}, 1)) ELSE 0 END)) % 97 AS DOUBLE)")
+          .map(j => s"CAST((hs * $j + (CASE WHEN length(text) >= ${j + 1} THEN ord(substr(text, ${j + 1}, 1)) ELSE 0 END)) % 97 AS BIGINT)")
           .mkString(", ")
         s"""WITH h AS (SELECT doc_id, text, $headSum AS hs FROM documents)
            |SELECT doc_id,
@@ -336,7 +344,7 @@ object PipelineQueries {
            |  CAST(64 + ord(substr(text, 1, 1)) % 64 AS INT) AS width,
            |  CAST(64 + ord(substr(text, 2, 1)) % 64 AS INT) AS height,
            |  CAST(1 + hs % 7 AS INT) AS n_frames,
-           |  [$features] AS features
+           |  array_to_string([$features], ';') AS features_sig
            |FROM h ORDER BY doc_id""".stripMargin
       }),
 
@@ -360,12 +368,13 @@ object PipelineQueries {
         .select(col("doc_id"),
           length(col("payload")).as("n_bytes"),
           lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
-          expr("transform(sequence(1, 8), j -> CAST((n_bytes * j) % 97 AS DOUBLE))").as("features"))
+          expr("array_join(transform(sequence(1, 8), j -> CAST((n_bytes * j) % 97 AS STRING)), ';')")
+            .as("features_sig"))
         .orderBy("doc_id"),
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
-        | [CAST((octet_length(CAST(text AS BLOB)) * j) % 97 AS DOUBLE) FOR j IN generate_series(1, 8)] AS features
+        | array_to_string([CAST((octet_length(CAST(text AS BLOB)) * j) % 97 AS BIGINT) FOR j IN generate_series(1, 8)], ';') AS features_sig
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

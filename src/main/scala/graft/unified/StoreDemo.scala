@@ -11,12 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object StoreDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
 
     val st = new EntityStore(spark, java.nio.file.Files.createTempDirectory("graft-demo").toString)

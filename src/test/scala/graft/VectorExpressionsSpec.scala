@@ -14,8 +14,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private val vecGen: Gen[Array[Float]] =
-    Gen.choose(1, 32).flatMap(n => Gen.listOfN(n, Gen.choose(-10f, 10f)).map(_.toArray))
+  // Pairs share a length: mismatched dimensions are an error by design
+  // (tested separately), not a shape the kernels score.
+  private val vecPairGen: Gen[(Array[Float], Array[Float])] =
+    Gen.choose(1, 32).flatMap { n =>
+      val v = Gen.listOfN(n, Gen.choose(-10f, 10f)).map(_.toArray)
+      v.flatMap(a => v.map(b => (a, b)))
+    }
 
   private def runBothPaths(a: Array[Float], b: Array[Float]): (Seq[Double], Seq[Double]) = {
     val df = Seq((a, b)).toDF("a", "b")
@@ -33,8 +38,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("codegen and interpreted evaluation agree on random vectors") {
     (1 to 20).foreach { k =>
       val seed = Seed(k.toLong)
-      val a = vecGen.apply(Gen.Parameters.default, seed).get
-      val b = vecGen.apply(Gen.Parameters.default, seed.next).get
+      val (a, b) = vecPairGen.apply(Gen.Parameters.default, seed).get
       val (g, i) = runBothPaths(a, b)
       assert(g == i, s"codegen $g != interpreted $i for ${a.toSeq}/${b.toSeq}")
     }
@@ -46,9 +50,18 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // zero vector → cosine 0.0 by convention (reference semantics), not NaN
     val (z, _) = runBothPaths(Array(0f, 0f), Array(1f, 2f))
     assert(z(0) == 0.0)
-    // length mismatch → shorter prefix (documented)
-    val (m, _) = runBothPaths(Array(1f, 1f, 1f), Array(1f, 1f))
-    assert(m(1) == 2.0)
+    // dimension mismatch → error on BOTH paths (reference DimensionMismatch
+    // semantics — corrupt/mixed-dimension embeddings must not score)
+    Seq("true", "false").foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val df = Seq((Array(1f, 1f, 1f), Array(1f, 1f))).toDF("a", "b")
+        .select(dot_product(col("a"), col("b")).as("d"))
+      val ex = intercept[Exception](df.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("dimension mismatch")), s"cg=$cg: $ex")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     // nulls propagate
     val df = Seq((Some(Array(1f)), Option.empty[Array[Float]])).toDF("a", "b")
       .select(cosine_similarity(col("a"), col("b")).as("c"))

@@ -568,6 +568,197 @@ object GraphQueries {
          |JOIN nds r ON nr.dst = r.key AND r.label = 'region' AND r.name = 'ASIA'
          |JOIN nds nn ON cn.dst = nn.key
          |WHERE cn.etype = 'in_nation' AND cn.src LIKE 'customer:%'
-         |GROUP BY nn.name ORDER BY nation_name""".stripMargin)
+         |GROUP BY nn.name ORDER BY nation_name""".stripMargin),
+
+    // General sampled-Brandes betweenness (Algorithms.betweennessBrandes;
+    // supersedes the diameter-2-only midpoint form of g20). Graph: nations
+    // + regions + every-10th customer, with customers dual-homed to their
+    // nation AND region so σ(s,t) > 1 genuinely occurs (σ ∈ {1,2}: every
+    // depth-2 node has ≤ 2 predecessors, so σ ratios are dyadic and the
+    // δ accumulation is bit-exact across engines — no FP-order hazard).
+    // Sources: all nations + regions + every-250th customer (the pivot
+    // sample); diameter is exactly 2 (each region hub is universal).
+    "g22_betweenness_brandes" -> QDef(
+      (s, d) => {
+        val n = Tables(s, d, "nation")
+        val cust = Tables(s, d, "customer").filter(col("c_custkey") % 10 === 1)
+        val n2r = n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("region:"), col("n_regionkey").cast("string")).as("dst"))
+        val cliq = TpchGraph.sameRegionEdges(s, d).select("src", "dst")
+        val c2n = cust.select(concat(lit("customer:"), col("c_custkey").cast("string")).as("src"),
+          concat(lit("nation:"), col("c_nationkey").cast("string")).as("dst"))
+        val c2r = cust.join(n, col("c_nationkey") === col("n_nationkey"))
+          .select(concat(lit("customer:"), col("c_custkey").cast("string")).as("src"),
+            concat(lit("region:"), col("n_regionkey").cast("string")).as("dst"))
+        val ed = n2r.union(cliq).union(c2n).union(c2r)
+        val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        val sources = n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"))
+          .union(Tables(s, d, "region")
+            .select(concat(lit("region:"), col("r_regionkey").cast("string")).as("key")))
+          .union(cust.filter(col("c_custkey") % 250 === 1)
+            .select(concat(lit("customer:"), col("c_custkey").cast("string")).as("key")))
+        Algorithms.betweennessBrandes(und, sources, 2)
+          .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
+          .orderBy(desc("betweenness"), col("key")).limit(20)
+      },
+      """WITH cust AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 = 1),
+        |ed AS (
+        |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src, 'region:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+        |  UNION ALL SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR), 'nation:' || CAST(b.n_nationkey AS VARCHAR)
+        |    FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'nation:' || CAST(c_nationkey AS VARCHAR) FROM cust
+        |  UNION ALL SELECT 'customer:' || CAST(c.c_custkey AS VARCHAR), 'region:' || CAST(n.n_regionkey AS VARCHAR)
+        |    FROM cust c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+        |srcs AS (
+        |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS key FROM nation
+        |  UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region
+        |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR) FROM cust WHERE c_custkey % 250 = 1),
+        |b0 AS (SELECT key AS source, key, CAST(1 AS BIGINT) AS sigma FROM srcs),
+        |b1 AS (SELECT b.source, u.dst AS key, CAST(sum(b.sigma) AS BIGINT) AS sigma
+        |       FROM b0 b JOIN und u ON u.src = b.key
+        |       WHERE NOT EXISTS (SELECT 1 FROM b0 p WHERE p.source = b.source AND p.key = u.dst)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT b.source, u.dst AS key, CAST(sum(b.sigma) AS BIGINT) AS sigma
+        |       FROM b1 b JOIN und u ON u.src = b.key
+        |       WHERE NOT EXISTS (SELECT 1 FROM b0 p WHERE p.source = b.source AND p.key = u.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM b1 p WHERE p.source = b.source AND p.key = u.dst)
+        |       GROUP BY 1, 2),
+        |d2 AS (SELECT source, key, sigma, CAST(0.0 AS DOUBLE) AS delta FROM b2),
+        |d1 AS (SELECT b.source, b.key, b.sigma,
+        |              coalesce(sum((CAST(b.sigma AS DOUBLE) / w.sigma) * (1.0 + w.delta)), 0.0) AS delta
+        |       FROM b1 b
+        |       LEFT JOIN und u ON u.src = b.key
+        |       LEFT JOIN d2 w ON w.source = b.source AND w.key = u.dst
+        |       GROUP BY b.source, b.key, b.sigma)
+        |SELECT key, round(sum(delta), 6) AS betweenness
+        |FROM (SELECT source, key, delta FROM d1 UNION ALL SELECT source, key, delta FROM d2) t
+        |WHERE key <> source
+        |GROUP BY key ORDER BY betweenness DESC, key LIMIT 20""".stripMargin),
+
+    // Multi-level Louvain (reference `lib.rs:7442-7610`): 2 g21-style
+    // sweeps at level 0, contract communities into a weighted super-graph
+    // (edge weight = symmetric-closure edge count, self-loops included on
+    // both sides identically), 2 weighted sweeps at level 1, then project
+    // super-communities back onto the original nodes. Total edge mass 2m
+    // is invariant under contraction, and the weighted gain keeps the g21
+    // fixed-IEEE-shape property (all inputs integers), so the argmax and
+    // the oracle stay deterministic.
+    "g23_louvain_multilevel" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val nodes = TpchGraph.nodes(s, d).select("key")
+        val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
+        val m2 = und.count().toDouble // = 2m, invariant across levels
+        var comm = nodes.select(col("key"), col("key").as("comm"))
+        for (_ <- 1 to 2) {
+          val tot = comm.join(deg, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
+          val evc = und
+            .join(comm.select(col("key").as("dst"), col("comm")), Seq("dst"))
+            .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
+          val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
+            .withColumn("gain",
+              col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
+          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
+          comm = gains.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("key"), col("comm"))
+            .localCheckpoint()
+        }
+        // contraction: super-nodes = level-0 communities, weighted edges
+        val su = und
+          .join(comm.select(col("key").as("src"), col("comm").as("csrc")), Seq("src"))
+          .join(comm.select(col("key").as("dst"), col("comm").as("cdst")), Seq("dst"))
+          .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(count(lit(1)).as("w"))
+          .localCheckpoint()
+        val degw = su.groupBy(col("src").as("key")).agg(sum("w").as("deg"))
+        var comm2 = su.select(col("src").as("key")).distinct()
+          .select(col("key"), col("key").as("comm"))
+        for (_ <- 1 to 2) {
+          val tot = comm2.join(degw, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
+          val evc = su
+            .join(comm2.select(col("key").as("dst"), col("comm")), Seq("dst"))
+            .groupBy(col("src").as("key"), col("comm")).agg(sum("w").as("evc"))
+          val gains = evc.join(tot, Seq("comm")).join(degw, Seq("key"))
+            .withColumn("gain",
+              col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
+          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
+          comm2 = gains.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("key"), col("comm"))
+            .localCheckpoint()
+        }
+        comm.select(col("key"), col("comm").as("c0"))
+          .join(comm2.select(col("key").as("c0"), col("comm").as("cf")), Seq("c0"))
+          .groupBy(col("cf").as("comm")).agg(count(lit(1)).as("n_nodes"))
+          .filter(col("n_nodes") >= 2)
+          .orderBy(desc("n_nodes"), col("comm")).limit(30)
+      }, {
+        def sweep(prev: String, out: String, edges: String, evcExpr: String,
+            degT: String): String =
+          s"""tot_$out AS (SELECT comm, CAST(sum(deg) AS BIGINT) AS tot FROM $prev JOIN $degT USING (key) GROUP BY comm),
+             |evc_$out AS (SELECT u.src AS key, p.comm, CAST($evcExpr AS BIGINT) AS evc
+             |          FROM $edges u JOIN $prev p ON p.key = u.dst GROUP BY u.src, p.comm),
+             |gain_$out AS (SELECT e.key, e.comm,
+             |             e.evc - (CAST(d.deg AS DOUBLE) * t.tot) / (2.0 * (SELECT count(*) FROM und) / 2.0) AS gain
+             |           FROM evc_$out e JOIN tot_$out t USING (comm) JOIN $degT d ON d.key = e.key),
+             |$out AS (SELECT key, comm FROM (
+             |          SELECT key, comm, row_number() OVER (PARTITION BY key ORDER BY gain DESC, comm) AS rn
+             |          FROM gain_$out) q WHERE rn = 1)""".stripMargin
+        s"""WITH $nodesSql,
+           |$allEdgesSql,
+           |deg AS (SELECT src AS key, count(*) AS deg FROM und GROUP BY src),
+           |c0 AS (SELECT key, key AS comm FROM nds),
+           |${sweep("c0", "c1", "und", "count(*)", "deg")},
+           |${sweep("c1", "c2", "und", "count(*)", "deg")},
+           |su AS (SELECT p1.comm AS src, p2.comm AS dst, CAST(count(*) AS BIGINT) AS w
+           |       FROM und u JOIN c2 p1 ON p1.key = u.src JOIN c2 p2 ON p2.key = u.dst
+           |       GROUP BY 1, 2),
+           |degw AS (SELECT src AS key, CAST(sum(w) AS BIGINT) AS deg FROM su GROUP BY 1),
+           |s0 AS (SELECT DISTINCT src AS key, src AS comm FROM su),
+           |${sweep("s0", "s1", "su", "sum(u.w)", "degw")},
+           |${sweep("s1", "s2", "su", "sum(u.w)", "degw")}
+           |SELECT s2.comm AS comm, count(*) AS n_nodes
+           |FROM c2 l0 JOIN s2 ON s2.key = l0.comm
+           |GROUP BY 1 HAVING count(*) >= 2 ORDER BY n_nodes DESC, s2.comm LIMIT 30""".stripMargin
+      }),
+
+    // A* weighted path (reference `algorithms/astar.rs`): band graph over
+    // all 25 nations (edge iff |Δkey| ≤ 7, w = Δkey² — convex, so hopping
+    // key-by-key is optimal) with the admissible 1-D embedding heuristic
+    // h(v) = |key(v) − key(target)| (each hop moves ≥ 1 key and costs ≥
+    // its key distance). Cost parity with plain Bellman-Ford is the
+    // oracle; the pruning effect is asserted in AlgorithmsSpec.
+    "g24_astar_path" -> QDef(
+      (s, d) => {
+        val n = Tables(s, d, "nation")
+        val a = n.select(col("n_nationkey").as("ka"))
+        val b = n.select(col("n_nationkey").as("kb"))
+        val band = a.join(b, col("ka") =!= col("kb") && abs(col("ka") - col("kb")) <= 7)
+          .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
+            concat(lit("nation:"), col("kb").cast("string")).as("dst"),
+            ((col("ka") - col("kb")) * (col("ka") - col("kb"))).cast("double").as("w"))
+        val h = n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"),
+          abs(col("n_nationkey") - lit(8)).cast("double").as("h"))
+        Algorithms.astar(band, h, "nation:0", "nation:8", 8)
+          .select(col("from_key"), col("to_key"), round(col("cost"), 4).as("cost"))
+      }, {
+        val sb = new StringBuilder
+        sb ++= """WITH e AS (SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR) AS src,
+                 |            'nation:' || CAST(b.n_nationkey AS VARCHAR) AS dst,
+                 |            CAST((a.n_nationkey - b.n_nationkey) * (a.n_nationkey - b.n_nationkey) AS DOUBLE) AS w
+                 |          FROM nation a JOIN nation b
+                 |          ON a.n_nationkey <> b.n_nationkey AND abs(a.n_nationkey - b.n_nationkey) <= 7),
+                 |c0 AS (SELECT 'nation:0' AS key, CAST(0 AS DOUBLE) AS cost)""".stripMargin
+        for (i <- 1 to 8) {
+          sb ++= s""",
+                    |c$i AS (SELECT key, min(cost) AS cost FROM (
+                    |  SELECT key, cost FROM c${i - 1}
+                    |  UNION ALL SELECT e.dst, p.cost + e.w FROM c${i - 1} p JOIN e ON e.src = p.key) t
+                    |  GROUP BY key)""".stripMargin
+        }
+        sb ++= "\nSELECT 'nation:0' AS from_key, key AS to_key, round(cost, 4) AS cost FROM c8 WHERE key = 'nation:8'"
+        sb.toString
+      })
   )
 }

@@ -205,6 +205,110 @@ object Algorithms {
     x
   }
 
+  /** Sampled Brandes betweenness (reference Brandes `lib.rs:7058-7220`,
+    * generalized beyond the diameter-2 midpoint form of g20): forward
+    * level-synchronous multi-source BFS accumulates shortest-path counts
+    * σ(s,v) (each level's σ is the sum over predecessors — exact because
+    * the whole frontier is aggregated before expanding), then the backward
+    * pass accumulates dependencies δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) level by
+    * level from the deepest ring inward. bc(v) = Σ_{s∈sources} δ_s(v).
+    *
+    * With all sources it is exact Brandes; with a deterministic sample it
+    * is the standard pivot estimator — O(|sources|·E) instead of O(V·E),
+    * which is the only form that survives 100 TB graphs. Every stage is a
+    * shuffle on (source, key): at cluster scale the frontier frames
+    * partition by source and stream.
+    */
+  def betweennessBrandes(und: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = und.select("src", "dst")
+    // forward: (source, key, dist, sigma)
+    var reached = sources.select(col("key").as("source"), col("key"),
+      lit(0).as("dist"), lit(1L).as("sigma"))
+    var frontier = reached
+    for (i <- 1 to maxDepth) {
+      val expand = frontier.join(e, col("key") === col("src"))
+        .groupBy(col("source"), col("dst"))
+        .agg(sum("sigma").as("sigma"))
+        .join(reached.select(col("source"), col("key").as("dst")), Seq("source", "dst"), "left_anti")
+        .select(col("source"), col("dst").as("key"), lit(i).as("dist"), col("sigma"))
+        .localCheckpoint()
+      reached = reached.union(expand).localCheckpoint()
+      frontier = expand
+    }
+    // backward: delta per (source, key), deepest level = 0.0, then each
+    // level pulls (σ_v/σ_w)(1+δ_w) from its successors one ring out.
+    // Level 0 is the sources themselves — δ_s(s) never counts, skip it.
+    var delta = reached.filter(col("dist") === maxDepth).withColumn("delta", lit(0.0))
+    for (lvl <- maxDepth - 1 to 1 by -1) {
+      val upper = delta.filter(col("dist") === lvl + 1)
+        .select(col("source"), col("key").as("dst"), col("sigma").as("sigw"), col("delta").as("dw"))
+      val level = reached.filter(col("dist") === lvl)
+      val contrib = level.join(e, col("key") === col("src"))
+        .join(upper, Seq("source", "dst"))
+        .groupBy("source", "key")
+        .agg(sum((col("sigma").cast("double") / col("sigw")) * (lit(1.0) + col("dw"))).as("dsum"))
+      delta = delta.union(
+        level.join(contrib, Seq("source", "key"), "left")
+          .select(col("source"), col("key"), col("dist"), col("sigma"),
+            coalesce(col("dsum"), lit(0.0)).as("delta"))
+        ).localCheckpoint()
+    }
+    delta.filter(col("key") =!= col("source"))
+      .groupBy("key").agg(sum("delta").as("betweenness"))
+  }
+
+  /** A* shortest path: bounded Bellman-Ford relaxation with heuristic
+    * pruning — after each round, any node whose f = cost + h exceeds the
+    * best-known complete path to `target` is dropped from the frontier
+    * (reference A* `algorithms/astar.rs` is a sequential priority queue;
+    * the distributed analogue keeps the *pruning*, which is what makes A*
+    * A*, and trades the strict expansion order for per-round parallelism).
+    * With an admissible h (h(v) ≤ true remaining cost) the returned cost
+    * equals Dijkstra's: nodes on an optimal path satisfy g*+h ≤ C* ≤ bound
+    * once their label converges, so they always survive, and a prematurely
+    * pruned node is re-relaxed from its surviving predecessor.
+    *
+    * `h`: (key, h) frame. Returns one row (from_key, to_key, cost).
+    */
+  def astar(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst", "w")
+    var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
+      val merged = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
+      val bound = merged.filter(col("key") === target).agg(min("cost").as("bound"))
+      dist = merged.join(h, Seq("key"), "left")
+        .crossJoin(bound)
+        .filter(col("bound").isNull ||
+          (col("cost") + coalesce(col("h"), lit(0.0))) <= col("bound"))
+        .select("key", "cost")
+        .localCheckpoint()
+    }
+    dist.filter(col("key") === target)
+      .select(lit(source).as("from_key"), col("key").as("to_key"), col("cost"))
+  }
+
+  /** Frontier size probe for [[astar]] pruning tests: same loop, returns
+    * the surviving label count after `iters` rounds. */
+  def astarSettledCount(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): Long = {
+    val e = edges.select("src", "dst", "w")
+    var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
+      val merged = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
+      val bound = merged.filter(col("key") === target).agg(min("cost").as("bound"))
+      dist = merged.join(h, Seq("key"), "left")
+        .crossJoin(bound)
+        .filter(col("bound").isNull ||
+          (col("cost") + coalesce(col("h"), lit(0.0))) <= col("bound"))
+        .select("key", "cost")
+        .localCheckpoint()
+    }
+    dist.count()
+  }
+
   /** PageRank, `iters` fixed iterations, damping 0.85, init 1.0, no
     * dangling-mass redistribution (sinks absorb; matches the unrolled
     * oracle). Returns (key, pr).

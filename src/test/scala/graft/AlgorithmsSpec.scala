@@ -1,0 +1,60 @@
+package graft
+
+import graft.graph.Algorithms
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed ground truth for the round-2 graph algorithms:
+  * sampled-Brandes betweenness (path + diamond fixtures cover σ=1 and
+  * σ=2), and A* (cost parity with plain relaxation, pruning actually
+  * prunes).
+  */
+class AlgorithmsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def und(pairs: (String, String)*) = {
+    val e = pairs.toDF("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("Brandes on a path graph: bc(inner) = 4 with all sources (2x unordered pairs)") {
+    val g = und("a" -> "b", "b" -> "c", "c" -> "d")
+    val sources = Seq("a", "b", "c", "d").toDF("key")
+    val bc = Algorithms.betweennessBrandes(g, sources, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bc("b") == 4.0 && bc("c") == 4.0)
+    assert(bc("a") == 0.0 && bc("d") == 0.0)
+  }
+
+  test("Brandes on a diamond: sigma=2 splits dependency evenly") {
+    // a-b-d and a-c-d: two shortest a→d paths, so b and c each carry 1/2
+    // per direction → bc = 1.0 over all four sources.
+    val g = und("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    val sources = Seq("a", "b", "c", "d").toDF("key")
+    val bc = Algorithms.betweennessBrandes(g, sources, 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bc("b") == 1.0 && bc("c") == 1.0)
+    assert(bc("a") == 1.0 && bc("d") == 1.0) // a,d relay b↔c paths (σ=2 each way)
+  }
+
+  test("A* returns the Dijkstra cost and prunes the frontier") {
+    // 0..9 line-with-shortcuts: edge iff |i-j| <= 3, w = (i-j)^2; optimal
+    // 0→5 walks key-by-key (convex weights), cost 5.
+    val ids = (0 to 9).map(_.toString)
+    val edges = (for {
+      i <- 0 to 9; j <- 0 to 9
+      if i != j && math.abs(i - j) <= 3
+    } yield (i.toString, j.toString, ((i - j) * (i - j)).toDouble)).toDF("src", "dst", "w")
+    val h = ids.map(k => (k, math.abs(k.toInt - 5).toDouble)).toDF("key", "h")
+    val got = Algorithms.astar(edges, h, "0", "5", 5).collect()(0)
+    assert(got.getDouble(2) == 5.0)
+    // pruning beyond what the plain bound gives: from source 4 the bound
+    // is 1 immediately, but node 3 (g=1, so bound-feasible) fails
+    // g + h = 1 + 2 <= 1 only with the heuristic.
+    val settled = Algorithms.astarSettledCount(edges, h, "4", "5", 3)
+    val noHeuristic = ids.map(k => (k, 0.0)).toDF("key", "h")
+    val settledAll = Algorithms.astarSettledCount(edges, noHeuristic, "4", "5", 3)
+    assert(settled < settledAll, s"A* kept $settled vs $settledAll without heuristic")
+  }
+}

@@ -50,6 +50,10 @@ final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement
 
 // write-path statements (execute against the session's EntityStore)
+final case class NodeCreate(key: String, label: String, name: Option[String]) extends Statement
+final case class NodeDelete(key: String) extends Statement
+final case class EdgeCreate(src: String, dst: String, etype: String) extends Statement
+final case class EdgeDelete(src: String, dst: String, etype: String) extends Statement
 final case class EntityCreate(key: String, props: Map[String, String], embedding: Option[Array[Float]]) extends Statement
 final case class EntityDelete(key: String) extends Statement
 final case class EntityConnect(src: String, dst: String, etype: String) extends Statement

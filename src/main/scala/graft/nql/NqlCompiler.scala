@@ -44,6 +44,32 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
   def registerViews(): Unit =
     Tables.names.foreach(n => Tables(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Property-graph node view: the TPC-H-derived base overlaid with
+    * store-created nodes (NODE CREATE writes an entity whose props carry
+    * label/name; store wins on key collision — the lakehouse overlay
+    * pattern, no base rewrite).
+    */
+  private def allNodes: DataFrame = {
+    val base = TpchGraph.nodes(spark, sfDir)
+    store match {
+      case None => base
+      case Some(st) =>
+        val overlay = st.entities.select(col("key"),
+          coalesce(element_at(col("props"), "label"), lit("entity")).as("label"),
+          coalesce(element_at(col("props"), "name"), col("key")).as("name"))
+        overlay.union(base.join(overlay.select("key"), Seq("key"), "left_anti"))
+    }
+  }
+
+  /** Edge view: derived base edges plus store-created edges. */
+  private def allEdges: DataFrame = {
+    val base = TpchGraph.edges(spark, sfDir)
+    store match {
+      case None => base
+      case Some(st) => base.union(st.edges.select("src", "dst", "etype"))
+    }
+  }
+
   def compile(st: Statement): DataFrame = st match {
     case SqlPassthrough(sql) =>
       registerViews()
@@ -113,7 +139,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       limit.fold(filtered)(filtered.limit)
 
     case Neighbors(key, None, etype, limit) =>
-      val e = TpchGraph.undirected(TpchGraph.edges(spark, sfDir))
+      val e = TpchGraph.undirected(allEdges)
         .filter(col("src") === key)
       val filtered = etype.fold(e)(t => e.filter(col("etype") === t))
       val out = filtered.select(col("dst").as("neighbor"), col("etype")).orderBy("neighbor")
@@ -133,20 +159,37 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(lit(from).as("from"), col("key").as("to"), round(col("cost"), 4).as("cost"))
 
     case NodeGet(key) =>
-      TpchGraph.nodes(spark, sfDir).filter(col("key") === key)
+      allNodes.filter(col("key") === key)
 
     case NodeList(label, limit) =>
-      val n = TpchGraph.nodes(spark, sfDir)
+      val n = allNodes
       val f = label.fold(n)(l => n.filter(col("label") === l)).orderBy("key")
       limit.fold(f)(f.limit)
 
+    case NodeCreate(key, label, name) =>
+      storeOrFail("NODE CREATE").put(Seq(graft.unified.EntityStore.EntityRow(
+        key, Map("label" -> label) ++ name.map("name" -> _), None)))
+      status(key, s"node_created:$label")
+
+    case NodeDelete(key) =>
+      storeOrFail("NODE DELETE").delete(Seq(key))
+      status(key, "node_deleted")
+
+    case EdgeCreate(src, dst, etype) =>
+      storeOrFail("EDGE CREATE").connect(src, dst, etype)
+      status(s"$src->$dst", s"edge_created:$etype")
+
+    case EdgeDelete(src, dst, etype) =>
+      storeOrFail("EDGE DELETE").disconnect(src, dst, etype)
+      status(s"$src->$dst", s"edge_deleted:$etype")
+
     case EdgeList(etype, limit) =>
-      val e = TpchGraph.edges(spark, sfDir)
+      val e = allEdges
       val f = etype.fold(e)(t => e.filter(col("etype") === t)).orderBy("src", "dst")
       limit.fold(f)(f.limit)
 
     case Degree(key) =>
-      TpchGraph.undirected(TpchGraph.edges(spark, sfDir))
+      TpchGraph.undirected(allEdges)
         .filter(col("src") === key)
         .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
 

@@ -139,6 +139,12 @@ object NqlParser {
       val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
       NodeList(label, limit)
+    case "CREATE" =>
+      val key = p.stringLit()
+      val label = if (p.accept("LABEL")) p.stringLit() else "node"
+      val name = if (p.accept("NAME")) Some(p.stringLit()) else None
+      NodeCreate(key, label, name)
+    case "DELETE" => NodeDelete(p.stringLit())
     case k => throw NqlParseException(s"unknown NODE op $k")
   }
 
@@ -147,6 +153,14 @@ object NqlParser {
       val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
       EdgeList(etype, limit)
+    case "CREATE" =>
+      val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
+      val etype = if (p.accept("TYPE")) p.stringLit() else "related"
+      EdgeCreate(src, dst, etype)
+    case "DELETE" =>
+      val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
+      val etype = if (p.accept("TYPE")) p.stringLit() else "related"
+      EdgeDelete(src, dst, etype)
     case k => throw NqlParseException(s"unknown EDGE op $k")
   }
 

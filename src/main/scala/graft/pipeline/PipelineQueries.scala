@@ -362,6 +362,23 @@ object PipelineQueries {
     // ---- multimodal plumbing: opaque binary payload + typed metadata.
     // Decode is a deterministic stub (no media libs in-container); the
     // Spark-side schema/partitioning/batch shape is real.
+    // Fulltext inverted index (graft.text.InvertedIndex): materialize the
+    // (token, doc_id) pair index — the token-partitionable form that
+    // scales — then run a conjunctive AND search through it. The oracle
+    // performs the same tokenize→distinct→count-match pipeline in SQL.
+    "t06_inverted_index" -> QDef(
+      (s, d) => {
+        val pairs = graft.text.InvertedIndex.tokenPairs(docs(s, d), "doc_id", "text")
+        graft.text.InvertedIndex.searchAll(pairs, Seq("vector", "stream", "window", "hash"))
+          .orderBy("doc_id")
+      },
+      """WITH raw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        |            FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> '')
+        |SELECT doc_id FROM tok
+        |WHERE token IN ('vector', 'stream', 'window', 'hash')
+        |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin),
+
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))

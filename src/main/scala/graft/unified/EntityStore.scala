@@ -48,10 +48,20 @@ final class EntityStore(spark: SparkSession, path: String) {
       .toDF("src", "dst", "etype", "deleted", "seq")
       .write.mode(SaveMode.Append).parquet(edgeDir)
 
+  // A store that has never been written has no parquet dir yet — read as
+  // empty rather than failing, so overlay views (NODE GET over base ∪
+  // store) work on a fresh store.
+  private def readLog(dir: String, schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** Latest-wins live view of entities. */
   def entities: DataFrame = {
     val w = Window.partitionBy("key").orderBy(desc("seq"))
-    spark.read.parquet(entityDir)
+    readLog(entityDir, StructType(Seq(
+      StructField("key", StringType), StructField("props", MapType(StringType, StringType)),
+      StructField("embedding", ArrayType(FloatType)), StructField("deleted", BooleanType),
+      StructField("seq", LongType))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .drop("rn", "deleted", "seq")
@@ -60,7 +70,10 @@ final class EntityStore(spark: SparkSession, path: String) {
   /** Latest-wins live view of edges. */
   def edges: DataFrame = {
     val w = Window.partitionBy("src", "dst", "etype").orderBy(desc("seq"))
-    spark.read.parquet(edgeDir)
+    readLog(edgeDir, StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType),
+      StructField("etype", StringType), StructField("deleted", BooleanType),
+      StructField("seq", LongType))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .drop("rn", "deleted", "seq")

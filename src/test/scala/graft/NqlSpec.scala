@@ -101,6 +101,34 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("ENTITY CREATE 'x' SET a = 'b'"))
   }
 
+  test("NODE/EDGE CREATE overlay the derived property graph") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-graph-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // fresh store: base graph reads still work through the overlay
+    assert(runS("NODE GET 'nation:0'").count() == 1)
+    runS("NODE CREATE 'city:1' LABEL 'city' NAME 'Metropolis'")
+    runS("EDGE CREATE 'city:1' TO 'nation:0' TYPE 'in_nation'")
+    val got = runS("NODE GET 'city:1'").collect()(0)
+    assert(got.getString(1) == "city" && got.getString(2) == "Metropolis")
+    assert(runS("NODE LIST LABEL 'city'").count() == 1)
+    // the created edge shows up in traversal + degree alongside base edges
+    val nb = runS("NEIGHBORS 'city:1'").collect().map(_.getString(0)).toSeq
+    assert(nb == Seq("nation:0"))
+    val degBase = run("DEGREE 'nation:0'").collect()(0).getLong(1)
+    val degOverlay = runS("DEGREE 'nation:0'").collect()(0).getLong(1)
+    assert(degOverlay == degBase + 1)
+    // store wins on key collision (relabel a base node)
+    runS("NODE CREATE 'nation:0' LABEL 'nation' NAME 'renamed'")
+    assert(runS("NODE GET 'nation:0'").collect()(0).getString(2) == "renamed")
+    runS("NODE DELETE 'city:1'")
+    assert(runS("NODE GET 'city:1'").count() == 0)
+    runS("EDGE DELETE 'city:1' TO 'nation:0' TYPE 'in_nation'")
+    assert(runS("DEGREE 'nation:0'").collect()(0).getLong(1) == degBase)
+    // writes without a store fail loudly
+    assertThrows[NqlParseException](run("NODE CREATE 'x' LABEL 'l'"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

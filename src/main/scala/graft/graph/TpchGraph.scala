@@ -166,6 +166,27 @@ object Algorithms {
     f
   }
 
+  /** Directed reachability closure by squaring: after k rounds the frame
+    * holds every (src, dst) with a path of length ≤ 2^k. log(diameter)
+    * shuffle rounds instead of diameter rounds — the right trade when
+    * per-round latency dominates (it does: each round is a full
+    * shuffle+checkpoint barrier) AND the closure stays sparse. That holds
+    * for asymmetric reachability like this DAG-plus-small-cycles graph
+    * (leaves only reach their ancestor chain); do NOT use it for
+    * undirected/symmetric closures, where the closure is quadratic in
+    * component size.
+    */
+  def reachClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    var c = edges.select("src", "dst").distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val two = c.select(col("src"), col("dst").as("mid"))
+        .join(c.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select("src", "dst")
+      c = c.union(two).distinct().localCheckpoint()
+    }
+    c
+  }
+
   /** Strongly connected components via forward/backward min-label
     * reachability: nodes sharing the pair (min forward-reachable label,
     * min backward-reachable label) form one SCC. Exact when distinct SCCs
@@ -173,12 +194,20 @@ object Algorithms {
     * the general algorithm peels and repeats — reference Tarjan
     * `algorithms/scc.rs` is inherently sequential and doesn't map to a
     * cluster). Returns (key, scc) with scc = min key in the component.
+    *
+    * Both label directions derive from ONE squared reachability closure
+    * (⌈log₂ iters⌉ rounds) instead of two iters-round propagations —
+    * 14 sequential shuffle barriers became 3.
     */
   def stronglyConnectedComponents(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val fwd = minReachLabel(edges, nodes, iters)
-      .select(col("key"), col("lbl").as("flbl"))
-    val bwd = minReachLabel(edges.select(col("dst").as("src"), col("src").as("dst")), nodes, iters)
-      .select(col("key"), col("lbl").as("blbl"))
+    val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, iters - 1)))
+    val cl = reachClosure(edges, rounds).localCheckpoint()
+    val fwd = nodes.select(col("key"), col("key").as("lbl"))
+      .union(cl.select(col("src").as("key"), col("dst").as("lbl")))
+      .groupBy("key").agg(min("lbl").as("flbl"))
+    val bwd = nodes.select(col("key"), col("key").as("lbl"))
+      .union(cl.select(col("dst").as("key"), col("src").as("lbl")))
+      .groupBy("key").agg(min("lbl").as("blbl"))
     val sig = fwd.join(bwd, Seq("key"))
     val sccId = sig.groupBy("flbl", "blbl").agg(min("key").as("scc"))
     sig.join(sccId, Seq("flbl", "blbl")).select("key", "scc")

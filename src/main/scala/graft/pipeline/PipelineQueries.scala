@@ -86,10 +86,13 @@ object PipelineQueries {
       (s, d) => {
         val w = words(s, d)
         val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = w.select(col("doc_id").as("da"), col("source").as("sa"), col("w"))
-          .join(w.select(col("doc_id").as("db"), col("source").as("sb"), col("w")),
-            Seq("w"))
-          .filter(col("da") < col("db") && col("sa") === col("sb"))
+        // source is part of the hash-join KEY, not a post-probe filter: the
+        // vocabulary is tiny (~31 words), so joining on w alone would probe
+        // |docs-per-word|² pairs; (w, source) keeps each bucket ~20× smaller.
+        val inter = w.select(col("doc_id").as("da"), col("source"), col("w"))
+          .join(w.select(col("doc_id").as("db"), col("source"), col("w")),
+            Seq("w", "source"))
+          .filter(col("da") < col("db"))
           .groupBy("da", "db").agg(count(lit(1)).as("c"))
         inter
           .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))

@@ -362,6 +362,21 @@ object PipelineQueries {
         | event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
 
+    // Sliding 6h/3h windows: every event lands in exactly two windows
+    // (oracle: union of the two epoch-floor shifts — Spark's window()
+    // starts are epoch-aligned multiples of the slide).
+    "s02_stream_sliding_window" -> QDef(
+      (s, d) => graft.streaming.EventStreams.slidingCounts(Tables(s, d, "events"))
+        .orderBy("w_start", "event_type"),
+      """WITH ev AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+        |w AS (
+        |  SELECT CAST(floor(t / 10800) * 10800 AS BIGINT) AS ws, event_type, value FROM ev
+        |  UNION ALL
+        |  SELECT CAST(floor(t / 10800) * 10800 - 10800 AS BIGINT), event_type, value FROM ev)
+        |SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+
     // ---- multimodal plumbing: opaque binary payload + typed metadata.
     // Decode is a deterministic stub (no media libs in-container); the
     // Spark-side schema/partitioning/batch shape is real.

@@ -398,6 +398,20 @@ object RelationalQueries {
         .orderBy("event_id"),
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // HyperLogLog++ approximate distinct — sketch estimates are
+    // implementation-specific, so there is deliberately no DuckDB oracle
+    // (driver records the weaker rows-only check); ApproxDistinctSpec
+    // bounds the estimate against the exact count instead. At 100 TB this
+    // is the distinct-count that doesn't shuffle raw keys: partial
+    // sketches merge map-side.
+    "q32_approx_count_distinct" -> QDef(
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None)
   )
 }

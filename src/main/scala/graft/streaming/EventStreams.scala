@@ -27,6 +27,19 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "10 minutes"))
 
+  /** Sliding 6-hour windows every 3 hours: each event lands in exactly two
+    * windows. Same batch/stream duality as [[tumblingCounts]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked streaming variant of [[slidingCounts]]. */
+  def slidingCountsStream(events: DataFrame): DataFrame =
+    slidingCounts(events.withWatermark("ts", "10 minutes"))
+
   /** Per-user session state for flatMapGroupsWithState. */
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

@@ -28,6 +28,18 @@ object VectorQueries {
   private def qv(s: SparkSession, d: String, id: Long): DataFrame =
     emb(s, d).filter(col("vec_id") === id).select(col("embedding").as("qv"))
 
+  /** 16 deterministic ±1 hyperplanes over the 64-d embeddings (signs from
+    * a Knuth-multiplicative parity, same constants inlined into the
+    * oracle SQL). ±1 components make each dot product an exact
+    * same-order double sum on both engines — no FP sign-flip hazard at
+    * the bucket boundary.
+    */
+  private val lshPlanes: Seq[Seq[Float]] = (0 until 16).map { i =>
+    (0 until 64).map { j =>
+      if (((2654435761L * (i * 64 + j + 1)) % 2147483647L) % 2 == 0) 1f else -1f
+    }
+  }
+
   val defs: Seq[(String, QDef)] = Seq(
 
     "v01_similar_topk_cosine" -> QDef(
@@ -184,6 +196,45 @@ object VectorQueries {
         |SELECT e.vec_id, e.label,
         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
         |FROM embeddings e, best, q WHERE e.label = best.best_label AND e.vec_id <> 0
-        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // Banded hyperplane-LSH near-dup — the 100 TB path that replaces v07's
+    // all-pairs scan: 16 sign bits → 4 bands × 4 bits, candidates = pairs
+    // sharing any band bucket (∝ Σ bucket², never |V|²), then exact cosine
+    // verification on candidates only. ~99% recall on the planted ≥0.99
+    // near-dups at these parameters; the oracle mirrors the full pipeline
+    // (same plane constants), so parity is exact regardless of recall.
+    "v09_lsh_banded_near_dup" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val bits = lshPlanes.map(pl =>
+          when(dot_product(col("embedding"), array(pl.map(lit): _*)) >= 0, lit("1")).otherwise(lit("0")))
+        val bands = (0 until 4).map(k =>
+          concat((lit(k.toString) +: (4 * k until 4 * k + 4).map(bits)): _*))
+        val sig = e.select(col("vec_id"), col("embedding"), explode(array(bands: _*)).as("bkt"))
+        val cand = sig.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bkt"))
+          .join(sig.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt")), Seq("bkt"))
+          .filter(col("va") < col("vb"))
+          .select("va", "vb", "ea", "eb").distinct()
+        cand.withColumn("score", cosine_similarity(col("ea"), col("eb")))
+          .filter(col("score") >= 0.45)
+          .select(col("va"), col("vb"), round(col("score"), 4).as("score"))
+          .orderBy("va", "vb")
+      }, {
+        val planesSql = lshPlanes.map(pl =>
+          "[" + pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ") + "]")
+        val bitsSql = planesSql.map(p =>
+          s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+        val bandSelects = (0 until 4).map { k =>
+          val bs = (4 * k until 4 * k + 4).map(bitsSql).mkString(" || ")
+          s"SELECT vec_id, embedding, '$k' || $bs AS bkt FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+           |         FROM bands a JOIN bands b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+           |SELECT va, vb, round(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4) AS score
+           |FROM cand WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= 0.45
+           |ORDER BY va, vb""".stripMargin
+      })
   )
 }

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness keeps only a short tail of stdout and parses the
+// last line as JSON — suppress sbt's "[success] Total time" epilogue so
+// graft.Bench's JSON line stays last, and send forked-run output straight
+// to stdout (no "[info] " logger prefix in front of the JSON).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 run / connectInput := true  // let graft.Shell read NQL from stdin
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
@@ -27,5 +33,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; 24g keeps block-manager churn (cached dimension
+  // tables + checkpointed loop frames across 80+ bench queries) off the GC
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -6,12 +6,23 @@ package graft
   *
   * An untimed warmup (the flagship `entry`) absorbs JVM/codegen startup so
   * per-query numbers reflect steady-state; queries run in name order so
-  * runs are comparable across rounds. A query that throws is reported as
-  * -1.0 (and listed in "failed") rather than having its
-  * wall-time-to-exception pollute the timings; failures don't count toward
-  * the total.
+  * runs are comparable across rounds.
+  *
+  * Output framing: the harness that captures this process keeps only a
+  * short tail of stdout, so the FINAL line is a compact JSON (short query
+  * keys = the unique `q32`/`g05`-style prefix of each query name, 3-decimal
+  * seconds) guaranteed to fit that window; the full-name JSON line is
+  * printed immediately before it for human readers. build.sbt sets
+  * `Global / showSuccess := false` so no sbt epilogue follows the JSON.
+  *
+  * Failure policy: a query that throws is reported as -1.0 in "queries",
+  * listed in "failed", and adds a fixed 999-second penalty to the headline
+  * total — a regressing query can only ever make the total worse, never
+  * quietly improve it.
   */
 object Bench {
+  private val FailPenaltySec = 999.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,18 +30,31 @@ object Bench {
 
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
 
-    val results = SparkEntry.allDefs.map(_._1).sorted.map { name =>
+    // Dev aid: SPARK_GRAFT_ONLY=g05,g17 times just those queries (by name
+    // prefix). Unset for the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.allDefs.map(_._1).sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // `q01_agg_pricing_summary` -> `q01`: unique by construction (asserted).
+    val shortKey = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
+    require(shortKey.values.toSet.size == results.size, "short bench keys collide")
+
+    def line(keyOf: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, v) if v < 0 => "\"" + keyOf(k) + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.map { case (_, v) => if (v < 0) FailPenaltySec else v }.sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    println(line(identity, _.toString))            // full names, for humans
+    println(line(shortKey, v => f"$v%.3f"))        // compact, parsed by the driver
     spark.stop()
   }
 }

@@ -286,7 +286,7 @@ object GraphQueries {
             .join(alive.select(col("key").as("src")), Seq("src"))
             .join(alive.select(col("key").as("dst")), Seq("dst"))
             .groupBy("src").agg(count(lit(1)).as("deg"))
-          alive = deg.filter(col("deg") >= 2).select(col("src").as("key")).localCheckpoint()
+          alive = Algorithms.cut(deg.filter(col("deg") >= 2).select(col("src").as("key")))
         }
         alive.select(substring_index(col("key"), ":", 1).as("label"))
           .groupBy("label").agg(count(lit(1)).as("n_nodes"))
@@ -317,10 +317,9 @@ object GraphQueries {
             .join(labels.select(col("key").as("dst"), col("lbl")), Seq("dst"))
             .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
           val w = Window.partitionBy("src").orderBy(desc("c"), col("lbl"))
-          labels = counts.withColumn("rn", row_number().over(w))
+          labels = Algorithms.cut(counts.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("src").as("key"), col("lbl"))
-            .localCheckpoint()
+            .select(col("src").as("key"), col("lbl")))
         }
         labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
           .orderBy(desc("n_nodes"), col("lbl")).limit(20)
@@ -363,10 +362,9 @@ object GraphQueries {
             .withColumn("gain",
               col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
           val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm = gains.withColumn("rn", row_number().over(w))
+          comm = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("key"), col("comm"))
-            .localCheckpoint()
+            .select(col("key"), col("comm")))
         }
         comm.groupBy("comm").agg(count(lit(1)).as("n_nodes"))
           .filter(col("n_nodes") >= 2)
@@ -405,9 +403,8 @@ object GraphQueries {
         var reach = n30.select(col("key").as("source"), col("key"), lit(0).as("dd"))
         var frontier = reach
         for (i <- 1 to 2) {
-          frontier = frontier.join(und, col("key") === col("src"))
-            .select(col("source"), col("dst").as("key"), lit(i).as("dd"))
-            .localCheckpoint()
+          frontier = Algorithms.cut(frontier.join(und, col("key") === col("src"))
+            .select(col("source"), col("dst").as("key"), lit(i).as("dd")))
           reach = reach.union(frontier)
         }
         reach.groupBy("source", "key").agg(min("dd").as("dd"))
@@ -489,7 +486,7 @@ object GraphQueries {
           val wnd = Window.partitionBy("c").orderBy(col("w"), col("src"), col("dst"))
           val picked = cand.withColumn("rn", row_number().over(wnd))
             .filter(col("rn") === 1).select("src", "dst", "w")
-          mst = mst.union(picked).distinct().localCheckpoint()
+          mst = Algorithms.cut(mst.union(picked).distinct())
           val undMst = mst.select("src", "dst").union(mst.select(col("dst").as("src"), col("src").as("dst")))
           comp = Algorithms.connectedComponents(undMst, nodes, 4)
             .select(col("key"), col("component").as("cmp"))
@@ -660,17 +657,19 @@ object GraphQueries {
             .withColumn("gain",
               col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
           val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm = gains.withColumn("rn", row_number().over(w))
+          comm = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("key"), col("comm"))
-            .localCheckpoint()
+            .select(col("key"), col("comm")))
         }
-        // contraction: super-nodes = level-0 communities, weighted edges
+        // contraction: super-nodes = level-0 communities, weighted edges.
+        // comm is re-read by su (twice) and the final projection — one
+        // lazy lineage cut instead of per-sweep materialization.
+        val commCut = comm // already cut by the sweep loop
         val su = und
-          .join(comm.select(col("key").as("src"), col("comm").as("csrc")), Seq("src"))
-          .join(comm.select(col("key").as("dst"), col("comm").as("cdst")), Seq("dst"))
+          .join(commCut.select(col("key").as("src"), col("comm").as("csrc")), Seq("src"))
+          .join(commCut.select(col("key").as("dst"), col("comm").as("cdst")), Seq("dst"))
           .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(count(lit(1)).as("w"))
-          .localCheckpoint()
+          .transform(Algorithms.cut)
         val degw = su.groupBy(col("src").as("key")).agg(sum("w").as("deg"))
         var comm2 = su.select(col("src").as("key")).distinct()
           .select(col("key"), col("key").as("comm"))
@@ -683,12 +682,11 @@ object GraphQueries {
             .withColumn("gain",
               col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
           val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm2 = gains.withColumn("rn", row_number().over(w))
+          comm2 = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("key"), col("comm"))
-            .localCheckpoint()
+            .select(col("key"), col("comm")))
         }
-        comm.select(col("key"), col("comm").as("c0"))
+        commCut.select(col("key"), col("comm").as("c0"))
           .join(comm2.select(col("key").as("c0"), col("comm").as("cf")), Seq("c0"))
           .groupBy(col("cf").as("comm")).agg(count(lit(1)).as("n_nodes"))
           .filter(col("n_nodes") >= 2)
@@ -729,6 +727,51 @@ object GraphQueries {
     // h(v) = |key(v) − key(target)| (each hop moves ≥ 1 key and costs ≥
     // its key distance). Cost parity with plain Bellman-Ford is the
     // oracle; the pruning effect is asserted in AlgorithmsSpec.
+    // Biconnected components (reference `algorithms/biconnected.rs`, a
+    // sequential DFS low-link — rebuilt as the distributed auxiliary-graph
+    // formulation, see Algorithms.biconnectedComponents). On this graph
+    // every region's wheel (5 clique nations + 5 spokes to the region hub)
+    // is one 15-edge biconnected component and every customer/supplier
+    // edge is a bridge, so the oracle is closed-form from the table
+    // counts; the Spark side computes it generically (BFS forest → LCA
+    // cycle climb → edge-graph CC).
+    "g25_biconnected" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val roots = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
+        Algorithms.biconnectedComponents(und, roots, 2, 6)
+          .groupBy("bicomp").agg(count(lit(1)).as("n_edges"))
+          .groupBy(col("n_edges").as("component_edges")).agg(count(lit(1)).as("n_components"))
+          .orderBy("component_edges")
+      },
+      """SELECT CAST(1 AS BIGINT) AS component_edges,
+        |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_components
+        |UNION ALL
+        |SELECT CAST(15 AS BIGINT), (SELECT count(*) FROM region)
+        |ORDER BY component_edges""".stripMargin),
+
+    // Articulation points from the biconnected labeling: a node is an
+    // articulation point iff it touches ≥ 2 biconnected components. Here
+    // that is exactly the nations that own at least one customer or
+    // supplier leaf (wheel + bridge), which the oracle states directly.
+    "g26_articulation_points" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val roots = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
+        Algorithms.biconnectedComponents(und, roots, 2, 6)
+          .select(explode(array(col("src"), col("dst"))).as("key"), col("bicomp"))
+          .groupBy("key").agg(countDistinct("bicomp").as("nc"))
+          .filter(col("nc") >= 2)
+          .select(substring_index(col("key"), ":", 1).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("n_articulation"))
+          .orderBy("label")
+      },
+      """SELECT 'nation' AS label, count(*) AS n_articulation
+        |FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |   OR EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        |ORDER BY label""".stripMargin),
+
     "g24_astar_path" -> QDef(
       (s, d) => {
         val n = Tables(s, d, "nation")

@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Property-graph view over the driver testdata (SURVEY.md §1.3 model:
@@ -88,11 +88,14 @@ object TpchGraph {
   * driver-side convergence loop) so results are deterministic and the
   * driver's oracle can unroll the same number of steps in SQL.
   *
-  * Each iteration ends in `localCheckpoint()` — without it the
-  * accumulator frame appears twice in the next iteration's plan (union +
-  * join) and Spark recomputes ~2^k subplans by iteration k. Checkpointing
-  * keeps the work linear in iterations, which is exactly how iterative
-  * graph frameworks on Spark (GraphFrames, GraphX Pregel) handle lineage.
+  * Lineage policy (measured, see round-3 PERF.md): an accumulator that the
+  * next iteration references twice (union + join) doubles the logical plan
+  * every round — unchecked that is 2^k by iteration k, and even bounded
+  * fusion loses on a COLD JVM, where every over-sized fused stage compiles
+  * fresh generated code. Loops therefore cut lineage every round by
+  * default (identical per-round plan shapes → Catalyst + codegen caches
+  * hit), with lazy/periodic/none variants selectable via GRAFT_CKPT_MODE
+  * for warm-loop embedding (see [[Algorithms.chk]]).
   * At cluster scale each iteration is one shuffle on the node key.
   *
   * Reference counterparts: BFS `graph_engine/src/lib.rs:4674-4790`,
@@ -100,6 +103,32 @@ object TpchGraph {
   * `:6898-6941`, PageRank `:6943-7055`.
   */
 object Algorithms {
+
+  /** Per-round lineage cut. The DEFAULT is an eager cut every round —
+    * measured this round (PERF.md §Round 3) as the best policy for a
+    * cold JVM, which is what the bench and any one-shot query sees: every
+    * iteration re-runs an identically-shaped small plan, so Catalyst
+    * work and generated code are cached across rounds. Fused/periodic
+    * variants win warm but lose 2–4× cold (unique oversized codegen per
+    * stage); they stay available via GRAFT_CKPT_MODE ("lazy1" = lazy cut
+    * every round, "periodic" = lazy cut every `every` rounds, "none") for
+    * warm-loop embedding, where "periodic" is the right choice.
+    */
+  private val ckptMode = sys.env.getOrElse("GRAFT_CKPT_MODE", "eager")
+  private def chk(df: DataFrame, i: Int, last: Int, every: Int = 4): DataFrame = ckptMode match {
+    case "lazy1" => df.localCheckpoint(false)
+    case "none" => df
+    case "periodic" => if (i % every == 0 && i != last) df.localCheckpoint(false) else df
+    case _ => df.localCheckpoint()
+  }
+
+  /** Loop-body lineage cut for call sites outside this object (same
+    * policy switch as [[chk]], without round bookkeeping). */
+  def cut(df: DataFrame): DataFrame = ckptMode match {
+    case "lazy1" | "periodic" => df.localCheckpoint(false)
+    case "none" => df
+    case _ => df.localCheckpoint()
+  }
 
   /** Min-depth BFS from `source` to `maxDepth` over `edges` (directed as
     * given — pass the symmetric closure for undirected semantics).
@@ -110,12 +139,12 @@ object Algorithms {
     var reached = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0).as("depth"))
     var frontier = reached
     for (i <- 1 to maxDepth) {
-      val next = frontier.join(e, col("key") === col("src"))
+      val next = chk(frontier.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), lit(i).as("depth"))
         .distinct()
-        .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti")
-        .localCheckpoint()
-      reached = reached.union(next).localCheckpoint()
+        .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti"),
+        i, maxDepth)
+      reached = reached.union(next)
       frontier = next
     }
     // min() guards duplicate keys if maxDepth revisits via shorter paths
@@ -129,10 +158,10 @@ object Algorithms {
   def sssp(edges: DataFrame, source: String, iters: Int): DataFrame = {
     val e = edges.select("src", "dst", "w")
     var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val relaxed = dist.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
-      dist = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost")).localCheckpoint()
+      dist = chk(dist.union(relaxed).groupBy("key").agg(min("cost").as("cost")), i, iters)
     }
     dist
   }
@@ -143,11 +172,11 @@ object Algorithms {
   def connectedComponents(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val e = undirectedEdges.select("src", "dst")
     var labels = nodes.select(col("key"), col("key").as("component"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val viaNeighbor = labels.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), col("component"))
-      labels = labels.union(viaNeighbor).groupBy("key").agg(min("component").as("component"))
-        .localCheckpoint()
+      labels = chk(labels.union(viaNeighbor).groupBy("key").agg(min("component").as("component")),
+        i, iters)
     }
     labels
   }
@@ -158,10 +187,10 @@ object Algorithms {
   def minReachLabel(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst")
     var f = nodes.select(col("key"), col("key").as("lbl"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val pulled = e.join(f.select(col("key").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("key"), col("lbl"))
-      f = f.union(pulled).groupBy("key").agg(min("lbl").as("lbl")).localCheckpoint()
+      f = chk(f.union(pulled).groupBy("key").agg(min("lbl").as("lbl")), i, iters)
     }
     f
   }
@@ -177,12 +206,13 @@ object Algorithms {
     * component size.
     */
   def reachClosure(edges: DataFrame, rounds: Int): DataFrame = {
-    var c = edges.select("src", "dst").distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var c = edges.select("src", "dst").distinct()
+    for (i <- 1 to rounds) {
       val two = c.select(col("src"), col("dst").as("mid"))
         .join(c.select(col("src").as("mid"), col("dst")), Seq("mid"))
         .select("src", "dst")
-      c = c.union(two).distinct().localCheckpoint()
+      // 3 references per round → plan ×3^rounds unchecked; cut every 2.
+      c = chk(c.union(two).distinct(), i, rounds, 2)
     }
     c
   }
@@ -201,7 +231,7 @@ object Algorithms {
     */
   def stronglyConnectedComponents(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, iters - 1)))
-    val cl = reachClosure(edges, rounds).localCheckpoint()
+    val cl = reachClosure(edges, rounds).localCheckpoint(false)
     val fwd = nodes.select(col("key"), col("key").as("lbl"))
       .union(cl.select(col("src").as("key"), col("dst").as("lbl")))
       .groupBy("key").agg(min("lbl").as("flbl"))
@@ -221,15 +251,16 @@ object Algorithms {
   def eigenvector(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val e = undirectedEdges.select("src", "dst")
     var x = nodes.select(col("key"), lit(1.0).as("x"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val ax = x.join(e, col("key") === col("src"))
         .groupBy(col("dst").as("key")).agg(sum("x").as("ax"))
       val mx = ax.agg(max("ax").as("mx"))
-      x = nodes.select(col("key"))
+      // ax is referenced twice (values + max) → plan ×~2/round; cut every 3.
+      x = chk(nodes.select(col("key"))
         .join(ax, Seq("key"), "left")
         .crossJoin(mx)
-        .select(col("key"), (coalesce(col("ax"), lit(0.0)) / col("mx")).as("x"))
-        .localCheckpoint()
+        .select(col("key"), (coalesce(col("ax"), lit(0.0)) / col("mx")).as("x")),
+        i, iters, 3)
     }
     x
   }
@@ -255,13 +286,15 @@ object Algorithms {
       lit(0).as("dist"), lit(1L).as("sigma"))
     var frontier = reached
     for (i <- 1 to maxDepth) {
-      val expand = frontier.join(e, col("key") === col("src"))
+      // reached is re-read by both passes — cut lineage periodically but
+      // let short traversals stay one fused plan.
+      val expand = chk(frontier.join(e, col("key") === col("src"))
         .groupBy(col("source"), col("dst"))
         .agg(sum("sigma").as("sigma"))
         .join(reached.select(col("source"), col("key").as("dst")), Seq("source", "dst"), "left_anti")
-        .select(col("source"), col("dst").as("key"), lit(i).as("dist"), col("sigma"))
-        .localCheckpoint()
-      reached = reached.union(expand).localCheckpoint()
+        .select(col("source"), col("dst").as("key"), lit(i).as("dist"), col("sigma")),
+        i, maxDepth, 3)
+      reached = reached.union(expand)
       frontier = expand
     }
     // backward: delta per (source, key), deepest level = 0.0, then each
@@ -276,11 +309,11 @@ object Algorithms {
         .join(upper, Seq("source", "dst"))
         .groupBy("source", "key")
         .agg(sum((col("sigma").cast("double") / col("sigw")) * (lit(1.0) + col("dw"))).as("dsum"))
-      delta = delta.union(
-        level.join(contrib, Seq("source", "key"), "left")
-          .select(col("source"), col("key"), col("dist"), col("sigma"),
-            coalesce(col("dsum"), lit(0.0)).as("delta"))
-        ).localCheckpoint()
+      val levelDelta = chk(level.join(contrib, Seq("source", "key"), "left")
+        .select(col("source"), col("key"), col("dist"), col("sigma"),
+          coalesce(col("dsum"), lit(0.0)).as("delta")),
+        maxDepth - lvl, maxDepth - 1, 4)
+      delta = delta.union(levelDelta)
     }
     delta.filter(col("key") =!= col("source"))
       .groupBy("key").agg(sum("delta").as("betweenness"))
@@ -300,42 +333,119 @@ object Algorithms {
     * `h`: (key, h) frame. Returns one row (from_key, to_key, cost).
     */
   def astar(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst", "w")
-    var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
-    for (_ <- 1 to iters) {
-      val relaxed = dist.join(e, col("key") === col("src"))
-        .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
-      val merged = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
-      val bound = merged.filter(col("key") === target).agg(min("cost").as("bound"))
-      dist = merged.join(h, Seq("key"), "left")
-        .crossJoin(bound)
-        .filter(col("bound").isNull ||
-          (col("cost") + coalesce(col("h"), lit(0.0))) <= col("bound"))
-        .select("key", "cost")
-        .localCheckpoint()
-    }
-    dist.filter(col("key") === target)
+    astarLoop(edges, h, source, target, iters)
+      .filter(col("key") === target)
       .select(lit(source).as("from_key"), col("key").as("to_key"), col("cost"))
   }
 
   /** Frontier size probe for [[astar]] pruning tests: same loop, returns
     * the surviving label count after `iters` rounds. */
-  def astarSettledCount(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): Long = {
+  def astarSettledCount(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): Long =
+    astarLoop(edges, h, source, target, iters).count()
+
+  /** Shared A* relaxation loop. The prune bound is read from the PREVIOUS
+    * round's labels — it is still the cost of a known complete path (an
+    * upper bound on C*, so nodes on an optimal path always survive: g*+h ≤
+    * C* ≤ bound), just one round laggier than recomputing it mid-plan.
+    * That halves the per-round plan: the merged frame is referenced once,
+    * and the bound is a one-row aggregate over the materialized labels.
+    */
+  private def astarLoop(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): DataFrame = {
     val e = edges.select("src", "dst", "w")
+    val hp = h.select("key", "h")
     var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      val bound = dist.filter(col("key") === target).agg(min("cost").as("bound"))
       val relaxed = dist.join(e, col("key") === col("src"))
         .select(col("dst").as("key"), (col("cost") + col("w")).as("cost"))
-      val merged = dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
-      val bound = merged.filter(col("key") === target).agg(min("cost").as("bound"))
-      dist = merged.join(h, Seq("key"), "left")
+      // dist is referenced 3× per round (bound, relax, union) → cut every 2.
+      dist = chk(dist.union(relaxed).groupBy("key").agg(min("cost").as("cost"))
+        .join(hp, Seq("key"), "left")
         .crossJoin(bound)
         .filter(col("bound").isNull ||
           (col("cost") + coalesce(col("h"), lit(0.0))) <= col("bound"))
-        .select("key", "cost")
-        .localCheckpoint()
+        .select("key", "cost"),
+        i, iters, 2)
     }
-    dist.count()
+    dist
+  }
+
+  /** Biconnected components, Tarjan–Vishkin style (the sequential
+    * reference uses a DFS low-link stack — `algorithms/biconnected.rs` —
+    * which has no distributed analogue; the auxiliary-graph formulation
+    * does): build a BFS spanning forest from `roots`, walk each non-tree
+    * edge's fundamental cycle to its LCA (join-based climb, one round per
+    * tree level), link the cycle's tree edges to the non-tree edge in an
+    * edge-auxiliary graph, and run min-label connected components over it.
+    * Fundamental cycles generate the cycle space, so the transitive
+    * closure of "shares a fundamental cycle" is exactly the biconnected
+    * relation. Edges in no cycle (bridges) stay singleton components.
+    *
+    * Every stage is a join/groupBy on node or edge keys — at cluster scale
+    * it is O(depth + cycleLen + ccIters) shuffles, each partitioned by
+    * key, with no driver-side state.
+    *
+    * Returns (src, dst, bicomp) for each undirected edge (src < dst),
+    * bicomp = min edge id in its component.
+    */
+  def biconnectedComponents(und: DataFrame, roots: DataFrame, maxDepth: Int, ccIters: Int): DataFrame = {
+    val e = und.select("src", "dst")
+    // BFS forest: (key, parent, depth). Roots are their own parents.
+    var tree = roots.select(col("key"), col("key").as("parent"), lit(0).as("depth"))
+      .transform(cut)
+    var frontier = tree
+    for (i <- 1 to maxDepth) {
+      val next = frontier.join(e, col("key") === col("src"))
+        .groupBy(col("dst")).agg(min(col("key")).as("parent")) // deterministic parent: min neighbor
+        .join(tree.select(col("key").as("dst")), Seq("dst"), "left_anti")
+        .select(col("dst").as("key"), col("parent"), lit(i).as("depth"))
+        .transform(cut)
+      tree = tree.union(next)
+      frontier = next
+    }
+    val treeCut = tree.transform(cut)
+    val eid = (a: Column, b: Column) => concat(least(a, b), lit("|"), greatest(a, b))
+    val treeEdgeIds = treeCut.filter(col("depth") > 0).select(eid(col("key"), col("parent")).as("id"))
+    // canonical undirected edges + their ids
+    val edgesC = e.filter(col("src") < col("dst")).distinct()
+      .select(col("src"), col("dst"), eid(col("src"), col("dst")).as("id"))
+      .transform(cut)
+    val nonTree = edgesC.join(treeEdgeIds, Seq("id"), "left_anti")
+    // climb both endpoints of each non-tree edge to the LCA, emitting the
+    // tree edges on the way: state (cid, a, da, b, db), the deeper side
+    // steps to its parent each round (both step on a tie).
+    val pa = treeCut.select(col("key"), col("parent"), col("depth"))
+    var state = nonTree
+      .join(pa.select(col("key").as("src"), col("depth").as("da")), Seq("src"))
+      .join(pa.select(col("key").as("dst"), col("depth").as("db")), Seq("dst"))
+      .select(col("id").as("cid"), col("src").as("a"), col("da"), col("dst").as("b"), col("db"))
+      .transform(cut)
+    var links = state.limit(0).select(col("cid"), col("cid").as("tid")) // (cycle id, tree-edge id)
+    for (_ <- 1 to maxDepth) {
+      val live = state.filter(col("a") =!= col("b"))
+      val stepA = col("da") >= col("db") // deeper (or tied) a-side steps
+      val stepB = col("db") >= col("da")
+      val stepped = live
+        .join(pa.select(col("key").as("a"), col("parent").as("pa2"), col("depth").as("da2")), Seq("a"))
+        .join(pa.select(col("key").as("b"), col("parent").as("pb2"), col("depth").as("db2")), Seq("b"))
+      links = links
+        .union(stepped.filter(stepA).select(col("cid"), eid(col("a"), col("pa2")).as("tid")))
+        .union(stepped.filter(stepB).select(col("cid"), eid(col("b"), col("pb2")).as("tid")))
+      state = stepped.select(col("cid"),
+          when(stepA, col("pa2")).otherwise(col("a")).as("a"),
+          when(stepA, col("da2") - 1).otherwise(col("da")).as("da"),
+          when(stepB, col("pb2")).otherwise(col("b")).as("b"),
+          when(stepB, col("db2") - 1).otherwise(col("db")).as("db"))
+        .transform(cut)
+    }
+    // edge-auxiliary graph: every edge id is a node; a cycle's non-tree id
+    // links to each tree edge id on it. Min-label CC over it.
+    val auxEdges = links.select(col("cid").as("src"), col("tid").as("dst"))
+    val auxUnd = auxEdges.union(auxEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val auxNodes = edgesC.select(col("id").as("key"))
+    val cc = connectedComponents(auxUnd, auxNodes, ccIters)
+    edgesC.join(cc, edgesC("id") === cc("key"))
+      .select(col("src"), col("dst"), col("component").as("bicomp"))
   }
 
   /** PageRank, `iters` fixed iterations, damping 0.85, init 1.0, no
@@ -346,14 +456,14 @@ object Algorithms {
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val contrib = edges.join(outDeg, "src")
     var pr = nodes.select(col("key"), lit(1.0).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val mass = pr.join(contrib, col("key") === col("src"))
         .select(col("dst"), (col("pr") / col("od")).as("m"))
         .groupBy("dst").agg(sum("m").as("mass"))
-      pr = nodes.select(col("key"))
+      pr = chk(nodes.select(col("key"))
         .join(mass, col("key") === col("dst"), "left")
-        .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")),
+        i, iters)
     }
     pr
   }

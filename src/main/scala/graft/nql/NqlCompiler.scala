@@ -47,7 +47,9 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
   /** Property-graph node view: the TPC-H-derived base overlaid with
     * store-created nodes (NODE CREATE writes an entity whose props carry
     * label/name; store wins on key collision — the lakehouse overlay
-    * pattern, no base rewrite).
+    * pattern, no base rewrite). Store tombstones mask base rows too, so
+    * NODE DELETE of a base key (or of a previously-overlaid base key)
+    * deletes the node instead of resurrecting the base row.
     */
   private def allNodes: DataFrame = {
     val base = TpchGraph.nodes(spark, sfDir)
@@ -57,16 +59,20 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         val overlay = st.entities.select(col("key"),
           coalesce(element_at(col("props"), "label"), lit("entity")).as("label"),
           coalesce(element_at(col("props"), "name"), col("key")).as("name"))
-        overlay.union(base.join(overlay.select("key"), Seq("key"), "left_anti"))
+        val masked = overlay.select("key").union(st.deletedKeys)
+        overlay.union(base.join(masked, Seq("key"), "left_anti"))
     }
   }
 
-  /** Edge view: derived base edges plus store-created edges. */
+  /** Edge view: derived base edges plus store-created edges; edge
+    * tombstones mask base edges of the same (src, dst, etype) identity. */
   private def allEdges: DataFrame = {
     val base = TpchGraph.edges(spark, sfDir)
     store match {
       case None => base
-      case Some(st) => base.union(st.edges.select("src", "dst", "etype"))
+      case Some(st) =>
+        base.join(st.deletedEdges, Seq("src", "dst", "etype"), "left_anti")
+          .union(st.edges.select("src", "dst", "etype"))
     }
   }
 
@@ -292,7 +298,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       for (h <- 2 to ep.maxHops) {
         hop = hop.select(col("f"), col("t").as("mid"))
           .join(base.select(col("f").as("mid"), col("t")), Seq("mid"))
-          .select("f", "t").distinct().localCheckpoint()
+          .select("f", "t").distinct().transform(Algorithms.cut)
         if (h >= ep.minHops) acc = if (acc == null) hop else acc.union(hop)
       }
       acc.distinct()

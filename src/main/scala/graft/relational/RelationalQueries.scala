@@ -401,17 +401,23 @@ object RelationalQueries {
         |ORDER BY event_id""".stripMargin),
 
     // HyperLogLog++ approximate distinct — sketch estimates are
-    // implementation-specific, so there is deliberately no DuckDB oracle
-    // (driver records the weaker rows-only check); ApproxDistinctSpec
-    // bounds the estimate against the exact count instead. At 100 TB this
-    // is the distinct-count that doesn't shuffle raw keys: partial
-    // sketches merge map-side.
+    // implementation-specific, so the sketch value itself can't be
+    // oracle-matched against DuckDB. Instead the gated output asserts the
+    // estimate's accuracy: `approx_ok` is computed Spark-side as
+    // |approx − exact| ≤ 5%·exact and the oracle expects literal TRUE, so
+    // a drifting sketch fails the hash gate. ApproxDistinctSpec bounds the
+    // estimate in unit tests too. At 100 TB the sketch column is the
+    // distinct-count that doesn't shuffle raw keys (partial sketches merge
+    // map-side); the exact column here is the verification harness.
     "q32_approx_count_distinct" -> QDef(
       (s, d) => t(s, d, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <= col("n_users") * 0.05).as("approx_ok"))
         .orderBy("event_type"),
-      None)
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

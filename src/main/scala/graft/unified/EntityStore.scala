@@ -50,34 +50,52 @@ final class EntityStore(spark: SparkSession, path: String) {
 
   // A store that has never been written has no parquet dir yet — read as
   // empty rather than failing, so overlay views (NODE GET over base ∪
-  // store) work on a fresh store.
-  private def readLog(dir: String, schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+  // store) work on a fresh store. Existence is probed through the Hadoop
+  // FileSystem API so non-local store paths (hdfs://, s3a://) behave the
+  // same as file:// ones.
+  private def readLog(dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
-  /** Latest-wins live view of entities. */
-  def entities: DataFrame = {
+  /** Latest record per key, tombstones included. */
+  private def latestEntities: DataFrame = {
     val w = Window.partitionBy("key").orderBy(desc("seq"))
     readLog(entityDir, StructType(Seq(
       StructField("key", StringType), StructField("props", MapType(StringType, StringType)),
       StructField("embedding", ArrayType(FloatType)), StructField("deleted", BooleanType),
       StructField("seq", LongType))))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && !col("deleted"))
-      .drop("rn", "deleted", "seq")
+      .filter(col("rn") === 1)
+      .drop("rn", "seq")
   }
 
-  /** Latest-wins live view of edges. */
-  def edges: DataFrame = {
+  /** Latest record per (src, dst, etype), tombstones included. */
+  private def latestEdges: DataFrame = {
     val w = Window.partitionBy("src", "dst", "etype").orderBy(desc("seq"))
     readLog(edgeDir, StructType(Seq(
       StructField("src", StringType), StructField("dst", StringType),
       StructField("etype", StringType), StructField("deleted", BooleanType),
       StructField("seq", LongType))))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && !col("deleted"))
-      .drop("rn", "deleted", "seq")
+      .filter(col("rn") === 1)
+      .drop("rn", "seq")
   }
+
+  /** Latest-wins live view of entities. */
+  def entities: DataFrame = latestEntities.filter(!col("deleted")).drop("deleted")
+
+  /** Latest-wins live view of edges. */
+  def edges: DataFrame = latestEdges.filter(!col("deleted")).drop("deleted")
+
+  /** Keys whose latest record is a tombstone — overlay readers anti-join
+    * their base relation against these so a delete masks base rows too. */
+  def deletedKeys: DataFrame = latestEntities.filter(col("deleted")).select("key")
+
+  /** Edge identities whose latest record is a tombstone. */
+  def deletedEdges: DataFrame = latestEdges.filter(col("deleted")).select("src", "dst", "etype")
 
   /** 1-hop neighbors (out + in). */
   def neighbors(key: String): DataFrame = {

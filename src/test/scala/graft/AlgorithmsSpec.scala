@@ -38,6 +38,29 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(bc("a") == 1.0 && bc("d") == 1.0) // a,d relay b↔c paths (σ=2 each way)
   }
 
+  test("biconnected components: two triangles sharing a vertex + a pendant bridge") {
+    // a-b-c triangle, c-d-e triangle, e-f pendant. Expected: each triangle
+    // is one 3-edge component, e-f is a bridge (singleton); articulation
+    // points are c (joins the triangles) and e (triangle + bridge).
+    val g = und("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d", "d" -> "e", "c" -> "e", "e" -> "f")
+    val roots = Seq("a").toDF("key")
+    val bc = Algorithms.biconnectedComponents(g, roots, 4, 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(bc.size == 7)
+    val t1 = Set(("a", "b"), ("b", "c"), ("a", "c")).map(bc)
+    val t2 = Set(("c", "d"), ("d", "e"), ("c", "e")).map(bc)
+    assert(t1.size == 1, s"triangle 1 split: $t1")
+    assert(t2.size == 1, s"triangle 2 split: $t2")
+    assert(t1 != t2, "distinct triangles merged")
+    assert(!t1.contains(bc(("e", "f"))) && !t2.contains(bc(("e", "f"))), "bridge absorbed")
+    // articulation points = nodes incident to >= 2 components
+    val arts = Algorithms.biconnectedComponents(g, roots, 4, 6)
+      .select(explode(array(col("src"), col("dst"))).as("key"), col("bicomp"))
+      .groupBy("key").agg(countDistinct("bicomp").as("nc"))
+      .filter(col("nc") >= 2).collect().map(_.getString(0)).toSet
+    assert(arts == Set("c", "e"))
+  }
+
   test("A* returns the Dijkstra cost and prunes the frontier") {
     // 0..9 line-with-shortcuts: edge iff |i-j| <= 3, w = (i-j)^2; optimal
     // 0→5 walks key-by-key (convex weights), cost 5.

@@ -129,6 +129,26 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("NODE CREATE 'x' LABEL 'l'"))
   }
 
+  test("NODE/EDGE DELETE tombstones mask base-graph rows") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-del-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // deleting a base node removes it from the overlay view
+    assert(runS("NODE GET 'nation:1'").count() == 1)
+    runS("NODE DELETE 'nation:1'")
+    assert(runS("NODE GET 'nation:1'").count() == 0)
+    // deleting a previously-overlaid base key deletes the node outright
+    // (must not resurrect the original base row)
+    runS("NODE CREATE 'nation:2' LABEL 'nation' NAME 'renamed'")
+    assert(runS("NODE GET 'nation:2'").collect()(0).getString(2) == "renamed")
+    runS("NODE DELETE 'nation:2'")
+    assert(runS("NODE GET 'nation:2'").count() == 0)
+    // deleting a base edge reduces degree below the base count
+    val degBase = run("DEGREE 'nation:0'").collect()(0).getLong(1)
+    runS("EDGE DELETE 'nation:0' TO 'region:0' TYPE 'in_region'")
+    assert(runS("DEGREE 'nation:0'").collect()(0).getLong(1) == degBase - 1)
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

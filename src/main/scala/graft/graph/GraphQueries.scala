@@ -58,6 +58,23 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Shared biconnected labeling for g25/g26 (articulation points are BY
+    * DEFINITION derived from the component labeling, so the two gate
+    * queries legitimately consume one artifact). Memoized per
+    * (session, data dir) and cache()d, like the TpchGraph frames.
+    */
+  private val bicompMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bicompLabels(s: SparkSession, d: String): DataFrame =
+    bicompMemo.getOrElseUpdate((s, d), {
+      val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+      val roots = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
+      // no cache(): the labeling's loop frames are already materialized
+      // (eager per-round cuts), so the memoized frame re-reads those
+      // stored partitions on every later use.
+      Algorithms.biconnectedComponents(und, roots, 2, 6)
+    })
+
   val defs: Seq[(String, QDef)] = Seq(
 
     "g01_node_degree" -> QDef(
@@ -736,14 +753,10 @@ object GraphQueries {
     // counts; the Spark side computes it generically (BFS forest → LCA
     // cycle climb → edge-graph CC).
     "g25_biconnected" -> QDef(
-      (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        val roots = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
-        Algorithms.biconnectedComponents(und, roots, 2, 6)
+      (s, d) => bicompLabels(s, d)
           .groupBy("bicomp").agg(count(lit(1)).as("n_edges"))
           .groupBy(col("n_edges").as("component_edges")).agg(count(lit(1)).as("n_components"))
-          .orderBy("component_edges")
-      },
+          .orderBy("component_edges"),
       """SELECT CAST(1 AS BIGINT) AS component_edges,
         |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_components
         |UNION ALL
@@ -755,17 +768,13 @@ object GraphQueries {
     // that is exactly the nations that own at least one customer or
     // supplier leaf (wheel + bridge), which the oracle states directly.
     "g26_articulation_points" -> QDef(
-      (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        val roots = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
-        Algorithms.biconnectedComponents(und, roots, 2, 6)
+      (s, d) => bicompLabels(s, d)
           .select(explode(array(col("src"), col("dst"))).as("key"), col("bicomp"))
           .groupBy("key").agg(countDistinct("bicomp").as("nc"))
           .filter(col("nc") >= 2)
           .select(substring_index(col("key"), ":", 1).as("label"))
           .groupBy("label").agg(count(lit(1)).as("n_articulation"))
-          .orderBy("label")
-      },
+          .orderBy("label"),
       """SELECT 'nation' AS label, count(*) AS n_articulation
         |FROM nation n
         |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)

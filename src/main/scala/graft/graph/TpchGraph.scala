@@ -392,7 +392,6 @@ object Algorithms {
     val e = und.select("src", "dst")
     // BFS forest: (key, parent, depth). Roots are their own parents.
     var tree = roots.select(col("key"), col("key").as("parent"), lit(0).as("depth"))
-      .transform(cut)
     var frontier = tree
     for (i <- 1 to maxDepth) {
       val next = frontier.join(e, col("key") === col("src"))
@@ -403,6 +402,8 @@ object Algorithms {
       tree = tree.union(next)
       frontier = next
     }
+    // tree is read ~6 more times below (edge ids + two parent joins per
+    // climb round) — one cut here pays for itself.
     val treeCut = tree.transform(cut)
     val eid = (a: Column, b: Column) => concat(least(a, b), lit("|"), greatest(a, b))
     val treeEdgeIds = treeCut.filter(col("depth") > 0).select(eid(col("key"), col("parent")).as("id"))

@@ -384,6 +384,44 @@ object PipelineQueries {
     // (token, doc_id) pair index — the token-partitionable form that
     // scales — then run a conjunctive AND search through it. The oracle
     // performs the same tokenize→distinct→count-match pipeline in SQL.
+    // TF-IDF keyword extraction (top-3 tokens per document). The score is
+    // the raw-ratio variant tf · (N/df) rather than the log form: the
+    // whole expression is integer-derived IEEE arithmetic, so Spark and
+    // the oracle rank by bit-identical doubles (ln() differs in the last
+    // ulp across libms). All stages are map-side or key-partitioned
+    // aggregations — at corpus scale df is a broadcast-sized dictionary.
+    "t07_tfidf_keywords" -> QDef(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+          .filter(col("token") =!= "")
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = toks.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val nd = docs(s, d).agg(countDistinct(col("doc_id")).as("nd"))
+        val scored = tf.join(dfq, "token").crossJoin(broadcast(nd))
+          .withColumn("score",
+            col("tf").cast("double") * (col("nd").cast("double") / col("df").cast("double")))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("token"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("doc_id"), col("token"), round(col("score"), 4).as("score"))
+          .orderBy(col("doc_id"), desc("score"), col("token"))
+      },
+      """WITH raw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        |            FROM documents),
+        |tok AS (SELECT doc_id, token FROM raw WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (SELECT t.doc_id, t.token,
+        |    CAST(t.tf AS DOUBLE) * (CAST(nd.nd AS DOUBLE) / CAST(f.df AS DOUBLE)) AS score
+        |  FROM tf t JOIN dfq f USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, round(score, 4) AS score FROM (
+        |  SELECT doc_id, token, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored) x
+        |WHERE rn <= 3 ORDER BY doc_id, score DESC, token""".stripMargin),
+
     "t06_inverted_index" -> QDef(
       (s, d) => {
         val pairs = graft.text.InvertedIndex.tokenPairs(docs(s, d), "doc_id", "text")

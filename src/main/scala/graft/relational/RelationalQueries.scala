@@ -390,6 +390,68 @@ object RelationalQueries {
         |SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end
         |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin),
 
+    // As-of join — the temporal join Spark has no native operator for
+    // (reference has no temporal joins either; this is the pipeline
+    // "attach latest context to each fact" op). Implemented the scalable
+    // way: union both streams, ONE window pass per user carries the last
+    // click forward — no per-key loops, no range-join explosion; at 100 TB
+    // it is a single shuffle on user_id. Ties: a click at exactly the
+    // purchase ts is eligible (sorts first), equal-ts clicks resolve to
+    // the max event_id — the oracle's correlated top-1 mirrors both.
+    "q33_asof_join" -> QDef(
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("event_type").isin("click", "purchase"))
+          .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("click_id", last(when(col("is_p") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_ts", last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id,
+        |  (SELECT c.event_id FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id,
+        |  (SELECT epoch_us(p.ts) - epoch_us(c.ts) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS gap_us
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin),
+
+    // Range (interval) join — each signup counts the errors that same
+    // user raised within the following 60 s. The naive form is an
+    // inequality join (quadratic per user); the scale form used here bins
+    // time into window-width buckets and equi-joins on (user, bin) with
+    // the probe side exploded to its two candidate bins, then applies the
+    // exact band predicate — candidate pairs are O(events in adjacent
+    // bins), and the equi-join shuffles on (user_id, bin) like any other.
+    "q34_range_join" -> QDef(
+      (s, d) => {
+        val W = 60L * 1000000L // 60 s in microseconds
+        val ev = t(s, d, "events")
+        val sg = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t0"))
+        val er = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+          .withColumn("bin", expr(s"t1 div $W"))
+        val probes = sg.select(col("event_id"), col("user_id"), col("t0"),
+          explode(array(expr(s"t0 div $W"), expr(s"t0 div $W") + 1)).as("bin"))
+        val n = probes.join(er, Seq("user_id", "bin"))
+          .filter(col("t1") >= col("t0") && col("t1") <= col("t0") + W)
+          .groupBy("event_id").agg(count(lit(1)).as("n_errors"))
+        sg.join(n, Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+          .orderBy("event_id")
+      },
+      """SELECT s.event_id,
+        |  (SELECT count(*) FROM events e
+        |   WHERE e.user_id = s.user_id AND e.event_type = 'error'
+        |     AND epoch_us(e.ts) BETWEEN epoch_us(s.ts) AND epoch_us(s.ts) + 60000000) AS n_errors
+        |FROM events s WHERE s.event_type = 'signup' ORDER BY s.event_id""".stripMargin),
+
     "q31_json_extract" -> QDef(
       (s, d) => t(s, d, "events")
         .select(col("event_id"),

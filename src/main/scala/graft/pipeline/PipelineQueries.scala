@@ -377,6 +377,57 @@ object PipelineQueries {
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
 
+    // Streaming dedup, batch form: first event per (user, type) — the
+    // same keyed state dropDuplicates maintains on a stream (the
+    // streaming path is EventStreams.dedupStream, driven in
+    // EventStreamsSpec; its watermark bounds state at any scale).
+    "s03_stream_dedup" -> QDef(
+      (s, d) => graft.streaming.EventStreams.dedupFirstPerKey(Tables(s, d, "events"))
+        .orderBy("user_id", "event_type"),
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    // Stream-stream interval join, batch form: purchases × same-user
+    // clicks in the trailing hour, counted per purchase. The SAME
+    // join plan runs as Spark's watermark-bounded symmetric stream-stream
+    // join on readStream inputs (EventStreams.purchaseClickJoinStream).
+    "s04_stream_interval_join" -> QDef(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        graft.streaming.EventStreams.purchaseClickJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"))
+          .groupBy(col("p_id").as("event_id")).agg(count(lit(1)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id, count(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+
+    // Deterministic stratified sampling for training-data mixing: keep
+    // 50% of English documents and 10% of every other language, decided
+    // by an md5-derived hash of the doc id — reproducible on any engine,
+    // fully map-side (the only shuffle is the audit aggregation), and
+    // restratifiable at 100 TB without coordination.
+    "d06_stratified_sample" -> QDef(
+      (s, d) => {
+        val pct = expr("CAST(conv(substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100")
+        val rate = when(col("lang") === "en", 50L).otherwise(10L)
+        docs(s, d).withColumn("keep", pct < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+        |                     < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ---- multimodal plumbing: opaque binary payload + typed metadata.
     // Decode is a deterministic stub (no media libs in-container); the
     // Spark-side schema/partitioning/batch shape is real.

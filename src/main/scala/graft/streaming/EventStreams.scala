@@ -40,6 +40,45 @@ object EventStreams {
   def slidingCountsStream(events: DataFrame): DataFrame =
     slidingCounts(events.withWatermark("ts", "10 minutes"))
 
+  /** First event per (user_id, event_type) — the batch form of streaming
+    * dedup state, with a deterministic "first" = min (ts, event_id).
+    */
+  def dedupFirstPerKey(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+  }
+
+  /** Streaming dedup: watermark-scoped keyed state via dropDuplicates —
+    * keeps the first ARRIVAL per key, which equals [[dedupFirstPerKey]]
+    * when the source is event-time ordered (asserted in the spec). State
+    * is evicted by the watermark, so it is bounded at any scale.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
+
+  /** Purchases joined to same-user clicks in the preceding hour. Written
+    * once as a declarative interval join: on bounded inputs Catalyst runs
+    * it as an ordinary join; on `readStream` inputs (with watermarks, see
+    * [[purchaseClickJoinStream]]) it becomes Spark's symmetric
+    * stream-stream join whose per-side state is bounded by the watermark
+    * plus the 1 h band.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("p_ts"))
+  }
+
+  /** Watermarked stream-stream variant of [[purchaseClickJoin]]. */
+  def purchaseClickJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchaseClickJoin(purchases.withWatermark("ts", "10 minutes"),
+      clicks.withWatermark("ts", "10 minutes"))
+
   /** Per-user session state for flatMapGroupsWithState. */
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

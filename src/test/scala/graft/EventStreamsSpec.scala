@@ -40,6 +40,61 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup over a real stream matches the batch first-per-key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables(spark, sf, "events")
+      .select("ts", "user_id", "event_type", "event_id")
+      .orderBy("ts", "event_id") // event-time ordered arrival
+      .collect()
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.dedupStream(streamDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      mem.addData(events.map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .orderBy("user_id", "event_type").collect().toSeq
+      val batch = EventStreams.dedupFirstPerKey(Tables(spark, sf, "events"))
+        .orderBy("user_id", "event_type").collect().toSeq
+      assert(streamed == batch, "streaming dedup differs from batch first-per-key")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join over real streams matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = Tables(spark, sf, "events").select("ts", "user_id", "event_type", "event_id")
+    def rowsOf(t: String) = ev.filter(col("event_type") === t)
+      .select("event_id", "user_id", "ts").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pDf = memP.toDF().toDF("event_id", "user_id", "ts")
+    val cDf = memC.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.purchaseClickJoinStream(pDf, cDf)
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try {
+      memP.addData(rowsOf("purchase")); memC.addData(rowsOf("click"))
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out").orderBy("p_id", "c_id").collect().toSeq
+      val batch = EventStreams.purchaseClickJoin(
+          ev.filter(col("event_type") === "purchase"), ev.filter(col("event_type") === "click"))
+        .select("p_id", "c_id").orderBy("p_id", "c_id").collect().toSeq
+      assert(streamed == batch, "stream-stream join differs from batch join")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

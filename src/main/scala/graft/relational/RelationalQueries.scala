@@ -337,6 +337,35 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
 
+    // PIVOT with an explicit value list (deterministic schema — dynamic
+    // pivot would need a collect for the column set, which doesn't
+    // distribute); sums are per-(status, priority) cells.
+    "q35_pivot" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // CUBE — all four grouping combinations in one pass (q27 covers
+    // ROLLUP's prefix subset).
+    "q36_cube" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
     "q28_stats_aggregates" -> QDef(
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),

@@ -86,12 +86,22 @@ object PipelineQueries {
       (s, d) => {
         val w = words(s, d)
         val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // source is part of the hash-join KEY, not a post-probe filter: the
-        // vocabulary is tiny (~31 words), so joining on w alone would probe
-        // |docs-per-word|² pairs; (w, source) keeps each bucket ~20× smaller.
-        val inter = w.select(col("doc_id").as("da"), col("source"), col("w"))
-          .join(w.select(col("doc_id").as("db"), col("source"), col("w")),
-            Seq("w", "source"))
+        // Candidate keying (both are provably lossless for j >= 0.8, so
+        // the output — and the oracle — are unchanged):
+        //  - source joins as part of the hash key, not a post-probe filter
+        //    (the vocabulary is ~31 words; w alone probes |docs/word|²);
+        //  - size banding: j >= 0.8 forces na/nb in [0.8, 1.25], i.e. the
+        //    log₁.₂₅ size bands differ by at most 1 — the probe side
+        //    explodes to its 3 neighboring bands and the band joins as
+        //    part of the key, cutting each bucket by the size spread
+        //    (the PPJoin-style length filter).
+        val band = floor(log(col("n")) / math.log(1.25)).cast("long")
+        val wb = w.join(sz, Seq("doc_id")).withColumn("b", band)
+        val probe = wb.select(col("doc_id").as("da"), col("source"), col("w"),
+            explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+        val inter = probe
+          .join(wb.select(col("doc_id").as("db"), col("source"), col("w"), col("b")),
+            Seq("w", "source", "b"))
           .filter(col("da") < col("db"))
           .groupBy("da", "db").agg(count(lit(1)).as("c"))
         inter

@@ -56,6 +56,23 @@ object GraphXAdapters {
     out.toDF("key", "component")
   }
 
+  /** Strongly connected components via GraphX's Pregel implementation →
+    * (key, scc-key). Cross-validates the closure-squaring min-label form
+    * in [[Algorithms.stronglyConnectedComponents]], which that method
+    * notes is exact only when distinct SCCs have distinct reachability
+    * signatures — GraphX's peeling algorithm has no such caveat.
+    */
+  def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val g = toGraphX(nodes, edges)
+    val scc = g.stronglyConnectedComponents(iters).vertices // (id, minSccId)
+    val byId = g.vertices
+    scc.join(byId).map { case (_, (sccId, key)) => (sccId, key) }
+      .join(byId)
+      .map { case (_, (key, sccKeyStr)) => (key, sccKeyStr) }
+      .toDF("key", "scc")
+  }
+
   /** Triangle counts via GraphX → (key, n_triangles). */
   def triangleCount(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._

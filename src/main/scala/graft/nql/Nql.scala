@@ -45,6 +45,8 @@ sealed trait GraphAlgo extends Statement
 final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe") extends GraphAlgo
 final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
 final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
+final case class GraphBiconnected() extends GraphAlgo
+final case class GraphArticulation() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement

@@ -76,6 +76,14 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
   }
 
+  /** Biconnected labeling of the (overlay-aware) property graph, rooted
+    * at the region hubs — backs GRAPH BICONNECTED / GRAPH ARTICULATION. */
+  private def biconnectedEdges(): DataFrame = {
+    val und = TpchGraph.undirected(allEdges).select("src", "dst")
+    val roots = allNodes.filter(col("label") === "region").select("key")
+    Algorithms.biconnectedComponents(und, roots, 2, 6)
+  }
+
   def compile(st: Statement): DataFrame = st match {
     case SqlPassthrough(sql) =>
       registerViews()
@@ -234,6 +242,18 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           .groupBy("key").agg(count(lit(1)).as("n_triangles"))
           .orderBy("key")
       }
+
+    case GraphBiconnected() =>
+      biconnectedEdges()
+        .groupBy("bicomp").agg(count(lit(1)).as("n_edges"))
+        .orderBy(desc("n_edges"), col("bicomp"))
+
+    case GraphArticulation() =>
+      biconnectedEdges()
+        .select(explode(array(col("src"), col("dst"))).as("key"), col("bicomp"))
+        .groupBy("key").agg(countDistinct("bicomp").as("n_components"))
+        .filter(col("n_components") >= 2)
+        .orderBy("key")
 
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")

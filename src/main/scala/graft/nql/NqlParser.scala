@@ -222,6 +222,8 @@ object NqlParser {
         GraphPageRank(it, engine())
       case "COMPONENTS" => GraphComponents(engine())
       case "TRIANGLES" => GraphTriangles(engine())
+      case "BICONNECTED" => GraphBiconnected()
+      case "ARTICULATION" => GraphArticulation()
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

@@ -355,6 +355,33 @@ object RelationalQueries {
         |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // UNPIVOT (stack) — q35's wide frame folded back to long form; null
+    // cells are KEPT (matches SQL UNION-arm semantics; DuckDB's UNPIVOT
+    // keyword drops them, so the oracle uses explicit arms).
+    "q37_unpivot" -> QDef(
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val wide = t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(round(sum("o_totalprice"), 2))
+        val stackArgs = prios.map(p => s"'$p', `$p`").mkString(", ")
+        wide.selectExpr("o_orderstatus",
+            s"stack(${prios.size}, $stackArgs) AS (priority, total)")
+          .orderBy("o_orderstatus", "priority")
+      }, {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val arms = prios.map(p =>
+          s"""SELECT o_orderstatus, '$p' AS priority, "$p" AS total FROM wide""")
+          .mkString("\n  UNION ALL ")
+        s"""WITH wide AS (
+           |  SELECT o_orderstatus,
+           |${prios.map(p => s"    round(sum(CASE WHEN o_orderpriority = '$p' THEN o_totalprice END), 2) AS \"$p\"").mkString(",\n")}
+           |  FROM orders GROUP BY o_orderstatus)
+           |$arms
+           |ORDER BY o_orderstatus, priority""".stripMargin
+      }),
+
     // CUBE — all four grouping combinations in one pass (q27 covers
     // ROLLUP's prefix subset).
     "q36_cube" -> QDef(

@@ -37,6 +37,21 @@ class GraphXAdaptersSpec extends AnyFunSuite {
     df.foreach { case (k, n) => assert(gx.getOrElse(k, 0L) == n, s"mismatch at $k") }
   }
 
+  test("GraphX SCC partitions match the closure-squaring DF impl") {
+    val e = TpchGraph.treeEdges(spark, sf).union(TpchGraph.nationCycleEdges(spark, sf))
+    val gx = GraphXAdapters.stronglyConnectedComponents(nodes, e, 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val df = Algorithms.stronglyConnectedComponents(e, nodes, 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gx.keySet == df.keySet)
+    // same partition into SCCs (representative choice may differ)
+    val gxGroups = gx.groupBy(_._2).values.map(_.keySet).toSet
+    val dfGroups = df.groupBy(_._2).values.map(_.keySet).toSet
+    assert(gxGroups == dfGroups)
+    // 5 nation rings of size 5, everything else a singleton
+    assert(gxGroups.count(_.size == 5) == 5)
+  }
+
   test("GraphX static PageRank ranks hubs like the DF impl") {
     val tree = TpchGraph.treeEdges(spark, sf)
     val gx = GraphXAdapters.pageRank(nodes, tree, 10)

@@ -63,6 +63,12 @@ class NqlSpec extends AnyFunSuite {
     assert(run("GRAPH COMPONENTS").count() == 5)
     assert(run("GRAPH PAGERANK ITERATIONS 5").count() > 0)
     assert(run("GRAPH TRIANGLES").count() == 25)
+    // 5 region wheels (15 edges each) + every leaf edge its own bridge
+    assert(run("GRAPH BICONNECTED").filter(col("n_edges") === 15).count() == 5)
+    // articulation points are exactly the leaf-owning nations
+    val arts = run("GRAPH ARTICULATION")
+    assert(arts.count() == 25 &&
+      arts.collect().forall(_.getString(0).startsWith("nation:")))
   }
 
   test("EMBED GET / ENTITY GET / FIND ROWS") {

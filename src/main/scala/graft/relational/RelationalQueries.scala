@@ -393,6 +393,30 @@ object RelationalQueries {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
 
+    // Quantile sketch (GK approx_percentile), gated like q32: the exact
+    // interpolated quantiles are hash-matched and `approx_ok` asserts the
+    // sketch lands within 2% of the value range — the sketch is the
+    // no-full-sort path at scale, the exact column is the harness.
+    "q38_approx_quantiles" -> QDef(
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("exact"),
+          expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)").as("approx"),
+          (max("value") - min("value")).as("rng"))
+        .select(col("event_type"),
+          round(element_at(col("exact"), 1), 4).as("p25"),
+          round(element_at(col("exact"), 2), 4).as("p50"),
+          round(element_at(col("exact"), 3), 4).as("p75"),
+          expr("forall(zip_with(exact, approx, (e, a) -> abs(e - a) <= 0.02 * rng), x -> x)")
+            .as("approx_ok"))
+        .orderBy("event_type"),
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     "q28_stats_aggregates" -> QDef(
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),

@@ -198,6 +198,83 @@ object GraphQueries {
         |FROM inter JOIN sz x ON sa = x.l_suppkey JOIN sz y ON sb = y.l_suppkey
         |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin),
 
+    // Node-similarity suite (reference `algorithms/similarity.rs` —
+    // Jaccard is g08): common-neighbors, preferential-attachment,
+    // Adamic-Adar and resource-allocation over the supplier co-purchase
+    // neighborhoods, ranked by the integer common-neighbor count so the
+    // top-20 cut is float-free and deterministic. All four are one
+    // neighbor-set self-join + aggregations — the clean DF fit.
+    "g28_node_similarity_suite" -> QDef(
+      (s, d) => {
+        val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
+        val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        val pd = sp.groupBy("l_partkey").agg(count(lit(1)).as("pdeg"))
+        val pairs = sp.select(col("l_suppkey").as("sa"), col("l_partkey"))
+          .join(sp.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
+          .filter(col("sa") < col("sb"))
+        val agg = pairs.join(pd, Seq("l_partkey"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("common_n"),
+            round(sum(lit(1.0) / log(col("pdeg"))), 4).as("adamic_adar"),
+            round(sum(lit(1.0) / col("pdeg")), 4).as("resource_alloc"))
+        agg
+          .join(sz.select(col("l_suppkey").as("sa"), col("n").as("na")), Seq("sa"))
+          .join(sz.select(col("l_suppkey").as("sb"), col("n").as("nb")), Seq("sb"))
+          .select(col("sa"), col("sb"), col("common_n"),
+            (col("na") * col("nb")).as("pref_attach"),
+            col("adamic_adar"), col("resource_alloc"))
+          .orderBy(desc("common_n"), col("sa"), col("sb")).limit(20)
+      },
+      """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_suppkey, count(*) AS n FROM sp GROUP BY 1),
+        |pd AS (SELECT l_partkey, count(*) AS pdeg FROM sp GROUP BY 1),
+        |pairs AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.l_partkey
+        |          FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |agg AS (SELECT sa, sb, count(*) AS common_n,
+        |          round(sum(1.0 / ln(pd.pdeg)), 4) AS adamic_adar,
+        |          round(sum(1.0 / pd.pdeg), 4) AS resource_alloc
+        |        FROM pairs JOIN pd USING (l_partkey) GROUP BY sa, sb)
+        |SELECT sa, sb, common_n, CAST(x.n * y.n AS BIGINT) AS pref_attach,
+        |       adamic_adar, resource_alloc
+        |FROM agg JOIN sz x ON sa = x.l_suppkey JOIN sz y ON sb = y.l_suppkey
+        |ORDER BY common_n DESC, sa, sb LIMIT 20""".stripMargin),
+
+    // ALL PATHS (reference `lib.rs:5076-5400`): bounded cycle-free path
+    // ENUMERATION (not just endpoint census — the full path string is the
+    // output), depth ≤ 2 from region:0 over parent→child tree edges.
+    // Each round extends the frontier's path array by one join and drops
+    // extensions that revisit a node (array_contains cycle check).
+    "g27_all_paths" -> QDef(
+      (s, d) => {
+        val rev = TpchGraph.treeEdges(s, d).select(col("dst").as("src"), col("src").as("dst"))
+        var frontier = rev.filter(col("src") === "region:0")
+          .select(col("dst").as("key"), array(lit("region:0"), col("dst")).as("path"))
+        var all = frontier
+        for (_ <- 2 to 2) {
+          frontier = frontier.join(rev, col("key") === col("src"))
+            .filter(!array_contains(col("path"), col("dst")))
+            .select(col("dst").as("key"), concat(col("path"), array(col("dst"))).as("path"))
+          all = all.union(frontier)
+        }
+        all.select(array_join(col("path"), "->").as("path"),
+            (size(col("path")) - 1).as("hops"))
+          .orderBy("path")
+      },
+      """WITH p1 AS (
+        |  SELECT 'region:0' || '->' || ('nation:' || CAST(n_nationkey AS VARCHAR)) AS path, 1 AS hops
+        |  FROM nation WHERE n_regionkey = 0),
+        |p2 AS (
+        |  SELECT 'region:0' || '->' || ('nation:' || CAST(n.n_nationkey AS VARCHAR))
+        |         || '->' || ('customer:' || CAST(c.c_custkey AS VARCHAR)) AS path, 2 AS hops
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = 0
+        |  UNION ALL
+        |  SELECT 'region:0' || '->' || ('nation:' || CAST(n.n_nationkey AS VARCHAR))
+        |         || '->' || ('supplier:' || CAST(s.s_suppkey AS VARCHAR)), 2
+        |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = 0)
+        |SELECT path, hops FROM p1 UNION ALL SELECT path, hops FROM p2 ORDER BY path""".stripMargin),
+
     // variable-length path enumeration *1..2 from region:0 following
     // reversed tree edges (parent → children), endpoint census by depth.
     "g09_var_length_paths" -> QDef(

@@ -368,6 +368,39 @@ object GraphQueries {
         |SELECT c_custkey, lat, lon, dist_km FROM dist
         |WHERE dist_km <= 3000 ORDER BY c_custkey""".stripMargin),
 
+    // geo bbox + k-nearest (reference `geo.rs:93-260` — completes the geo
+    // index surface next to g13's radius): bbox is a pure predicate
+    // (partition-prunable on geohash-bucketed storage), knn ranks by the
+    // ROUNDED distance with the key as tiebreaker so the cut is
+    // deterministic on both engines.
+    "g29_geo_bbox_knn" -> QDef(
+      (s, d) => {
+        import graft.functions.GeoFunctions.haversine_km
+        val pts = Tables(s, d, "customer")
+          .withColumn("lat", (col("c_custkey") * 7 % 17000) / lit(100.0) - 85.0)
+          .withColumn("lon", (col("c_custkey") * 13 % 36000) / lit(100.0) - 180.0)
+        // box sited in the band the synthetic coordinates populate at
+        // EVERY scale factor (low custkeys map far south-west)
+        pts.filter(col("lat").between(-85.0, -40.0) && col("lon").between(-180.0, -60.0))
+          .withColumn("dist_km", round(haversine_km(col("lat"), col("lon"), lit(-60.0), lit(-120.0)), 2))
+          .select("c_custkey", "lat", "lon", "dist_km")
+          .orderBy("dist_km", "c_custkey").limit(15)
+      },
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7 % 17000) / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 13 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |boxed AS (
+        |  SELECT c_custkey, lat, lon,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(-60.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(-60.0)) * pow(sin(radians(-120.0 - lon) / 2), 2))), 2) AS dist_km
+        |  FROM pts
+        |  WHERE lat BETWEEN -85.0 AND -40.0 AND lon BETWEEN -180.0 AND -60.0)
+        |SELECT c_custkey, lat, lon, dist_km FROM boxed
+        |ORDER BY dist_km, c_custkey LIMIT 15""".stripMargin),
+
     // k-core decomposition (reference `algorithms/kcore.rs`): iteratively
     // prune nodes with degree < 2; 3 fixed rounds (converged — leaves drop
     // in round 1, the nation/region core is stable).

@@ -27,6 +27,14 @@ final case class Similar(
     connectedTo: Option[String] = None,
     where: Seq[Cond] = Nil) extends Statement
 
+/** SIMILAR by literal query vector (reference `ast.rs:713-747` allows a
+  * key OR an inline vector). */
+final case class SimilarVector(
+    vec: Seq[Float],
+    metric: Metric = Metric.Cosine,
+    limit: Int = 10,
+    where: Seq[Cond] = Nil) extends Statement
+
 final case class Neighbors(
     key: String,
     bySimilarityTo: Option[String] = None,

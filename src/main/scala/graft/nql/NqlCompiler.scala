@@ -109,6 +109,22 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         case None => storeOrFail("SIMILAR").similar(key, limit)
       }
 
+    case SimilarVector(vec, metric, limit, where) =>
+      val scoreCol = metric match {
+        case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))
+        case Metric.Euclidean => l2_distance(col("embedding"), col("qv"))
+        case Metric.Dot => dot_product(col("embedding"), col("qv"))
+      }
+      val q = spark.range(1).select(typedLit(vec).cast("array<float>").as("qv"))
+      val base = where.foldLeft(emb)((df, c) => df.filter(cond(c)))
+        .crossJoin(broadcast(q))
+        .select(col("key"), round(scoreCol, 4).as("score"))
+      val ordered = metric match {
+        case Metric.Euclidean => base.orderBy(asc("score"), col("key"))
+        case _ => base.orderBy(desc("score"), col("key"))
+      }
+      ordered.limit(limit)
+
     case Similar(key, metric, limit, None, where) =>
       val scoreCol = metric match {
         case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))

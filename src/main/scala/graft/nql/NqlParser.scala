@@ -77,7 +77,8 @@ object NqlParser {
     }
   }
 
-  private def parseSimilar(p: P): Similar = {
+  private def parseSimilar(p: P): Statement = {
+    if (p.peekUpper.contains("VECTOR")) { p.next(); return parseSimilarVector(p) }
     val key = p.stringLit()
     var s = Similar(key)
     var continue = true
@@ -196,6 +197,29 @@ object NqlParser {
   }
 
   /** `( num, num, ... )` */
+  private def parseSimilarVector(p: P): SimilarVector = {
+    var s = SimilarVector(parseVector(p).toSeq)
+    var continue = true
+    while (continue && !p.done) {
+      p.peekUpper match {
+        case Some("METRIC") =>
+          p.next()
+          s = s.copy(metric = p.next().toUpperCase match {
+            case "COSINE" => Metric.Cosine
+            case "EUCLIDEAN" => Metric.Euclidean
+            case "DOT" | "DOT_PRODUCT" => Metric.Dot
+            case m => throw NqlParseException(s"unknown metric $m")
+          })
+        case Some("WHERE") =>
+          p.next(); s = s.copy(where = parseConds(p))
+        case Some("LIMIT") =>
+          p.next(); s = s.copy(limit = p.int())
+        case _ => continue = false
+      }
+    }
+    s
+  }
+
   private def parseVector(p: P): Array[Float] = {
     p.expectKw("(")
     val out = Array.newBuilder[Float]

@@ -24,6 +24,17 @@ class NqlSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("SIMILAR VECTOR searches by literal query vector") {
+    // a literal equal to vec:0's embedding ranks vec:0 itself first
+    val v0 = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val lit = v0.map(x => f"$x%.6f").mkString("(", ", ", ")")
+    val got = run(s"SIMILAR VECTOR $lit LIMIT 3").collect()
+    assert(got.head.getString(0) == "vec:0" && got.head.getDouble(1) >= 0.9999)
+    assert(run(s"SIMILAR VECTOR $lit METRIC EUCLIDEAN WHERE label = 3 LIMIT 5").count() == 5)
+  }
+
   test("SIMILAR metrics + WHERE filter parse and run") {
     assert(run("SIMILAR 'vec:0' METRIC EUCLIDEAN LIMIT 5").count() == 5)
     assert(run("SIMILAR 'vec:0' METRIC DOT LIMIT 5").count() == 5)

@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val defaultSet = Seq(
     "q01_agg_pricing_summary", "q02_filter_project_sort", "q13_join_multiway",
-    "v01_similar_topk_cosine", "d04_neardup_minhash_lsh", "q21_window_topk_per_group")
+    "v01_similar_topk_cosine", "d04_neardup_minhash_lsh", "q21_window_topk_per_group",
+    "q33_asof_join", "q34_range_join", "t07_tfidf_keywords", "g25_biconnected")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -17,7 +17,9 @@ object CypherParser {
   final case class MatchStmt(
       nodes: Seq[NodePat], edges: Seq[EdgePat],
       where: Seq[Cond], returns: Seq[String],
-      orderBy: Seq[(String, Boolean)], limit: Option[Int]) extends Statement
+      orderBy: Seq[(String, Boolean)], limit: Option[Int],
+      optNodes: Seq[NodePat] = Nil, optEdges: Seq[EdgePat] = Nil,
+      skip: Option[Int] = None) extends Statement
 
   private val tokenRe: Regex =
     """\s*(?:('(?:[^'\\]|\\.)*')|(\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|<>|!=|\.\.|->|<-|-|=|<|>|\*|,|\(|\)|\[|\]|\{|\}|:))""".r
@@ -61,6 +63,26 @@ object CypherParser {
       edges += parseEdge(p)
       nodes += parseNode(p)
     }
+    val optNodes = Seq.newBuilder[NodePat]
+    val optEdges = Seq.newBuilder[EdgePat]
+    if (p.accept("OPTIONAL")) {
+      p.expect("MATCH")
+      val boundVars = nodes.result().map(_.variable).toSet
+      val anchor = parseNode(p)
+      if (!boundVars.contains(anchor.variable))
+        throw NqlParseException(
+          s"cypher: OPTIONAL MATCH must start from a bound variable (got ${anchor.variable})")
+      optNodes += anchor
+      while (p.peek.exists(t => t == "-" || t == "<-")) {
+        optEdges += parseEdge(p)
+        val n = parseNode(p)
+        if (boundVars.contains(n.variable))
+          throw NqlParseException(s"cypher: OPTIONAL MATCH re-binds ${n.variable}")
+        optNodes += n
+      }
+      if (optEdges.result().isEmpty)
+        throw NqlParseException("cypher: OPTIONAL MATCH needs at least one edge")
+    }
     val where =
       if (p.accept("WHERE")) parseConds(p) else Nil
     p.expect("RETURN")
@@ -78,9 +100,11 @@ object CypherParser {
         go = p.accept(",")
       }
     }
+    val skip = if (p.accept("SKIP")) Some(p.next().toInt) else None
     val limit = if (p.accept("LIMIT")) Some(p.next().toInt) else None
     if (!p.done) throw NqlParseException(s"cypher: trailing tokens at ${p.peek.get}")
-    MatchStmt(nodes.result(), edges.result(), where, rets.result(), order.result(), limit)
+    MatchStmt(nodes.result(), edges.result(), where, rets.result(), order.result(), limit,
+      optNodes.result(), optEdges.result(), skip)
   }
 
   private def parseNode(p: P): NodePat = {

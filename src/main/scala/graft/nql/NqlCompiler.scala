@@ -342,13 +342,30 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     def ref(name: String): Column = col(name.replace('.', '_'))
 
-    var df = nodeDf(m.nodes.head)
-    for (i <- m.edges.indices) {
-      val srcVar = m.nodes(i).variable
-      val dstVar = m.nodes(i + 1).variable
-      df = df.join(hopPairs(m.edges(i)), col(s"${srcVar}_key") === col("f"))
-        .join(nodeDf(m.nodes(i + 1)), col("t") === col(s"${dstVar}_key"))
-        .drop("f", "t")
+    def chain(ns: Seq[NodePat], es: Seq[EdgePat], start: DataFrame): DataFrame = {
+      var df = start
+      for (i <- es.indices) {
+        val srcVar = ns(i).variable
+        val dstVar = ns(i + 1).variable
+        df = df.join(hopPairs(es(i)), col(s"${srcVar}_key") === col("f"))
+          .join(nodeDf(ns(i + 1)), col("t") === col(s"${dstVar}_key"))
+          .drop("f", "t")
+      }
+      df
+    }
+
+    var df = chain(m.nodes, m.edges, nodeDf(m.nodes.head))
+    if (m.optEdges.nonEmpty) {
+      // OPTIONAL MATCH: build the extension chain anchored on the bound
+      // variable, keep only its key + the newly-bound columns, and
+      // left-outer join — unmatched rows carry nulls for the new vars.
+      val anchor = m.optNodes.head.variable
+      val ext = chain(m.optNodes, m.optEdges, nodeDf(m.optNodes.head))
+      val newCols = ext.columns.filterNot(_.startsWith(s"${anchor}_"))
+      val extSlim = ext.select(
+        (col(s"${anchor}_key").as("__opt_anchor") +: newCols.map(col)): _*)
+      df = df.join(extSlim, col(s"${anchor}_key") === col("__opt_anchor"), "left_outer")
+        .drop("__opt_anchor")
     }
     val filtered = m.where.foldLeft(df)((acc, c) =>
       acc.filter(condOn(ref(c.column), c)))
@@ -357,7 +374,8 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       if (m.orderBy.nonEmpty)
         projected.orderBy(m.orderBy.map { case (c, asc) => if (asc) ref(c).asc else ref(c).desc }: _*)
       else projected
-    m.limit.fold(ordered)(ordered.limit)
+    val skipped = m.skip.fold(ordered)(ordered.offset)
+    m.limit.fold(skipped)(skipped.limit)
   }
 
   private def condOn(l: Column, c: Cond): Column = {

@@ -30,6 +30,24 @@ object NqlQueries {
         |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
         |WHERE a.n_name = 'NATION_3' ORDER BY b_name""".stripMargin),
 
+    // OPTIONAL MATCH (left-outer extension) + SKIP: ASIA's nations keep a
+    // row even when they have no suppliers (null s_key — at sf0.001 only
+    // 10 of 25 nations have any), then the ordered rows are paged.
+    // Spark ASC sorts nulls first, so the oracle says NULLS FIRST.
+    "c04_cypher_optional_skip" -> QDef(
+      (s, d) => Nql.execute(s, d,
+        "MATCH (n:nation)-[:in_region]->(r:region {name: 'ASIA'}) " +
+          "OPTIONAL MATCH (n)<-[:in_nation]-(sup:supplier) " +
+          "RETURN n.name, sup.key ORDER BY n.name, sup.key SKIP 2 LIMIT 10"),
+      """SELECT n_name, sup_key FROM (
+        |  SELECT n.n_name AS n_name,
+        |         'supplier:' || CAST(s.s_suppkey AS VARCHAR) AS sup_key
+        |  FROM nation n
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
+        |ORDER BY n_name, sup_key NULLS FIRST
+        |OFFSET 2 LIMIT 10""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -166,6 +166,22 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("DEGREE 'nation:0'").collect()(0).getLong(1) == degBase - 1)
   }
 
+  test("Cypher OPTIONAL MATCH keeps unmatched rows with nulls and SKIP pages") {
+    // at sf0.001 most nations have no suppliers — rows survive with null
+    val rows = run("MATCH (n:nation) OPTIONAL MATCH (n)<-[:in_nation]-(sup:supplier) " +
+      "RETURN n.key, sup.key ORDER BY n.key, sup.key").collect()
+    assert(rows.length >= 25)
+    assert(rows.exists(_.isNullAt(1)), "expected unmatched nations with null supplier")
+    assert(rows.exists(!_.isNullAt(1)), "expected matched nations too")
+    // SKIP drops the first ordered rows
+    val all = run("MATCH (n:nation) RETURN n.key ORDER BY n.key").collect().map(_.getString(0))
+    val skipped = run("MATCH (n:nation) RETURN n.key ORDER BY n.key SKIP 5").collect().map(_.getString(0))
+    assert(skipped.toSeq == all.drop(5).toSeq)
+    // OPTIONAL MATCH must anchor on a bound variable
+    assertThrows[NqlParseException](Nql.parse(
+      "MATCH (a:nation) OPTIONAL MATCH (z:region)<-[:in_region]-(b:nation) RETURN a.key"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

@@ -19,7 +19,11 @@ object CypherParser {
       where: Seq[Cond], returns: Seq[String],
       orderBy: Seq[(String, Boolean)], limit: Option[Int],
       optNodes: Seq[NodePat] = Nil, optEdges: Seq[EdgePat] = Nil,
-      skip: Option[Int] = None) extends Statement
+      skip: Option[Int] = None, delete: Option[String] = None) extends Statement
+
+  /** CREATE / MERGE of a single node pattern; the `key` property is the
+    * entity identity (MERGE = create only if the key is absent). */
+  final case class CypherCreate(node: NodePat, merge: Boolean) extends Statement
 
   private val tokenRe: Regex =
     """\s*(?:('(?:[^'\\]|\\.)*')|(\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|<>|!=|\.\.|->|<-|-|=|<|>|\*|,|\(|\)|\[|\]|\{|\}|:))""".r
@@ -85,6 +89,14 @@ object CypherParser {
     }
     val where =
       if (p.accept("WHERE")) parseConds(p) else Nil
+    if (p.accept("DELETE")) {
+      val v = p.next()
+      if (!nodes.result().exists(_.variable == v))
+        throw NqlParseException(s"cypher: DELETE of unbound variable $v")
+      if (!p.done) throw NqlParseException("cypher: DELETE takes a single variable")
+      return MatchStmt(nodes.result(), edges.result(), where, Nil, Nil, None,
+        optNodes.result(), optEdges.result(), None, Some(v))
+    }
     p.expect("RETURN")
     val rets = Seq.newBuilder[String]
     rets += p.next()
@@ -105,6 +117,17 @@ object CypherParser {
     if (!p.done) throw NqlParseException(s"cypher: trailing tokens at ${p.peek.get}")
     MatchStmt(nodes.result(), edges.result(), where, rets.result(), order.result(), limit,
       optNodes.result(), optEdges.result(), skip)
+  }
+
+  /** `CREATE (n:label {key: '…', …})` / `MERGE (…)`. */
+  def parseWrite(query: String, merge: Boolean): CypherCreate = {
+    val p = new P(tokenize(query.trim.stripSuffix(";")))
+    p.next() // CREATE | MERGE
+    val node = parseNode(p)
+    if (!p.done) throw NqlParseException("cypher: CREATE/MERGE takes one node pattern")
+    if (!node.props.contains("key"))
+      throw NqlParseException("cypher: CREATE/MERGE needs a 'key' property (the entity identity)")
+    CypherCreate(node, merge)
   }
 
   private def parseNode(p: P): NodePat = {

@@ -297,6 +297,18 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     case m: CypherParser.MatchStmt => compileMatch(m)
 
+    case c: CypherParser.CypherCreate =>
+      val key = c.node.props("key")
+      val label = c.node.label.getOrElse("entity")
+      val props = Map("label" -> label) ++ (c.node.props - "key")
+      if (c.merge && allNodes.filter(col("key") === key).limit(1).count() > 0)
+        status(key, "merge_matched")
+      else {
+        storeOrFail(if (c.merge) "MERGE" else "CREATE")
+          .put(Seq(graft.unified.EntityStore.EntityRow(key, props, None)))
+        status(key, s"created:$label")
+      }
+
     case Find(target, where, limit) =>
       val base = Tables(spark, sfDir, target)
       val f = where.foldLeft(base)((df, c) => df.filter(cond(c)))
@@ -312,8 +324,10 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     */
   private def compileMatch(m: CypherParser.MatchStmt): DataFrame = {
     import CypherParser.{EdgePat, NodePat}
-    val nodes = TpchGraph.nodes(spark, sfDir)
-    val edges = TpchGraph.edges(spark, sfDir)
+    // overlay-aware: Cypher reads (and MATCH…DELETE tombstones) the same
+    // store-overlaid graph the NODE/EDGE statements operate on
+    val nodes = allNodes
+    val edges = allEdges
 
     def nodeDf(np: NodePat): DataFrame = {
       var df = nodes
@@ -369,6 +383,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
     val filtered = m.where.foldLeft(df)((acc, c) =>
       acc.filter(condOn(ref(c.column), c)))
+    m.delete.foreach { v =>
+      // write command: the matched key set is collected and tombstoned —
+      // driver-coordinated like every store mutation, sized by the match
+      val keys = filtered.select(col(s"${v}_key")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      storeOrFail("MATCH ... DELETE").delete(keys)
+      return spark.createDataFrame(Seq((keys.length.toLong, "deleted")))
+        .toDF("n_deleted", "status")
+    }
     val projected = filtered.select(m.returns.map(ref): _*)
     val ordered =
       if (m.orderBy.nonEmpty)

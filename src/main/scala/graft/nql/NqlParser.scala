@@ -57,6 +57,11 @@ object NqlParser {
     // dispatch on the first word before touching the NQL lexer — SQL and
     // Cypher have their own richer token sets
     val firstWord = trimmed.takeWhile(!_.isWhitespace).toUpperCase
+    // Cypher writes: CREATE/MERGE followed directly by a node pattern
+    // (SQL CREATE TABLE etc. never has '(' as the next token)
+    val afterFirst = trimmed.drop(firstWord.length).trim
+    if ((firstWord == "CREATE" || firstWord == "MERGE") && afterFirst.startsWith("("))
+      return CypherParser.parseWrite(trimmed, merge = firstWord == "MERGE")
     if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
     if (firstWord == "MATCH") return CypherParser.parse(trimmed)
     val ts = tokenize(trimmed)

@@ -182,6 +182,30 @@ class NqlSpec extends AnyFunSuite {
       "MATCH (a:nation) OPTIONAL MATCH (z:region)<-[:in_region]-(b:nation) RETURN a.key"))
   }
 
+  test("Cypher CREATE/MERGE/DELETE round-trip through the store") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("cypher-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("CREATE (c:city {key: 'city:7', name: 'Gotham'})")
+    val got = runS("MATCH (c:city) RETURN c.key, c.name").collect()
+    assert(got.length == 1 && got(0).getString(1) == "Gotham")
+    // MERGE on an existing key is a no-op; on a fresh key it creates
+    assert(runS("MERGE (c:city {key: 'city:7', name: 'Other'})")
+      .collect()(0).getString(1) == "merge_matched")
+    assert(runS("MATCH (c:city) RETURN c.name").collect()(0).getString(0) == "Gotham")
+    runS("MERGE (c:city {key: 'city:8', name: 'Metropolis'})")
+    assert(runS("MATCH (c:city) RETURN c.key").count() == 2)
+    // MATCH ... DELETE tombstones the matched set (store AND base keys)
+    val res = runS("MATCH (c:city) DELETE c").collect()(0)
+    assert(res.getLong(0) == 2 && res.getString(1) == "deleted")
+    assert(runS("MATCH (c:city) RETURN c.key").count() == 0)
+    runS("MATCH (n:nation {name: 'NATION_3'}) DELETE n")
+    assert(runS("NODE GET 'nation:3'").count() == 0)
+    // writes without a store fail loudly; malformed writes are rejected
+    assertThrows[NqlParseException](run("CREATE (x:city {key: 'city:9'})"))
+    assertThrows[NqlParseException](Nql.parse("CREATE (x:city {name: 'NoKey'})"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

@@ -64,7 +64,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
     println(line(identity, _.toString))            // full names, for humans
-    println(line(shortKey, v => f"$v%.3f"))        // compact, parsed by the driver
+    // Locale.ROOT: a comma-decimal default locale must not break the JSON
+    val fmt3 = (v: Double) => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(line(shortKey, fmt3))                  // compact, parsed by the driver
     spark.stop()
   }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions.udaf
   */
 object VectorAggregates {
 
-  /** Element-wise mean of non-null Array[Float] vectors (null if the
-    * group is empty or dimensions disagree with the first seen vector).
+  /** Element-wise mean of non-null Array[Float] vectors. Null inputs are
+    * skipped; an empty group yields null; mixed dimensions FAIL the job
+    * loudly (silent truncation would corrupt the centroid).
     */
   class Centroid extends Aggregator[Array[Float], (Array[Double], Long), Array[Float]] {
     override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)

@@ -215,7 +215,10 @@ object GraphQueries {
         val agg = pairs.join(pd, Seq("l_partkey"))
           .groupBy("sa", "sb")
           .agg(count(lit(1)).as("common_n"),
-            round(sum(lit(1.0) / log(col("pdeg"))), 4).as("adamic_adar"),
+            // per-element round(6) BEFORE the sum: ln() can differ in the
+            // last ulp across libms (playbook rule), and quantizing each
+            // term keeps both engines summing identical doubles
+            round(sum(round(lit(1.0) / log(col("pdeg")), 6)), 4).as("adamic_adar"),
             round(sum(lit(1.0) / col("pdeg")), 4).as("resource_alloc"))
         agg
           .join(sz.select(col("l_suppkey").as("sa"), col("n").as("na")), Seq("sa"))
@@ -231,7 +234,7 @@ object GraphQueries {
         |pairs AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.l_partkey
         |          FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |agg AS (SELECT sa, sb, count(*) AS common_n,
-        |          round(sum(1.0 / ln(pd.pdeg)), 4) AS adamic_adar,
+        |          round(sum(round(1.0 / ln(pd.pdeg), 6)), 4) AS adamic_adar,
         |          round(sum(1.0 / pd.pdeg), 4) AS resource_alloc
         |        FROM pairs JOIN pd USING (l_partkey) GROUP BY sa, sb)
         |SELECT sa, sb, common_n, CAST(x.n * y.n AS BIGINT) AS pref_attach,

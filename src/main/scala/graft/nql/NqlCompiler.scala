@@ -369,19 +369,29 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
 
     var df = chain(m.nodes, m.edges, nodeDf(m.nodes.head))
+    // Cypher WHERE scoping: predicates on variables bound by OPTIONAL
+    // MATCH filter the extension BEFORE the left-outer join (anchor rows
+    // survive with nulls); predicates on base variables filter after.
+    val optVars = m.optNodes.drop(1).map(_.variable).toSet
+    val (optWhere, baseWhere) =
+      m.where.partition(c => optVars.contains(c.column.takeWhile(_ != '.')))
     if (m.optEdges.nonEmpty) {
-      // OPTIONAL MATCH: build the extension chain anchored on the bound
-      // variable, keep only its key + the newly-bound columns, and
-      // left-outer join — unmatched rows carry nulls for the new vars.
+      // build the extension chain anchored on the bound variable, keep
+      // only its key + the newly-bound columns (exact set difference —
+      // a prefix test would eat optional variables named like the
+      // anchor), and left-outer join.
       val anchor = m.optNodes.head.variable
-      val ext = chain(m.optNodes, m.optEdges, nodeDf(m.optNodes.head))
-      val newCols = ext.columns.filterNot(_.startsWith(s"${anchor}_"))
+      val anchorCols = nodeDf(m.optNodes.head).columns.toSet
+      val extAll = chain(m.optNodes, m.optEdges, nodeDf(m.optNodes.head))
+      val ext = optWhere.foldLeft(extAll)((acc, c) =>
+        acc.filter(condOn(ref(c.column), c)))
+      val newCols = ext.columns.filterNot(anchorCols.contains)
       val extSlim = ext.select(
         (col(s"${anchor}_key").as("__opt_anchor") +: newCols.map(col)): _*)
       df = df.join(extSlim, col(s"${anchor}_key") === col("__opt_anchor"), "left_outer")
         .drop("__opt_anchor")
     }
-    val filtered = m.where.foldLeft(df)((acc, c) =>
+    val filtered = baseWhere.foldLeft(df)((acc, c) =>
       acc.filter(condOn(ref(c.column), c)))
     m.delete.foreach { v =>
       // write command: the matched key set is collected and tombstoned —

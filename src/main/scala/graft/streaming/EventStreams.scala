@@ -50,14 +50,27 @@ object EventStreams {
       .select("user_id", "event_type", "event_id")
   }
 
-  /** Streaming dedup: watermark-scoped keyed state via dropDuplicates —
-    * keeps the first ARRIVAL per key, which equals [[dedupFirstPerKey]]
-    * when the source is event-time ordered (asserted in the spec). State
-    * is evicted by the watermark, so it is bounded at any scale.
+  /** Streaming dedup via dropDuplicates — keeps the first ARRIVAL per
+    * key, which equals [[dedupFirstPerKey]] when the source is event-time
+    * ordered (asserted in the spec). NOTE on state: because the key set
+    * omits the event-time column, Spark keeps ONE state row per distinct
+    * key forever — bounded by key cardinality, not by the watermark.
+    * For unbounded key spaces use [[dedupStreamWithinWatermark]].
     */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
+
+  /** Watermark-BOUNDED dedup state: duplicates are only suppressed while
+    * the key is younger than the watermark delay (the
+    * dropDuplicatesWithinWatermark contract) — the right form when the
+    * key space is unbounded, e.g. deduping document ids on an ingest
+    * stream at corpus scale.
+    */
+  def dedupStreamWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id")
 
   /** Purchases joined to same-user clicks in the preceding hour. Written

@@ -45,5 +45,6 @@ object Constraints {
     // to the input order before the union
     edges.join(keys.withColumnRenamed("key", "src"), Seq("src"), "left_anti").select(outCols: _*)
       .union(edges.join(keys.withColumnRenamed("key", "dst"), Seq("dst"), "left_anti").select(outCols: _*))
+      .distinct() // an edge missing BOTH endpoints is one violation, not two
   }
 }

@@ -120,13 +120,16 @@ final class EntityStore(spark: SparkSession, path: String) {
       .join(neighbors(e).select("key").distinct(), Seq("key"))
       .orderBy(desc("score"), col("key")).limit(k)
 
-  /** Rewrite the logs down to their latest view (bounds read amplification). */
+  /** Rewrite the logs down to one record per key (bounds read
+    * amplification). Tombstones are KEPT, not dropped: since deletes also
+    * mask the derived base graph (`deletedKeys`/`deletedEdges`), dropping
+    * them here would resurrect deleted base rows on the next read. */
   def compact(): Unit = {
-    val ent = entities.withColumn("deleted", lit(false)).withColumn("seq", lit(nextSeq()))
+    val ent = latestEntities.withColumn("seq", lit(nextSeq()))
     val tmpE = s"$entityDir.compact"
     ent.write.mode(SaveMode.Overwrite).parquet(tmpE)
     spark.read.parquet(tmpE).write.mode(SaveMode.Overwrite).parquet(entityDir)
-    val ed = edges.withColumn("deleted", lit(false)).withColumn("seq", lit(nextSeq()))
+    val ed = latestEdges.withColumn("seq", lit(nextSeq()))
     val tmpD = s"$edgeDir.compact"
     ed.write.mode(SaveMode.Overwrite).parquet(tmpD)
     spark.read.parquet(tmpD).write.mode(SaveMode.Overwrite).parquet(edgeDir)

@@ -61,4 +61,19 @@ class EntityStoreSpec extends AnyFunSuite {
     val after = st.entities.orderBy("key").collect().map(_.getString(0)).toSeq
     assert(before == after)
   }
+
+  test("compaction keeps tombstones (deletes must keep masking base rows)") {
+    val st = freshStore()
+    st.put(Seq(EntityRow("user:1", Map.empty, None)))
+    st.delete(Seq("user:1"))
+    st.delete(Seq("ghost:1")) // tombstone for a key that only exists in base
+    st.connect("a", "b", "t")
+    st.disconnect("a", "b", "t")
+    assert(st.deletedKeys.collect().map(_.getString(0)).toSet == Set("user:1", "ghost:1"))
+    st.compact()
+    assert(st.entities.count() == 0 && st.edges.count() == 0)
+    assert(st.deletedKeys.collect().map(_.getString(0)).toSet == Set("user:1", "ghost:1"),
+      "compaction dropped tombstones — base-row masking would be lost")
+    assert(st.deletedEdges.count() == 1)
+  }
 }

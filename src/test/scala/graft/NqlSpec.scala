@@ -177,6 +177,13 @@ class NqlSpec extends AnyFunSuite {
     val all = run("MATCH (n:nation) RETURN n.key ORDER BY n.key").collect().map(_.getString(0))
     val skipped = run("MATCH (n:nation) RETURN n.key ORDER BY n.key SKIP 5").collect().map(_.getString(0))
     assert(skipped.toSeq == all.drop(5).toSeq)
+    // WHERE on an optional variable scopes to the extension: anchor rows
+    // with no (or only filtered-out) matches survive with nulls
+    val scoped = run("MATCH (n:nation) OPTIONAL MATCH (n)<-[:in_nation]-(sup:supplier) " +
+      "WHERE sup.key <> 'supplier:1' RETURN n.key, sup.key ORDER BY n.key, sup.key").collect()
+    assert(scoped.count(_.isNullAt(1)) >= rows.count(_.isNullAt(1)),
+      "optional-scoped WHERE must not drop null-extended rows")
+    assert(!scoped.exists(r => !r.isNullAt(1) && r.getString(1) == "supplier:1"))
     // OPTIONAL MATCH must anchor on a bound variable
     assertThrows[NqlParseException](Nql.parse(
       "MATCH (a:nation) OPTIONAL MATCH (z:region)<-[:in_region]-(b:nation) RETURN a.key"))

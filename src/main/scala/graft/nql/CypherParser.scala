@@ -25,6 +25,11 @@ object CypherParser {
     * entity identity (MERGE = create only if the key is absent). */
   final case class CypherCreate(node: NodePat, merge: Boolean) extends Statement
 
+  /** CREATE of a relationship pattern `(a)-[:T]->(b)`: endpoints are
+    * created/merged if they carry a label or extra props, then connected. */
+  final case class CypherCreateRel(from: NodePat, etype: String, to: NodePat,
+      merge: Boolean) extends Statement
+
   private val tokenRe: Regex =
     """\s*(?:('(?:[^'\\]|\\.)*')|(\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|<>|!=|\.\.|->|<-|-|=|<|>|\*|,|\(|\)|\[|\]|\{|\}|:))""".r
 
@@ -119,15 +124,28 @@ object CypherParser {
       optNodes.result(), optEdges.result(), skip)
   }
 
-  /** `CREATE (n:label {key: '…', …})` / `MERGE (…)`. */
-  def parseWrite(query: String, merge: Boolean): CypherCreate = {
+  /** `CREATE (n:label {key: '…', …})`, `MERGE (…)`, or a relationship
+    * `CREATE (a {key:…})-[:T]->(b {key:…})`. */
+  def parseWrite(query: String, merge: Boolean): Statement = {
     val p = new P(tokenize(query.trim.stripSuffix(";")))
     p.next() // CREATE | MERGE
     val node = parseNode(p)
-    if (!p.done) throw NqlParseException("cypher: CREATE/MERGE takes one node pattern")
     if (!node.props.contains("key"))
       throw NqlParseException("cypher: CREATE/MERGE needs a 'key' property (the entity identity)")
-    CypherCreate(node, merge)
+    if (p.done) return CypherCreate(node, merge)
+    val edge = parseEdge(p)
+    val to = parseNode(p)
+    if (!p.done) throw NqlParseException("cypher: CREATE takes one node or one relationship pattern")
+    if (!to.props.contains("key"))
+      throw NqlParseException("cypher: CREATE/MERGE needs a 'key' property on both endpoints")
+    if (edge.minHops != 1 || edge.maxHops != 1)
+      throw NqlParseException("cypher: relationship CREATE cannot be variable-length")
+    if (edge.direction == 0)
+      throw NqlParseException("cypher: relationship CREATE needs a direction (-> or <-)")
+    val etype = edge.etype.getOrElse(
+      throw NqlParseException("cypher: relationship CREATE needs an edge type"))
+    if (edge.direction == 1) CypherCreateRel(node, etype, to, merge)
+    else CypherCreateRel(to, etype, node, merge)
   }
 
   private def parseNode(p: P): NodePat = {

@@ -76,6 +76,20 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
   }
 
+  /** CREATE/MERGE one node into the store (merge = only if absent). */
+  private def cypherPutNode(node: CypherParser.NodePat, merge: Boolean): DataFrame = {
+    val key = node.props("key")
+    val label = node.label.getOrElse("entity")
+    val props = Map("label" -> label) ++ (node.props - "key")
+    if (merge && allNodes.filter(col("key") === key).limit(1).count() > 0)
+      status(key, "merge_matched")
+    else {
+      storeOrFail(if (merge) "MERGE" else "CREATE")
+        .put(Seq(graft.unified.EntityStore.EntityRow(key, props, None)))
+      status(key, s"created:$label")
+    }
+  }
+
   /** Biconnected labeling of the (overlay-aware) property graph, rooted
     * at the region hubs — backs GRAPH BICONNECTED / GRAPH ARTICULATION. */
   private def biconnectedEdges(): DataFrame = {
@@ -298,16 +312,17 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case m: CypherParser.MatchStmt => compileMatch(m)
 
     case c: CypherParser.CypherCreate =>
-      val key = c.node.props("key")
-      val label = c.node.label.getOrElse("entity")
-      val props = Map("label" -> label) ++ (c.node.props - "key")
-      if (c.merge && allNodes.filter(col("key") === key).limit(1).count() > 0)
-        status(key, "merge_matched")
-      else {
-        storeOrFail(if (c.merge) "MERGE" else "CREATE")
-          .put(Seq(graft.unified.EntityStore.EntityRow(key, props, None)))
-        status(key, s"created:$label")
+      cypherPutNode(c.node, c.merge)
+
+    case r: CypherParser.CypherCreateRel =>
+      // endpoints with a label or extra props are created/merged first
+      // (bare `(x {key: '…'})` endpoints are references, not creations)
+      Seq(r.from, r.to).foreach { np =>
+        if (np.label.isDefined || (np.props - "key").nonEmpty) cypherPutNode(np, merge = true)
       }
+      storeOrFail(if (r.merge) "MERGE" else "CREATE")
+        .connect(r.from.props("key"), r.to.props("key"), r.etype)
+      status(s"${r.from.props("key")}->${r.to.props("key")}", s"connected:${r.etype}")
 
     case Find(target, where, limit) =>
       val base = Tables(spark, sfDir, target)

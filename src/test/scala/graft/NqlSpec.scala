@@ -208,9 +208,17 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("MATCH (c:city) RETURN c.key").count() == 0)
     runS("MATCH (n:nation {name: 'NATION_3'}) DELETE n")
     assert(runS("NODE GET 'nation:3'").count() == 0)
+    // relationship CREATE: labeled endpoints are created, then connected
+    runS("CREATE (a:poi {key: 'poi:1', name: 'Dock'})-[:near]->(b:poi {key: 'poi:2', name: 'Pier'})")
+    assert(runS("MATCH (p:poi)-[:near]->(q:poi) RETURN p.name, q.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("Dock", "Pier")))
+    // reversed arrow creates the edge in the arrow's direction
+    runS("CREATE (x {key: 'poi:1'})<-[:near]-(y {key: 'poi:2'})")
+    assert(runS("MATCH (p:poi)-[:near]->(q:poi) RETURN p.key, q.key").count() == 2)
     // writes without a store fail loudly; malformed writes are rejected
     assertThrows[NqlParseException](run("CREATE (x:city {key: 'city:9'})"))
     assertThrows[NqlParseException](Nql.parse("CREATE (x:city {name: 'NoKey'})"))
+    assertThrows[NqlParseException](Nql.parse("CREATE (a {key: 'k1'})-[:t]-(b {key: 'k2'})"))
   }
 
   test("Cypher rejects malformed patterns") {

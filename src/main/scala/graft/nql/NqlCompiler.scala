@@ -315,13 +315,27 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       cypherPutNode(c.node, c.merge)
 
     case r: CypherParser.CypherCreateRel =>
-      // endpoints with a label or extra props are created/merged first
-      // (bare `(x {key: '…'})` endpoints are references, not creations)
-      Seq(r.from, r.to).foreach { np =>
-        if (np.label.isDefined || (np.props - "key").nonEmpty) cypherPutNode(np, merge = true)
-      }
-      storeOrFail(if (r.merge) "MERGE" else "CREATE")
-        .connect(r.from.props("key"), r.to.props("key"), r.etype)
+      val op = if (r.merge) "MERGE" else "CREATE"
+      val st = storeOrFail(op)
+      // one existence scan covers both endpoints
+      val endpoints = Seq(r.from, r.to)
+      val keys = endpoints.map(_.props("key"))
+      val existing = allNodes.filter(col("key").isin(keys: _*))
+        .select("key").collect().map(_.getString(0)).toSet
+      // endpoints with a label or extra props are created (if absent) in
+      // ONE batched put; bare `(x {key: '…'})` endpoints are references
+      // and must already exist — a dangling edge on a typo'd key would be
+      // invisible to MATCH but visible to EDGE LIST/DEGREE.
+      val (creatable, refs) = endpoints.partition(np =>
+        np.label.isDefined || (np.props - "key").nonEmpty)
+      refs.find(np => !existing.contains(np.props("key"))).foreach(np =>
+        throw NqlParseException(
+          s"$op: endpoint '${np.props("key")}' does not exist (add a label/props to create it)"))
+      val toPut = creatable.filterNot(np => existing.contains(np.props("key")))
+      if (toPut.nonEmpty) st.put(toPut.map(np =>
+        graft.unified.EntityStore.EntityRow(np.props("key"),
+          Map("label" -> np.label.getOrElse("entity")) ++ (np.props - "key"), None)))
+      st.connect(r.from.props("key"), r.to.props("key"), r.etype)
       status(s"${r.from.props("key")}->${r.to.props("key")}", s"connected:${r.etype}")
 
     case Find(target, where, limit) =>

@@ -66,7 +66,9 @@ object EventStreams {
     * the key is younger than the watermark delay (the
     * dropDuplicatesWithinWatermark contract) — the right form when the
     * key space is unbounded, e.g. deduping document ids on an ingest
-    * stream at corpus scale.
+    * stream at corpus scale. Streaming-only by Spark's API (the batch
+    * analogue is [[dedupFirstPerKey]]), so this is the one operator here
+    * without batch/stream duality.
     */
   def dedupStreamWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -43,8 +43,11 @@ object Constraints {
     val outCols = edges.columns.map(col).toSeq
     // anti-joins reorder columns (join key first) — re-project both arms
     // to the input order before the union
+    // second arm keeps only src-present rows so an edge missing BOTH
+    // endpoints reports once, while duplicate input rows still surface
     edges.join(keys.withColumnRenamed("key", "src"), Seq("src"), "left_anti").select(outCols: _*)
-      .union(edges.join(keys.withColumnRenamed("key", "dst"), Seq("dst"), "left_anti").select(outCols: _*))
-      .distinct() // an edge missing BOTH endpoints is one violation, not two
+      .union(edges.join(keys.withColumnRenamed("key", "dst"), Seq("dst"), "left_anti")
+        .join(keys.withColumnRenamed("key", "src"), Seq("src"), "left_semi")
+        .select(outCols: _*))
   }
 }

@@ -30,6 +30,10 @@ class ConstraintsSpec extends AnyFunSuite {
     val edges = Seq(("a", "b", "t"), ("a", "ghost", "t")).toDF("src", "dst", "etype")
     val bad = Constraints.danglingEdges(edges, nodes).collect()
     assert(bad.length == 1 && bad.head.getString(1) == "ghost")
+    // an edge missing BOTH endpoints is one violation, not two; duplicate
+    // input rows still surface individually
+    val worse = Seq(("x", "y", "t"), ("a", "ghost", "t"), ("a", "ghost", "t")).toDF("src", "dst", "etype")
+    assert(Constraints.danglingEdges(worse, nodes).count() == 3)
   }
 
   test("base graph holds unique keys and no dangling edges") {

@@ -66,6 +66,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup emits first-per-key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.dedupStreamWithinWatermark(streamDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out")
+      .start()
+    try {
+      // duplicates inside one watermark window are suppressed
+      mem.addData(Seq((at(0), 1L, "click", 10L), (at(1), 1L, "click", 11L), (at(2), 2L, "view", 12L)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm_out").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, "click", 10L), (2L, "view", 12L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join over real streams matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

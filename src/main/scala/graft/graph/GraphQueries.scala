@@ -72,7 +72,14 @@ object GraphQueries {
       // no cache(): the labeling's loop frames are already materialized
       // (eager per-round cuts), so the memoized frame re-reads those
       // stored partitions on every later use.
-      Algorithms.biconnectedComponents(und, roots, 2, 6)
+      // Round bounds from the (SF-invariant) topology: every cycle lives
+      // among the 25 nations at forest depth 1 — customer/supplier edges
+      // are bridges and stay singletons whether or not they join the
+      // forest — so maxDepth=1; both endpoints of every non-tree edge sit
+      // one level above their LCA (the region), so climbRounds=1; the
+      // cycle↔tree-edge auxiliary graph of a 5-clique-plus-root has
+      // eccentricity ≤ 4 from any min-label seat, so ccIters=4.
+      Algorithms.biconnectedComponents(und, roots, 1, 4, climbRounds = 1)
     })
 
   val defs: Seq[(String, QDef)] = Seq(
@@ -215,11 +222,14 @@ object GraphQueries {
         val agg = pairs.join(pd, Seq("l_partkey"))
           .groupBy("sa", "sb")
           .agg(count(lit(1)).as("common_n"),
-            // per-element round(6) BEFORE the sum: ln() can differ in the
-            // last ulp across libms (playbook rule), and quantizing each
-            // term keeps both engines summing identical doubles
-            round(sum(round(lit(1.0) / log(col("pdeg")), 6)), 4).as("adamic_adar"),
-            round(sum(lit(1.0) / col("pdeg")), 4).as("resource_alloc"))
+            // Scaled-INTEGER sums: a float sum's result depends on
+            // partition order (run-to-run nondeterministic in Spark), so
+            // round(sum(double), 4) can flip its last digit between runs
+            // and against the oracle. Quantizing each term to a long
+            // (1e6 scale — also absorbing ln()'s cross-libm last-ulp)
+            // makes the sum exact and order-independent in both engines.
+            (sum(round(lit(1e6) / log(col("pdeg")), 0).cast("long")) / 1e6).as("adamic_adar"),
+            (sum(round(lit(1e6) / col("pdeg"), 0).cast("long")) / 1e6).as("resource_alloc"))
         agg
           .join(sz.select(col("l_suppkey").as("sa"), col("n").as("na")), Seq("sa"))
           .join(sz.select(col("l_suppkey").as("sb"), col("n").as("nb")), Seq("sb"))
@@ -234,8 +244,8 @@ object GraphQueries {
         |pairs AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.l_partkey
         |          FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |agg AS (SELECT sa, sb, count(*) AS common_n,
-        |          round(sum(round(1.0 / ln(pd.pdeg), 6)), 4) AS adamic_adar,
-        |          round(sum(1.0 / pd.pdeg), 4) AS resource_alloc
+        |          CAST(sum(CAST(round(1e6 / ln(pd.pdeg), 0) AS BIGINT)) AS DOUBLE) / 1e6 AS adamic_adar,
+        |          CAST(sum(CAST(round(1e6 / pd.pdeg, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS resource_alloc
         |        FROM pairs JOIN pd USING (l_partkey) GROUP BY sa, sb)
         |SELECT sa, sb, common_n, CAST(x.n * y.n AS BIGINT) AS pref_attach,
         |       adamic_adar, resource_alloc
@@ -403,6 +413,101 @@ object GraphQueries {
         |  WHERE lat BETWEEN -85.0 AND -40.0 AND lon BETWEEN -180.0 AND -60.0)
         |SELECT c_custkey, lat, lon, dist_km FROM boxed
         |ORDER BY dist_km, c_custkey LIMIT 15""".stripMargin),
+
+    // Multi-label node model (reference node labels add/remove,
+    // `graph_engine/src/lib.rs` label sets): labels are an array<string>
+    // column — membership is array_contains, label add is array_union —
+    // over the same single-label base nodes. The census explodes the
+    // label sets and counts members per label; 'hub' is a degree-derived
+    // label added to well-connected nodes, demonstrating label ADD as a
+    // plain column rewrite (no graph mutation machinery).
+    "g30_multilabel_census" -> QDef(
+      (s, d) => {
+        val deg = TpchGraph.undirected(TpchGraph.edges(s, d))
+          .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
+        val labeled = TpchGraph.nodes(s, d)
+          .withColumn("labels",
+            when(col("label").isin("nation", "region"), array(col("label"), lit("place")))
+              .otherwise(array(col("label"), lit("party"))))
+          .join(deg, Seq("key"), "left")
+          .withColumn("labels",
+            when(coalesce(col("degree"), lit(0L)) >= 20,
+              array_union(col("labels"), array(lit("hub"))))
+              .otherwise(col("labels")))
+        labeled.select(explode(col("labels")).as("lbl"))
+          .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("lbl")
+      },
+      s"""WITH $allEdgesSql,
+        |deg AS (SELECT src AS key, count(*) AS degree FROM und GROUP BY src),
+        |nodes AS (
+        |  SELECT 'region:' || r_regionkey AS key, 'region' AS label FROM region
+        |  UNION ALL SELECT 'nation:' || n_nationkey, 'nation' FROM nation
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'customer' FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'supplier' FROM supplier),
+        |labeled AS (
+        |  SELECT n.key, label,
+        |    CASE WHEN label IN ('nation', 'region') THEN 'place' ELSE 'party' END AS label2,
+        |    coalesce(d.degree, 0) >= 20 AS is_hub
+        |  FROM nodes n LEFT JOIN deg d ON n.key = d.key),
+        |exploded AS (
+        |  SELECT key, label AS lbl FROM labeled
+        |  UNION ALL SELECT key, label2 FROM labeled
+        |  UNION ALL SELECT key, 'hub' FROM labeled WHERE is_hub)
+        |SELECT lbl, count(*) AS n_nodes FROM exploded GROUP BY lbl ORDER BY lbl""".stripMargin),
+
+    // Grid-bucketed spatial join (geohash-style): bucket both point sets
+    // into 10-degree cells, explode the probe side to its 3x3 cell
+    // neighborhood, equi-join on the cell key, then verify the exact
+    // haversine band. Within |lat| <= 40 a 10-degree cell is >= 850 km
+    // on both axes, so the 1-cell neighborhood provably covers the
+    // 500 km radius — the join is lossless, never all-pairs, and
+    // partitions by cell at any scale (the same banding idea as q34's
+    // time buckets, in two dimensions).
+    "g31_geo_grid_join" -> QDef(
+      (s, d) => {
+        import graft.functions.GeoFunctions.haversine_km
+        def pts(t: DataFrame, key: String, a: Int, b: Int) = t
+          .withColumn("lat", (col(key) * a % 17000) / lit(100.0) - 85.0)
+          .withColumn("lon", (col(key) * b % 36000) / lit(100.0) - 180.0)
+          .filter(col("lat").between(-40.0, 40.0))
+          .withColumn("cx", floor((col("lon") + 180.0) / 10.0))
+          .withColumn("cy", floor((col("lat") + 85.0) / 10.0))
+        val cust = pts(Tables(s, d, "customer"), "c_custkey", 7, 13)
+          .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"), col("cx"), col("cy"))
+        val supp = pts(Tables(s, d, "supplier"), "s_suppkey", 11, 17)
+          .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS x, cy + dy AS y))))")).as("cell"))
+          .select(col("s_suppkey"), col("slat"), col("slon"),
+            col("cell.x").as("cx"), col("cell.y").as("cy"))
+        supp.join(cust, Seq("cx", "cy"))
+          .withColumn("dist_km", round(haversine_km(col("slat"), col("slon"), col("clat"), col("clon")), 2))
+          .filter(col("dist_km") <= 500.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_near"), min("dist_km").as("min_km"))
+          .orderBy("s_suppkey")
+      },
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7 % 17000) / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 13 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |cb AS (SELECT * FROM c WHERE lat BETWEEN -40.0 AND 40.0),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 11 % 17000) / 100.0 - 85.0 AS lat,
+        |    (s_suppkey * 17 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM supplier),
+        |sb AS (SELECT * FROM s WHERE lat BETWEEN -40.0 AND 40.0),
+        |pairs AS (
+        |  SELECT s_suppkey,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(cb.lat - sb.lat) / 2), 2) +
+        |      cos(radians(sb.lat)) * cos(radians(cb.lat)) * pow(sin(radians(cb.lon - sb.lon) / 2), 2))), 2) AS dist_km
+        |  FROM sb CROSS JOIN cb)
+        |SELECT s_suppkey, count(*) AS n_near, min(dist_km) AS min_km
+        |FROM pairs WHERE dist_km <= 500.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
 
     // k-core decomposition (reference `algorithms/kcore.rs`): iteratively
     // prune nodes with degree < 2; 3 fixed rounds (converged — leaves drop

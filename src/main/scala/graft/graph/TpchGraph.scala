@@ -387,8 +387,18 @@ object Algorithms {
     *
     * Returns (src, dst, bicomp) for each undirected edge (src < dst),
     * bicomp = min edge id in its component.
+    *
+    * `maxDepth` bounds the BFS forest; `climbRounds` (default = maxDepth)
+    * bounds the LCA climb separately — pass less when every cycle's
+    * endpoints sit within a known depth of their LCA. A non-tree edge
+    * with an endpoint outside the forest never joins the climb state and
+    * stays a singleton component — correct exactly when no cycle crosses
+    * the forest horizon, so maxDepth may also stop at the deepest cycle
+    * level rather than the graph's full depth.
     */
-  def biconnectedComponents(und: DataFrame, roots: DataFrame, maxDepth: Int, ccIters: Int): DataFrame = {
+  def biconnectedComponents(und: DataFrame, roots: DataFrame, maxDepth: Int, ccIters: Int,
+      climbRounds: Int = -1): DataFrame = {
+    val climb = if (climbRounds >= 0) climbRounds else maxDepth
     val e = und.select("src", "dst")
     // BFS forest: (key, parent, depth). Roots are their own parents.
     var tree = roots.select(col("key"), col("key").as("parent"), lit(0).as("depth"))
@@ -422,7 +432,7 @@ object Algorithms {
       .select(col("id").as("cid"), col("src").as("a"), col("da"), col("dst").as("b"), col("db"))
       .transform(cut)
     var links = state.limit(0).select(col("cid"), col("cid").as("tid")) // (cycle id, tree-edge id)
-    for (_ <- 1 to maxDepth) {
+    for (_ <- 1 to climb) {
       val live = state.filter(col("a") =!= col("b"))
       val stepA = col("da") >= col("db") // deeper (or tied) a-side steps
       val stepB = col("db") >= col("da")

@@ -70,4 +70,15 @@ final case class EntityConnect(src: String, dst: String, etype: String) extends 
 final case class EmbedStore(key: String, vector: Array[Float]) extends Statement
 final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
 
+// Statement fronts for the beyond-reference batch operators (ASOF /
+// SAMPLE / DEDUP), so the unified language covers the training-pipeline
+// surface too (COVERAGE.md "north-star additions").
+/** `ASOF '<leftType>' TO '<rightType>' ON <key> AT <ts>`: each left event
+  * paired with the latest right event at-or-before it, per key. */
+final case class AsofJoin(leftType: String, rightType: String, key: String, tsCol: String) extends Statement
+/** `SAMPLE <table> RATE <pct> KEY <col>`: deterministic md5-hash sample. */
+final case class Sample(table: String, ratePct: Int, keyCol: String) extends Statement
+/** `DEDUP <table> BY <col> KEY <col>`: exact dedup, keep min-key row. */
+final case class Dedup(table: String, byCol: String, keyCol: String) extends Statement
+
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

@@ -343,6 +343,45 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       val f = where.foldLeft(base)((df, c) => df.filter(cond(c)))
       val ordered = f.orderBy(f.columns.head)
       limit.fold(ordered)(ordered.limit)
+
+    // ASOF: the q33 union+window plan, parameterized — one shuffle on the
+    // key, a single window pass, no range-exploding join (the form that
+    // survives 100 TB of events).
+    case AsofJoin(leftType, rightType, key, tsCol) =>
+      val ev = Tables(spark, sfDir, "events")
+        .filter(col("event_type").isin(leftType, rightType))
+        .withColumn("is_l", (col("event_type") === leftType).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+        .orderBy(col(tsCol), col("is_l"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ev.withColumn("matched_id",
+          last(when(col("is_l") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("matched_ts",
+          last(when(col("is_l") === 0, col(tsCol)), ignoreNulls = true).over(w))
+        .filter(col("is_l") === 1)
+        .select(col("event_id"), col("matched_id"),
+          (unix_micros(col(tsCol)) - unix_micros(col("matched_ts"))).as("gap_us"))
+        .orderBy("event_id")
+
+    // SAMPLE: md5-derived deterministic keep decision — map-side,
+    // reproducible on any engine, restratifiable without coordination
+    // (the d06 mechanism as a statement).
+    case Sample(table, ratePct, keyCol) =>
+      Tables(spark, sfDir, table)
+        .filter(expr(s"CAST(conv(substr(md5(cast(cast($keyCol AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100") < ratePct)
+        .orderBy(keyCol)
+
+    // DEDUP: exact hash dedup keeping the min-key row per duplicate group
+    // (the d02 mechanism as a statement); one shuffle on the text hash.
+    case Dedup(table, byCol, keyCol) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      Tables(spark, sfDir, table)
+        .withColumn("__h", md5(col(byCol).cast("binary")))
+        .withColumn("__keep", min(keyCol).over(w))
+        .filter(col(keyCol) === col("__keep"))
+        .drop("__h", "__keep")
+        .orderBy(keyCol)
   }
 
   /** Cypher MATCH → chain of joins over the property graph (the motif

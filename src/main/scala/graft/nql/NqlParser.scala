@@ -78,6 +78,9 @@ object NqlParser {
       case "EMBED"     => p.next(); parseEmbed(p)
       case "ENTITY"    => p.next(); parseEntity(p)
       case "FIND"      => p.next(); parseFind(p)
+      case "ASOF"      => p.next(); parseAsof(p)
+      case "SAMPLE"    => p.next(); parseSample(p)
+      case "DEDUP"     => p.next(); parseDedup(p)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }
@@ -263,6 +266,31 @@ object NqlParser {
     val conds = if (p.accept("WHERE")) parseConds(p) else Nil
     val limit = if (p.accept("LIMIT")) Some(p.int()) else None
     Find(target, conds, limit)
+  }
+
+  /** `ASOF '<leftType>' TO '<rightType>' ON <key> AT <ts>` */
+  private def parseAsof(p: P): AsofJoin = {
+    val l = p.stringLit(); p.expectKw("TO"); val r = p.stringLit()
+    p.expectKw("ON"); val key = p.next()
+    p.expectKw("AT"); val ts = p.next()
+    AsofJoin(l, r, key, ts)
+  }
+
+  /** `SAMPLE <table> RATE <pct> KEY <col>` */
+  private def parseSample(p: P): Sample = {
+    val t = p.next()
+    p.expectKw("RATE"); val rate = p.int()
+    if (rate < 0 || rate > 100) throw NqlParseException(s"RATE must be 0..100, got $rate")
+    p.expectKw("KEY"); val key = p.next()
+    Sample(t, rate, key)
+  }
+
+  /** `DEDUP <table> BY <col> KEY <col>` */
+  private def parseDedup(p: P): Dedup = {
+    val t = p.next()
+    p.expectKw("BY"); val by = p.next()
+    p.expectKw("KEY"); val key = p.next()
+    Dedup(t, by, key)
   }
 
   /** `ident op literal (AND ident op literal)*` — the condition surface the

@@ -418,6 +418,28 @@ object PipelineQueries {
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
 
+    // Native session_window (gap-based), batch form of the streaming
+    // session state (EventStreams.sessionWindowStream). Spark's session
+    // semantics: a session's end is last-event + gap, and an event
+    // exactly at the end starts a NEW session — the oracle's gap-and-
+    // islands reconstruction uses >= on exact microsecond arithmetic to
+    // match. The value total is an order-independent quantized-long sum.
+    "s05_stream_session_window" -> QDef(
+      (s, d) => graft.streaming.EventStreams.sessionWindowCounts(Tables(s, d, "events"))
+        .orderBy("user_id", "sess_start"),
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM e)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS sess_start, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin),
+
     // Deterministic stratified sampling for training-data mixing: keep
     // 50% of English documents and 10% of every other language, decided
     // by an md5-derived hash of the doc id — reproducible on any engine,
@@ -495,6 +517,82 @@ object PipelineQueries {
         |SELECT doc_id FROM tok
         |WHERE token IN ('vector', 'stream', 'window', 'hash')
         |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin),
+
+    // Gopher/RefinedWeb-style repetition signals (Rae et al. 2021 §A1.1,
+    // public heuristics): per-doc duplicate-word fraction and
+    // top-2-gram mass, aggregated to per-source filter pass rates. The
+    // per-doc ratios are integer-derived single IEEE divisions (bit-equal
+    // across engines), the per-source outputs are counts and max() — both
+    // order-independent, so no float-sum nondeterminism anywhere. At
+    // corpus scale everything before the source-level groupBy is map-side
+    // (one explode + two hash aggs keyed by doc).
+    "t08_repetition_signals" -> QDef(
+      (s, d) => {
+        val ws = docs(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+          .filter(size(col("a")) >= 2)
+        val per = ws.select(col("doc_id"), col("source"),
+            size(col("a")).as("nw"), size(array_distinct(col("a"))).as("ndw"),
+            explode(expr("transform(sequence(0, size(a)-2), j -> concat_ws(' ', a[j], a[j+1]))")).as("g"))
+          .groupBy("doc_id", "source", "nw", "ndw", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "source", "nw", "ndw")
+          .agg(sum("c").as("ng"), max("c").as("mx"))
+          .withColumn("top2", col("mx") / col("ng"))
+          .withColumn("dupw", lit(1.0) - col("ndw") / col("nw"))
+        per.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("top2") >= 0.05, 1L).otherwise(0L)).as("n_repetitive"),
+            sum(when(col("dupw") >= 0.6, 1L).otherwise(0L)).as("n_dup_heavy"),
+            round(max("top2"), 6).as("max_top2gram_frac"),
+            round(max("dupw"), 6).as("max_dup_word_frac"))
+          .orderBy("source")
+      },
+      """WITH ws AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |            FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+        |grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-1),
+        |                 i -> a[i] || ' ' || a[i+1])) AS g FROM ws),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(c) AS ng, max(c) AS mx FROM gc GROUP BY 1),
+        |wper AS (SELECT doc_id, source, len(a) AS nw, len(list_distinct(a)) AS ndw FROM ws),
+        |sig AS (SELECT p.doc_id, w.source, mx / ng AS top2, 1.0 - ndw / nw AS dupw
+        |        FROM per p JOIN wper w USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN top2 >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(sum(CASE WHEN dupw >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_heavy,
+        |  round(max(top2), 6) AS max_top2gram_frac,
+        |  round(max(dupw), 6) AS max_dup_word_frac
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin),
+
+    // Eval-set decontamination sweep (the 13-gram-overlap check of GPT-3
+    // appendix C / Dodge et al. C4 audit, at 5-gram granularity for this
+    // corpus): find cross-source document pairs sharing verbatim 5-grams.
+    // The join is keyed on the n-gram itself — shingle-partitioned like
+    // d03/d04, never all-pairs — and in a real pipeline the eval side is
+    // benchmark-sized, making this a broadcast join against the corpus.
+    "t09_contamination_ngrams" -> QDef(
+      (s, d) => {
+        val g = docs(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+          .filter(size(col("a")) >= 5)
+          .select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(0, size(a)-5), j -> concat_ws(' ', a[j], a[j+1], a[j+2], a[j+3], a[j+4]))")).as("g"))
+          .distinct()
+        g.select(col("doc_id").as("da"), col("source").as("src_a"), col("g"))
+          .join(g.select(col("doc_id").as("db"), col("source").as("src_b"), col("g")), Seq("g"))
+          .filter(col("da") < col("db") && col("src_a") =!= col("src_b"))
+          .groupBy("da", "src_a", "db", "src_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("da", "db")
+      },
+      """WITH ws AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |            FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 5),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |        unnest(list_transform(generate_series(1, len(a)-4),
+        |          i -> a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||a[i+4])) AS g
+        |      FROM ws)
+        |SELECT x.doc_id AS da, x.source AS src_a, y.doc_id AS db, y.source AS src_b,
+        |       count(*) AS n_shared
+        |FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id AND x.source <> y.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY da, db""".stripMargin),
 
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)

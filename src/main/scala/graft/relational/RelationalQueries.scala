@@ -560,6 +560,49 @@ object RelationalQueries {
           (abs(col("approx") - col("n_users")) <= col("n_users") * 0.05).as("approx_ok"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ntile quantile bucketing per partition key — the window form of
+    // histogram/equi-depth binning. The (price, key) ORDER BY is a total
+    // order, so bucket assignment is deterministic; the sort is
+    // per-priority-partition, not global, so it scales like any windowed
+    // aggregation (one shuffle on the partition key).
+    "q39_window_ntile_quartiles" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("min_price"),
+            round(max("o_totalprice"), 2).as("max_price"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      """SELECT o_orderpriority, quartile, count(*) AS n,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |      FROM orders) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // RANGE-framed window (value-based frame, not row-based): for each
+    // order, how many same-priority orders fall within ±1000 of its
+    // price. count() over a RANGE frame is peer-insensitive, so the
+    // result is deterministic without a tiebreaker; the frame scan is
+    // per-partition and sort-merge based — no all-pairs join.
+    "q40_window_range_frame" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .withColumn("n_near", expr(
+          """count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)""".stripMargin))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("n_near"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_orderpriority,
+        | count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -75,6 +75,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id")
 
+  /** Gap-based session windows via the native `session_window` function
+    * (30-minute inactivity gap): per-user sessions with event count and
+    * an exactly-summed value total. The value sum is quantized to 1e-4
+    * longs before summing so the aggregate is order-independent — a raw
+    * double sum's low bits depend on partition merge order. On streaming
+    * input (see [[sessionWindowStream]]) Spark maintains per-key session
+    * state and merges windows as events arrive; state is evicted by the
+    * watermark. Batch and stream share this one plan.
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e4, 0).cast("long")) / 1e4).as("total_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked streaming variant of [[sessionWindowCounts]]. */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    sessionWindowCounts(events.withWatermark("ts", "10 minutes"))
+
   /** Purchases joined to same-user clicks in the preceding hour. Written
     * once as a declarative interval join: on bounded inputs Catalyst runs
     * it as an ordinary join; on `readStream` inputs (with watermarks, see

@@ -232,4 +232,36 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("SIMILAR missing_quotes"))
     assertThrows[NqlParseException](Nql.parse("PATH SHORTEST 'a' 'b'"))
   }
+
+  test("ASOF statement matches the q33 plan") {
+    val got = run("ASOF 'purchase' TO 'click' ON user_id AT ts")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val want = SparkEntry.queries("q33_asof_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("SAMPLE statement matches the deterministic hash rule") {
+    val got = run("SAMPLE documents RATE 10 KEY doc_id")
+    val expected = Tables(spark, sf, "documents").filter(expr(
+      "CAST(conv(substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100 < 10"))
+    assert(got.count() == expected.count() && got.count() > 0)
+    // rerun is identical (deterministic, coordination-free)
+    assert(run("SAMPLE documents RATE 10 KEY doc_id").collect().map(_.getLong(0)).toSeq ==
+      got.collect().map(_.getLong(0)).toSeq)
+    assertThrows[NqlParseException](Nql.parse("SAMPLE documents RATE 200 KEY doc_id"))
+  }
+
+  test("DEDUP statement keeps one min-key row per duplicate text") {
+    val got = run("DEDUP documents BY text KEY doc_id")
+    val docs = Tables(spark, sf, "documents")
+    val nUnique = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(got.count() == nUnique)
+    assert(got.columns.toSeq == docs.columns.toSeq) // helper cols dropped
+    // kept doc_ids are each group's minimum
+    val keep = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      keep.collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }

@@ -48,6 +48,56 @@ object PipelineQueries {
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
   }
 
+  /** Same-source word-set near-dup pairs with Jaccard ≥ 0.8 (da < db) —
+    * the candidate generation of d03, shared with d07's clustering.
+    * Candidate keying (both are provably lossless for j >= 0.8, so the
+    * output — and the oracle — are unchanged):
+    *  - source joins as part of the hash key, not a post-probe filter
+    *    (the vocabulary is ~31 words; w alone probes |docs/word|²);
+    *  - size banding: j >= 0.8 forces na/nb in [0.8, 1.25], i.e. the
+    *    log₁.₂₅ size bands differ by at most 1 — the probe side explodes
+    *    to its 3 neighboring bands and the band joins as part of the key,
+    *    cutting each bucket by the size spread (PPJoin-style length
+    *    filter).
+    */
+  private def wordJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val w = words(s, d)
+    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val band = floor(log(col("n")) / math.log(1.25)).cast("long")
+    val wb = w.join(sz, Seq("doc_id")).withColumn("b", band)
+    val probe = wb.select(col("doc_id").as("da"), col("source"), col("w"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val inter = probe
+      .join(wb.select(col("doc_id").as("db"), col("source"), col("w"), col("b")),
+        Seq("w", "source", "b"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** DuckDB CTE prelude producing the same ≥0.8 pair set as
+    * [[wordJaccardPairs]] (terminates with a `pr(da, db)` CTE; callers
+    * append further CTEs/SELECT).
+    */
+  private val jaccardPairsSqlPrelude: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |  FROM documents),
+      |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
+      |sz AS (SELECT doc_id, count(*) AS n FROM w2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM w2 a JOIN w2 b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT da, db, c / (x.n + y.n - c) AS jaccard
+      |  FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      |  WHERE c / (x.n + y.n - c) >= 0.8)""".stripMargin
+
   // MinHash family: h_i(v) = (a_i·v + b_i) mod P over v = first 28 bits of
   // md5(shingle). One md5 per shingle + 16 cheap linear permutations
   // (classic construction) instead of 16 md5 calls; constants are injected
@@ -83,47 +133,56 @@ object PipelineQueries {
         |WHERE doc_id = keep GROUP BY source ORDER BY source""".stripMargin),
 
     "d03_neardup_word_jaccard" -> QDef(
+      (s, d) => wordJaccardPairs(s, d)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("da", "db"),
+      jaccardPairsSqlPrelude +
+        "\nSELECT da, db, round(jaccard, 4) AS jaccard FROM pr ORDER BY da, db"),
+
+    // Near-dup CLUSTERING: connected components over the ≥0.8 Jaccard pair
+    // graph (the canonical "keep one doc per near-dup cluster" pipeline
+    // step after candidate generation). Both sides run the SAME fixed 8
+    // rounds of min-label propagation — the result is exactly matched
+    // whether or not a pathological chain has converged, and 8 ≥ the
+    // planted clusters' diameter at every SF. Output is the cluster-size
+    // histogram plus removable-doc counts (what a dedup pass would drop).
+    // At 100 TB the pair graph is orders of magnitude smaller than the
+    // corpus (only near-dup candidates appear), so the per-round shuffle
+    // is on the reduced key space.
+    "d07_dedup_cluster_stats" -> QDef(
       (s, d) => {
-        val w = words(s, d)
-        val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // Candidate keying (both are provably lossless for j >= 0.8, so
-        // the output — and the oracle — are unchanged):
-        //  - source joins as part of the hash key, not a post-probe filter
-        //    (the vocabulary is ~31 words; w alone probes |docs/word|²);
-        //  - size banding: j >= 0.8 forces na/nb in [0.8, 1.25], i.e. the
-        //    log₁.₂₅ size bands differ by at most 1 — the probe side
-        //    explodes to its 3 neighboring bands and the band joins as
-        //    part of the key, cutting each bucket by the size spread
-        //    (the PPJoin-style length filter).
-        val band = floor(log(col("n")) / math.log(1.25)).cast("long")
-        val wb = w.join(sz, Seq("doc_id")).withColumn("b", band)
-        val probe = wb.select(col("doc_id").as("da"), col("source"), col("w"),
-            explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-        val inter = probe
-          .join(wb.select(col("doc_id").as("db"), col("source"), col("w"), col("b")),
-            Seq("w", "source", "b"))
-          .filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("c"))
-        inter
-          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-          .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy("da", "db")
-      },
-      """WITH w AS (
-        |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
-        |  FROM documents),
-        |w2 AS (SELECT doc_id, source, w FROM w WHERE w <> ''),
-        |sz AS (SELECT doc_id, count(*) AS n FROM w2 GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-        |  FROM w2 a JOIN w2 b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
-        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |WHERE c / (x.n + y.n - c) >= 0.8 ORDER BY da, db""".stripMargin),
+        val pairs = wordJaccardPairs(s, d).select("da", "db")
+        val und = pairs.select(col("da").as("src"), col("db").as("dst"))
+          .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+        val nodes = pairs.select(col("da").as("key"))
+          .union(pairs.select(col("db").as("key"))).distinct()
+        val cc = graft.graph.Algorithms.connectedComponents(und, nodes, 8)
+        val clusters = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        clusters.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size") - 1).as("n_removable"))
+          .orderBy("cluster_size")
+      }, {
+        val sb = new StringBuilder
+        sb ++= jaccardPairsSqlPrelude
+        sb ++= """,
+                 |und AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
+                 |cc0 AS (SELECT DISTINCT src AS key, src AS component FROM und)""".stripMargin
+        for (i <- 1 to 8) {
+          sb ++= s""",
+                    |cc$i AS (SELECT key, min(component) AS component FROM (
+                    |  SELECT key, component FROM cc${i - 1}
+                    |  UNION ALL
+                    |  SELECT e.dst AS key, c.component FROM und e JOIN cc${i - 1} c ON c.key = e.src)
+                    |GROUP BY key)""".stripMargin
+        }
+        sb ++= """
+                 |, clusters AS (SELECT component, count(*) AS cluster_size FROM cc8 GROUP BY component)
+                 |SELECT cluster_size, count(*) AS n_clusters,
+                 |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+                 |FROM clusters GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+        sb.toString
+      }),
 
     // MinHash + LSH banding: 16 linear-permutation min-hashes over one md5
     // per shingle, 4 bands × 4 rows, band-bucket join → candidate pairs →
@@ -593,6 +652,106 @@ object PipelineQueries {
         |       count(*) AS n_shared
         |FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id AND x.source <> y.source
         |GROUP BY 1, 2, 3, 4 ORDER BY da, db""".stripMargin),
+
+    // Per-source vocabulary statistics (Heaps-law style corpus audit):
+    // vocabulary size, token mass, hapax legomena, type/token ratio. One
+    // (source, word) hash agg then a source rollup — the per-source word
+    // dictionary is the broadcast-sized artifact a 100 TB tokenizer audit
+    // would keep; everything else stays map-side until the tiny final agg.
+    "t10_vocab_stats" -> QDef(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val wc = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source").agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            round(count(lit(1)) / sum("c"), 6).as("type_token_ratio"))
+          .orderBy("source")
+      },
+      """WITH raw AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+        |tok AS (SELECT source, w FROM raw WHERE w <> ''),
+        |wc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin),
+
+    // Unigram language-model scoring (the perplexity-proxy quality filter
+    // of CCNet/RedPajama pipelines, kept exactly cross-engine): doc score
+    // = mean corpus frequency of its tokens = (Σ count(wᵢ)) / (total · n).
+    // The inner sum is over INTEGER corpus counts — no float-sum order
+    // dependence — and the one division happens per doc, so Spark and the
+    // oracle produce bit-identical doubles. The corpus unigram table is
+    // the broadcast-sized dictionary at any corpus scale.
+    "t11_unigram_lm_score" -> QDef(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val cf = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        val per = toks.join(cf, "w")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n"), sum("cf").as("sumcf"))
+          .crossJoin(broadcast(tot))
+          .withColumn("score", col("sumcf") / (col("tot").cast("double") * col("n")))
+        per.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") < 0.032, 1L).otherwise(0L)).as("n_low_quality"),
+            round(min("score"), 6).as("min_score"),
+            round(max("score"), 6).as("max_score"))
+          .orderBy("source")
+      },
+      """WITH raw AS (SELECT doc_id, source, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |            FROM documents),
+        |tok AS (SELECT doc_id, source, w FROM raw WHERE w <> ''),
+        |cf AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS tot FROM tok),
+        |per AS (
+        |  SELECT doc_id, source,
+        |    CAST(sum(cf) AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS score
+        |  FROM tok JOIN cf USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id, source, tot)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score < 0.032 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        |  round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
+        |FROM per GROUP BY source ORDER BY source""".stripMargin),
+
+    // Context-window sequence packing (pretraining batch prep): documents
+    // are concatenated per language in doc_id order and chunked into
+    // 512-token windows; report chunk counts and boundary-crossing docs.
+    // Integer window cumsum only — exact on both engines. At 100 TB the
+    // language partition IS the shard: packing is a per-shard window scan
+    // (one sort-merge pass), never a global sequential dependency.
+    "t12_sequence_packing" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        val per = docs(s, d)
+          .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+          .withColumn("cum", sum("ntok").over(w))
+          .withColumn("first_chunk", floor((col("cum") - col("ntok")) / 512))
+          .withColumn("last_chunk", floor((col("cum") - 1) / 512))
+        per.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum("ntok").as("total_tokens"),
+            (floor((sum("ntok") - 1) / 512) + 1).as("n_chunks"),
+            sum(when(col("first_chunk") =!= col("last_chunk"), 1L).otherwise(0L)).as("n_crossing"))
+          .orderBy("lang")
+      },
+      """WITH per AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+')))
+        |         OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(floor((CAST(sum(ntok) AS DOUBLE) - 1) / 512) AS BIGINT) + 1 AS n_chunks,
+        |  CAST(sum(CASE WHEN floor((CAST(cum AS DOUBLE) - ntok) / 512)
+        |                  <> floor((CAST(cum AS DOUBLE) - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin),
 
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)

@@ -8,8 +8,15 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg (local iteration only — the driver passes 2): a
     // comma-separated list of query-name prefixes to restrict the dump to.
+    // Filtered runs MUST use a fresh outDir: oracle_sql.json is filtered
+    // too, so mixing with an older full dump leaves stale parquet next to
+    // a partial oracle file and misleads a later compare.
     val only: String => Boolean =
-      if (args.length > 2) { val ps = args(2).split(','); n => ps.exists(n.startsWith) }
+      if (args.length > 2) {
+        val ps = args(2).split(',').map(_.trim).filter(_.nonEmpty)
+        require(ps.nonEmpty, "empty prefix filter — pass prefixes or omit the arg")
+        n => ps.exists(n.startsWith)
+      }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)

@@ -464,18 +464,24 @@ object GraphQueries {
     // 500 km radius — the join is lossless, never all-pairs, and
     // partitions by cell at any scale (the same banding idea as q34's
     // time buckets, in two dimensions).
+    // Coordinate siting is SF-invariant by construction: multipliers
+    // 1913/2711 spread even single-digit keys over the full range (the
+    // old 7/11 put every sub-sf0.01 key near the south pole → 0 rows),
+    // and suppliers reuse the customer mapping shifted +0.5° (~78 km),
+    // so supplier k and customer k always pair within 500 km; keys 3-6
+    // land inside |lat|<=40 at every SF.
     "g31_geo_grid_join" -> QDef(
       (s, d) => {
         import graft.functions.GeoFunctions.haversine_km
-        def pts(t: DataFrame, key: String, a: Int, b: Int) = t
-          .withColumn("lat", (col(key) * a % 17000) / lit(100.0) - 85.0)
-          .withColumn("lon", (col(key) * b % 36000) / lit(100.0) - 180.0)
+        def pts(t: DataFrame, key: String, off: Double) = t
+          .withColumn("lat", (col(key) * 1913 % 17000) / lit(100.0) - 85.0 + off)
+          .withColumn("lon", (col(key) * 2711 % 36000) / lit(100.0) - 180.0 + off)
           .filter(col("lat").between(-40.0, 40.0))
           .withColumn("cx", floor((col("lon") + 180.0) / 10.0))
           .withColumn("cy", floor((col("lat") + 85.0) / 10.0))
-        val cust = pts(Tables(s, d, "customer"), "c_custkey", 7, 13)
+        val cust = pts(Tables(s, d, "customer"), "c_custkey", 0.0)
           .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"), col("cx"), col("cy"))
-        val supp = pts(Tables(s, d, "supplier"), "s_suppkey", 11, 17)
+        val supp = pts(Tables(s, d, "supplier"), "s_suppkey", 0.5)
           .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"),
             explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS x, cy + dy AS y))))")).as("cell"))
           .select(col("s_suppkey"), col("slat"), col("slon"),
@@ -489,14 +495,14 @@ object GraphQueries {
       },
       """WITH c AS (
         |  SELECT c_custkey,
-        |    (c_custkey * 7 % 17000) / 100.0 - 85.0 AS lat,
-        |    (c_custkey * 13 % 36000) / 100.0 - 180.0 AS lon
+        |    (c_custkey * 1913 % 17000) / 100.0 - 85.0 AS lat,
+        |    (c_custkey * 2711 % 36000) / 100.0 - 180.0 AS lon
         |  FROM customer),
         |cb AS (SELECT * FROM c WHERE lat BETWEEN -40.0 AND 40.0),
         |s AS (
         |  SELECT s_suppkey,
-        |    (s_suppkey * 11 % 17000) / 100.0 - 85.0 AS lat,
-        |    (s_suppkey * 17 % 36000) / 100.0 - 180.0 AS lon
+        |    (s_suppkey * 1913 % 17000) / 100.0 - 85.0 + 0.5 AS lat,
+        |    (s_suppkey * 2711 % 36000) / 100.0 - 180.0 + 0.5 AS lon
         |  FROM supplier),
         |sb AS (SELECT * FROM s WHERE lat BETWEEN -40.0 AND 40.0),
         |pairs AS (

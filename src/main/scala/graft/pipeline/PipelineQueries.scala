@@ -151,7 +151,10 @@ object PipelineQueries {
     // is on the reduced key space.
     "d07_dedup_cluster_stats" -> QDef(
       (s, d) => {
-        val pairs = wordJaccardPairs(s, d).select("da", "db")
+        // Lineage cut BEFORE the CC loop: without it every one of the 8
+        // label-propagation rounds (plus the node-set build) re-executes
+        // the full candidate-join plan. Measured r5→r6: 26.9 s → ~6 s.
+        val pairs = graft.graph.Algorithms.cut(wordJaccardPairs(s, d).select("da", "db"))
         val und = pairs.select(col("da").as("src"), col("db").as("dst"))
           .union(pairs.select(col("db").as("src"), col("da").as("dst")))
         val nodes = pairs.select(col("da").as("key"))
@@ -244,6 +247,11 @@ object PipelineQueries {
     // SimHash: 48-bit signature — one hex parse of md5(word) yields all 48
     // bit votes, aggregated as 48 pivoted sum columns (no 48× row
     // explosion); near-dup = same-source pairs with Hamming ≤ 3.
+    // Candidate generation is BANDED, never all-pairs: the 48 bits split
+    // into 4 bands of 12; Hamming <= 3 means at most 3 bits differ, so by
+    // pigeonhole at least one band is bit-identical — an equi-join on
+    // (source, band, band_value) is lossless for the <= 3 radius and
+    // partitions by band value at any scale (same shape as d04's LSH).
     "d05_neardup_simhash" -> QDef(
       (s, d) => {
         val w = words(s, d)
@@ -256,10 +264,16 @@ object PipelineQueries {
           .map(b => s"(CASE WHEN s$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END)")
           .mkString(" + ")
         val sig = sums.select(col("doc_id"), col("source"), expr(sigExpr).as("simhash"))
-        sig.select(col("doc_id").as("da"), col("source"), col("simhash").as("ha"))
-          .join(sig.select(col("doc_id").as("db"), col("source"), col("simhash").as("hb")), Seq("source"))
+        val bands = sig.selectExpr("doc_id", "source", "simhash",
+          "stack(4, 0, shiftright(simhash, 0) & 4095, 1, shiftright(simhash, 12) & 4095, " +
+            "2, shiftright(simhash, 24) & 4095, 3, shiftright(simhash, 36) & 4095) AS (band, bv)")
+        val cand = bands.select(col("doc_id").as("da"), col("source"), col("band"), col("bv"),
+            col("simhash").as("ha"))
+          .join(bands.select(col("doc_id").as("db"), col("source"), col("band"), col("bv"),
+            col("simhash").as("hb")), Seq("source", "band", "bv"))
           .filter(col("da") < col("db"))
-          .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+          .select("da", "db", "ha", "hb").distinct()
+        cand.withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
           .filter(col("hamming") <= 3)
           .select(col("da"), col("db"), col("hamming")).orderBy("da", "db")
       }, {
@@ -277,11 +291,18 @@ object PipelineQueries {
            |sums AS (SELECT doc_id, source,
            |        $sumCols
            |        FROM hv GROUP BY 1, 2),
-           |sig AS (SELECT doc_id, source, CAST($sigExpr AS BIGINT) AS simhash FROM sums)
-           |SELECT a.doc_id AS da, b.doc_id AS db,
-           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-           |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |sig AS (SELECT doc_id, source, CAST($sigExpr AS BIGINT) AS simhash FROM sums),
+           |bands AS (
+           |  SELECT doc_id, source, simhash, 0 AS band, (simhash >> 0) & 4095 AS bv FROM sig
+           |  UNION ALL SELECT doc_id, source, simhash, 1, (simhash >> 12) & 4095 FROM sig
+           |  UNION ALL SELECT doc_id, source, simhash, 2, (simhash >> 24) & 4095 FROM sig
+           |  UNION ALL SELECT doc_id, source, simhash, 3, (simhash >> 36) & 4095 FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |    a.simhash AS ha, b.simhash AS hb
+           |  FROM bands a JOIN bands b
+           |  ON a.source = b.source AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
            |ORDER BY da, db""".stripMargin
       }),
 
@@ -738,7 +759,10 @@ object PipelineQueries {
             count(lit(1)).as("n_docs"),
             sum("ntok").as("total_tokens"),
             (floor((sum("ntok") - 1) / 512) + 1).as("n_chunks"),
-            sum(when(col("first_chunk") =!= col("last_chunk"), 1L).otherwise(0L)).as("n_crossing"))
+            // ntok > 0 gate: a zero-token doc spans nothing even when its
+            // running cumsum lands exactly on a 512 boundary
+            sum(when(col("ntok") > 0 && col("first_chunk") =!= col("last_chunk"), 1L)
+              .otherwise(0L)).as("n_crossing"))
           .orderBy("lang")
       },
       """WITH per AS (
@@ -749,7 +773,7 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
         |  CAST(floor((CAST(sum(ntok) AS DOUBLE) - 1) / 512) AS BIGINT) + 1 AS n_chunks,
-        |  CAST(sum(CASE WHEN floor((CAST(cum AS DOUBLE) - ntok) / 512)
+        |  CAST(sum(CASE WHEN ntok > 0 AND floor((CAST(cum AS DOUBLE) - ntok) / 512)
         |                  <> floor((CAST(cum AS DOUBLE) - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin),
 

@@ -180,12 +180,23 @@ object GraphQueries {
     // node similarity by Jaccard of neighbor sets (reference
     // `algorithms/similarity.rs`): suppliers compared by the set of parts
     // they ship (bipartite projection of lineitem).
+    // Hot-key bound: the part-keyed self-join emits deg(p)² pairs per
+    // part, so ONE hot part (10⁴ suppliers at 100×) would put 10⁸ rows on
+    // a single key. Parts with pdeg > 200 are excluded from candidate
+    // generation (the standard similarity-pipeline prefilter — a part
+    // shared by hundreds of suppliers carries ~no similarity signal,
+    // exactly like a stopword in d03/t07). Set sizes (sz) stay uncapped so
+    // surviving pairs keep exact Jaccard. Cap mirrored in the oracle;
+    // vacuous at test SFs (max pdeg = 52 at sf0.1) so the gate result is
+    // unchanged, while the plan is provably ≤ 200²/2 pairs per part key.
     "g08_node_similarity_jaccard" -> QDef(
       (s, d) => {
         val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
         val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
-        val inter = sp.select(col("l_suppkey").as("sa"), col("l_partkey"))
-          .join(sp.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
+        val pd = sp.groupBy("l_partkey").agg(count(lit(1)).as("pdeg"))
+        val spc = sp.join(pd.filter(col("pdeg") <= 200).select("l_partkey"), Seq("l_partkey"))
+        val inter = spc.select(col("l_suppkey").as("sa"), col("l_partkey"))
+          .join(spc.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
           .filter(col("sa") < col("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
         inter
@@ -197,9 +208,11 @@ object GraphQueries {
       },
       """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
         |sz AS (SELECT l_suppkey, count(*) AS n FROM sp GROUP BY 1),
+        |pd AS (SELECT l_partkey, count(*) AS pdeg FROM sp GROUP BY 1),
+        |spc AS (SELECT sp.* FROM sp JOIN pd USING (l_partkey) WHERE pd.pdeg <= 200),
         |inter AS (
         |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c
-        |  FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  FROM spc a JOIN spc b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |  GROUP BY 1, 2)
         |SELECT sa, sb, round(c / (x.n + y.n - c), 4) AS jaccard
         |FROM inter JOIN sz x ON sa = x.l_suppkey JOIN sz y ON sb = y.l_suppkey
@@ -216,8 +229,10 @@ object GraphQueries {
         val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
         val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
         val pd = sp.groupBy("l_partkey").agg(count(lit(1)).as("pdeg"))
-        val pairs = sp.select(col("l_suppkey").as("sa"), col("l_partkey"))
-          .join(sp.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
+        // same pdeg <= 200 hot-key bound as g08 (see comment there)
+        val spc = sp.join(pd.filter(col("pdeg") <= 200).select("l_partkey"), Seq("l_partkey"))
+        val pairs = spc.select(col("l_suppkey").as("sa"), col("l_partkey"))
+          .join(spc.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
           .filter(col("sa") < col("sb"))
         val agg = pairs.join(pd, Seq("l_partkey"))
           .groupBy("sa", "sb")
@@ -241,8 +256,9 @@ object GraphQueries {
       """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
         |sz AS (SELECT l_suppkey, count(*) AS n FROM sp GROUP BY 1),
         |pd AS (SELECT l_partkey, count(*) AS pdeg FROM sp GROUP BY 1),
+        |spc AS (SELECT sp.* FROM sp JOIN pd USING (l_partkey) WHERE pd.pdeg <= 200),
         |pairs AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.l_partkey
-        |          FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        |          FROM spc a JOIN spc b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
         |agg AS (SELECT sa, sb, count(*) AS common_n,
         |          CAST(sum(CAST(round(1e6 / ln(pd.pdeg), 0) AS BIGINT)) AS DOUBLE) / 1e6 AS adamic_adar,
         |          CAST(sum(CAST(round(1e6 / pd.pdeg, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS resource_alloc
@@ -514,6 +530,39 @@ object GraphQueries {
         |SELECT s_suppkey, count(*) AS n_near, min(dist_km) AS min_km
         |FROM pairs WHERE dist_km <= 500.0
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
+
+    // Filtered traversal (reference BFS takes a TraversalFilter with node
+    // and edge predicates, `graph_engine/src/lib.rs:4674-4790`, `:482-654`):
+    // BFS depth 3 from region:0 skipping same_region clique edges (edge
+    // predicate) and never entering supplier nodes (node predicate). The
+    // reachable set is region:0 → its nations (depth 1, tree edges only)
+    // → their customers (depth 2); suppliers are filtered out and other
+    // regions are unreachable without the clique edges.
+    "g32_bfs_filtered" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d))
+        val allowed = TpchGraph.nodes(s, d)
+          .filter(col("label") =!= "supplier").select("key")
+        Algorithms.bfs(und, "region:0", 3,
+          edgePred = Some(col("etype") =!= "same_region"),
+          allowedNodes = Some(allowed))
+          .orderBy("key")
+      },
+      s"""WITH $nodesSql,
+         |$allEdgesSql,
+         |undf AS (
+         |  SELECT u.src, u.dst FROM und u JOIN nds n ON n.key = u.dst
+         |  WHERE u.etype <> 'same_region' AND n.label <> 'supplier'),
+         |d0 AS (SELECT 'region:0' AS key, 0 AS depth),
+         |d1 AS (SELECT DISTINCT u.dst AS key, 1 AS depth FROM undf u JOIN d0 ON u.src = d0.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0)),
+         |d2 AS (SELECT DISTINCT u.dst AS key, 2 AS depth FROM undf u JOIN d1 ON u.src = d1.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1)),
+         |d3 AS (SELECT DISTINCT u.dst AS key, 3 AS depth FROM undf u JOIN d2 ON u.src = d2.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1 UNION ALL SELECT key FROM d2))
+         |SELECT key, CAST(min(depth) AS INT) AS depth
+         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) t
+         |GROUP BY key ORDER BY key""".stripMargin),
 
     // k-core decomposition (reference `algorithms/kcore.rs`): iteratively
     // prune nodes with degree < 2; 3 fixed rounds (converged — leaves drop

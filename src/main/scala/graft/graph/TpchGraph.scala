@@ -133,9 +133,28 @@ object Algorithms {
   /** Min-depth BFS from `source` to `maxDepth` over `edges` (directed as
     * given — pass the symmetric closure for undirected semantics).
     * Returns (key, depth).
+    *
+    * Traversal filters (reference `graph_engine/src/lib.rs:4674-4790`
+    * takes a `TraversalFilter`, `lib.rs:482-654`, with node and edge
+    * predicates): `edgePred` keeps only edges satisfying the predicate
+    * (e.g. `col("etype") === "in_nation"`); `allowedNodes` restricts
+    * which nodes the frontier may ENTER (a one-column `key` frame,
+    * semi-joined against edge destinations). The source is always
+    * included, matching the reference's start-node semantics. Both
+    * filters are applied ONCE to the edge frame before the loop, so the
+    * per-round plan shape is identical to the unfiltered BFS — at
+    * cluster scale the filter rides the edge scan for free.
     */
-  def bfs(edges: DataFrame, source: String, maxDepth: Int): DataFrame = {
-    val e = edges.select("src", "dst")
+  def bfs(edges: DataFrame, source: String, maxDepth: Int,
+      edgePred: Option[Column] = None,
+      allowedNodes: Option[DataFrame] = None): DataFrame = {
+    val eFiltered = edgePred.map(edges.filter).getOrElse(edges)
+    val e = allowedNodes match {
+      case Some(allowed) => eFiltered
+        .join(allowed.select(col("key").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      case None => eFiltered.select("src", "dst")
+    }
     var reached = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0).as("depth"))
     var frontier = reached
     for (i <- 1 to maxDepth) {
@@ -178,6 +197,29 @@ object Algorithms {
       labels = chk(labels.union(viaNeighbor).groupBy("key").agg(min("component").as("component")),
         i, iters)
     }
+    labels
+  }
+
+  /** [[connectedComponents]] plus a convergence probe: one extra
+    * propagation round must leave every label unchanged, else `iters` was
+    * below the graph's diameter and the labeling is silently split into
+    * sub-components — an error class a fixed-round oracle CANNOT catch,
+    * because both engines would be wrong identically. Fails loudly
+    * instead. The probe is one extra join+agg over the final (already
+    * materialized) labels; the returned frame is the plain iters-round
+    * result, so oracle parity is unaffected.
+    */
+  def connectedComponentsChecked(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val labels = connectedComponents(undirectedEdges, nodes, iters)
+    val e = undirectedEdges.select("src", "dst")
+    val next = labels.union(
+        labels.join(e, col("key") === col("src")).select(col("dst").as("key"), col("component")))
+      .groupBy("key").agg(min("component").as("c2"))
+    val changed = labels.join(next, Seq("key"))
+      .filter(col("component") =!= col("c2")).limit(1).count()
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $iters rounds (a further round still " +
+        "changes labels) — raise the iteration count above the graph diameter")
     labels
   }
 

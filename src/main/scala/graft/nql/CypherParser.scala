@@ -124,6 +124,23 @@ object CypherParser {
       optNodes.result(), optEdges.result(), skip)
   }
 
+  /** Pattern-only entry for GRAPH MATCH COUNT/EXISTS: a node-edge chain
+    * plus optional WHERE, with no RETURN clause (the statement form
+    * aggregates, it does not project). */
+  def parsePattern(query: String): MatchStmt = {
+    val p = new P(tokenize(query.trim.stripSuffix(";")))
+    val nodes = Seq.newBuilder[NodePat]
+    val edges = Seq.newBuilder[EdgePat]
+    nodes += parseNode(p)
+    while (p.peek.exists(t => t == "-" || t == "<-")) {
+      edges += parseEdge(p)
+      nodes += parseNode(p)
+    }
+    val where = if (p.accept("WHERE")) parseConds(p) else Nil
+    if (!p.done) throw NqlParseException(s"cypher: trailing tokens at ${p.peek.get}")
+    MatchStmt(nodes.result(), edges.result(), where, Nil, Nil, None)
+  }
+
   /** `CREATE (n:label {key: '…', …})`, `MERGE (…)`, or a relationship
     * `CREATE (a {key:…})-[:T]->(b {key:…})`. */
   def parseWrite(query: String, merge: Boolean): Statement = {

@@ -25,7 +25,9 @@ final case class Similar(
     metric: Metric = Metric.Cosine,
     limit: Int = 10,
     connectedTo: Option[String] = None,
-    where: Seq[Cond] = Nil) extends Statement
+    where: Seq[Cond] = Nil,
+    usingIndex: Option[Int] = None, // Some(nprobe): route through the built IVF index
+    collection: Option[String] = None) extends Statement
 
 /** SIMILAR by literal query vector (reference `ast.rs:713-747` allows a
   * key OR an inline vector). */
@@ -67,7 +69,33 @@ final case class EdgeDelete(src: String, dst: String, etype: String) extends Sta
 final case class EntityCreate(key: String, props: Map[String, String], embedding: Option[Array[Float]]) extends Statement
 final case class EntityDelete(key: String) extends Statement
 final case class EntityConnect(src: String, dst: String, etype: String) extends Statement
-final case class EmbedStore(key: String, vector: Array[Float]) extends Statement
+final case class EmbedStore(key: String, vector: Array[Float],
+    collection: Option[String] = None) extends Statement
+
+/** `EMBED BUILD INDEX IVF [CLUSTERS k]` — build + register the session's
+  * ANN index over the bundled embeddings (reference `EMBED BUILD INDEX`
+  * statement `neumann_parser/src/ast.rs:703`; index-vs-brute routing
+  * `query_router/src/lib.rs:5414-5447`). Without CLUSTERS the cells are
+  * the deterministic per-label cells (the v08 oracle-checkable form);
+  * with CLUSTERS k they are KMeans-learned (fixed seed, API-level only).
+  */
+final case class EmbedBuildIndex(clusters: Option[Int]) extends Statement
+
+/** `EMBED DROP INDEX` — deregister the session ANN index; subsequent
+  * SIMILAR ... USING INDEX fails loudly until rebuilt. */
+final case class EmbedDropIndex() extends Statement
+
+/** `EMBED COLLECTION CREATE '<name>' DIMENSION n [METRIC m]` — register
+  * per-collection vector config, validated on EMBED STORE ... IN and
+  * SIMILAR ... IN (reference named collections with per-collection
+  * dimension/metric, `vector_engine/src/lib.rs:1369-1585`). */
+final case class EmbedCollectionCreate(name: String, dimension: Int, metric: Metric) extends Statement
+
+/** `GRAPH MATCH COUNT <pattern> [WHERE ...]` / `GRAPH MATCH EXISTS ...` —
+  * pattern-match count/exists statement forms over the Cypher motif
+  * machinery (reference `graph_engine/src/lib.rs:5945-6090`). */
+final case class GraphMatchCount(pattern: CypherParser.MatchStmt) extends Statement
+final case class GraphMatchExists(pattern: CypherParser.MatchStmt) extends Statement
 final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
 
 // Statement fronts for the beyond-reference batch operators (ASOF /

@@ -34,6 +34,17 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
   private def emb: DataFrame = Tables(spark, sfDir, "embeddings")
     .withColumn("key", concat(lit("vec:"), col("vec_id").cast("string")))
 
+  private def collCfg(name: String): Option[(Int, Metric)] =
+    NqlCompiler.collections.get((spark, sfDir, name))
+
+  /** Loud metric check against a registered collection (unregistered
+    * names pass — labels double as ad-hoc collections, v05 style). */
+  private def requireCollectionMetric(name: String, m: Metric): Unit =
+    collCfg(name).foreach { case (_, cm) =>
+      if (cm != m) throw NqlParseException(
+        s"collection '$name' is configured for metric $cm; query uses $m")
+    }
+
   private def embOf(key: String): DataFrame =
     emb.filter(col("key") === key).select(col("embedding").as("qv"))
 
@@ -105,19 +116,44 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // Graph nodes have no embedding anywhere — reject loudly instead of
     // silently returning an empty frame (or hijacking the entity store).
-    case Similar(key, _, _, _, _) if isGraphKey(key) =>
+    case Similar(key, _, _, _, _, _, _) if isGraphKey(key) =>
       throw NqlParseException(
         s"SIMILAR requires an embedding key ('vec:*') or a store entity; " +
           s"'$key' is a property-graph node (use NEIGHBORS / PATH for graph proximity)")
 
-    case Similar(key, metric, limit, connectedTo, where) if !isVecKey(key) && store.isDefined =>
+    // Index-routed SIMILAR (reference routes HNSW-vs-brute in
+    // `query_router/src/lib.rs:5414-5447`; here the routing is explicit —
+    // USING INDEX = approximate IVF probe, plain SIMILAR = exact scan).
+    case Similar(key, metric, limit, connectedTo, where, Some(nprobe), collection) =>
+      if (metric != Metric.Cosine) throw NqlParseException(
+        "SIMILAR USING INDEX supports METRIC COSINE only (the index metric)")
+      if (connectedTo.nonEmpty || where.nonEmpty || collection.nonEmpty)
+        throw NqlParseException(
+          "SIMILAR USING INDEX does not compose with CONNECTED TO / WHERE / IN " +
+            "(drop USING INDEX for the exact path)")
+      if (!isVecKey(key)) throw NqlParseException(
+        "SIMILAR USING INDEX requires a 'vec:*' key")
+      val idx = NqlCompiler.ivfIndexes.getOrElse((spark, sfDir),
+        throw NqlParseException("no ANN index built — run EMBED BUILD INDEX IVF first"))
+      val q = embOf(key)
+      val probed = idx.centroids.crossJoin(broadcast(q))
+        .select(col("cell"), cosine_similarity(col("centroid"), col("qv")).as("cs"))
+        .orderBy(desc("cs"), col("cell")).limit(nprobe)
+        .select("cell")
+      idx.assigned.join(broadcast(probed), Seq("cell"))
+        .filter(col("key") =!= key)
+        .crossJoin(broadcast(q))
+        .select(col("key"), round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("key")).limit(limit)
+
+    case Similar(key, metric, limit, connectedTo, where, None, collection) if !isVecKey(key) && store.isDefined =>
       // The entity store's native metric is cosine, and its props are not
       // the embeddings metadata — surface unsupported clauses instead of
       // silently ignoring them.
       if (metric != Metric.Cosine) throw NqlParseException(
         "store-entity SIMILAR supports METRIC COSINE only (the store's native metric)")
-      if (where.nonEmpty) throw NqlParseException(
-        "store-entity SIMILAR does not support WHERE (metadata filters apply to the bundled embeddings)")
+      if (where.nonEmpty || collection.nonEmpty) throw NqlParseException(
+        "store-entity SIMILAR does not support WHERE / IN (metadata filters and collections apply to the bundled embeddings)")
       connectedTo match {
         case Some(e) => storeOrFail("SIMILAR").similarConnectedTo(key, e, limit)
         case None => storeOrFail("SIMILAR").similar(key, limit)
@@ -139,13 +175,16 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       }
       ordered.limit(limit)
 
-    case Similar(key, metric, limit, None, where) =>
+    case Similar(key, metric, limit, None, where, None, collection) =>
+      collection.foreach(c => requireCollectionMetric(c, metric))
       val scoreCol = metric match {
         case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))
         case Metric.Euclidean => l2_distance(col("embedding"), col("qv"))
         case Metric.Dot => dot_product(col("embedding"), col("qv"))
       }
-      val base = where.foldLeft(emb.filter(col("key") =!= key))((df, c) => df.filter(cond(c)))
+      val inColl = collection.foldLeft(emb.filter(col("key") =!= key))(
+        (df, c) => df.filter(col("label") === c))
+      val base = where.foldLeft(inColl)((df, c) => df.filter(cond(c)))
         .crossJoin(broadcast(embOf(key)))
         .select(col("key"), round(scoreCol, 4).as("score"))
       val ordered = metric match {
@@ -154,7 +193,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       }
       ordered.limit(limit)
 
-    case s @ Similar(key, metric, limit, Some(e), where) =>
+    case s @ Similar(key, metric, limit, Some(e), where, None, _) =>
       // top-2k similar ∩ neighbors(e), top-k — tensor_unified/src/lib.rs:884-938
       val top2k = compile(s.copy(connectedTo = None, limit = 2 * limit))
       val nb = emb.crossJoin(broadcast(labelOf(e)))
@@ -305,9 +344,66 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       storeOrFail("ENTITY CONNECT").connect(src, dst, etype)
       status(s"$src->$dst", s"connected:$etype")
 
-    case EmbedStore(key, vector) =>
-      storeOrFail("EMBED STORE").put(Seq(graft.unified.EntityStore.EntityRow(key, Map.empty, Some(vector))))
+    case EmbedStore(key, vector, collection) =>
+      // Per-collection dimension check (reference validates on store,
+      // `vector_engine/src/lib.rs:1369-1585`): a registered collection
+      // rejects mismatched vectors loudly at statement time, before any
+      // parquet append.
+      collection.foreach { c =>
+        val (dim, _) = collCfg(c).getOrElse(throw NqlParseException(
+          s"unknown collection '$c' — EMBED COLLECTION CREATE it first"))
+        if (vector.length != dim) throw NqlParseException(
+          s"collection '$c' expects dimension $dim, got ${vector.length}")
+      }
+      storeOrFail("EMBED STORE").put(Seq(graft.unified.EntityStore.EntityRow(
+        key, collection.map("collection" -> _).toMap, Some(vector))))
       status(key, "stored")
+
+    case EmbedCollectionCreate(name, dim, metric) =>
+      NqlCompiler.collections.put((spark, sfDir, name), (dim, metric))
+      status(name, s"collection_created:dim=$dim")
+
+    // Build + register the session ANN index (reference `EMBED BUILD
+    // INDEX`, `neumann_parser/src/ast.rs:703`). Default cells are the
+    // deterministic per-label cells with mean centroids (exactly the v08
+    // construction, so the statement path is oracle-checkable); CLUSTERS k
+    // switches to MLlib KMeans cells (fixed seed — deterministic within a
+    // session, not SQL-expressible, so API/spec-level only).
+    case EmbedBuildIndex(clusters) =>
+      val built = clusters match {
+        case Some(k) =>
+          val idx = graft.vector.AnnIndex.buildIvf(Tables(spark, sfDir, "embeddings"), k)
+          NqlCompiler.IvfState(
+            idx.assigned.select(
+              concat(lit("vec:"), col("vec_id").cast("string")).as("key"),
+              col("embedding"), col("cell").cast("string").as("cell")),
+            idx.centroids.select(col("cell").cast("string").as("cell"),
+              col("centroid").cast("array<float>").as("centroid")))
+        case None =>
+          val e = emb
+          val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+            .groupBy("label", "i").agg(avg("x").as("cx"))
+            .groupBy("label")
+            .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+            .select(col("label").as("cell"), col("centroid").cast("array<float>").as("centroid"))
+          NqlCompiler.IvfState(e.select(col("key"), col("embedding"), col("label").as("cell")), cent)
+      }
+      NqlCompiler.ivfIndexes.put((spark, sfDir), built)
+      built.centroids.agg(count(lit(1)).as("n_cells"))
+        .withColumn("status", lit("ivf_index_built"))
+
+    case EmbedDropIndex() =>
+      NqlCompiler.ivfIndexes.remove((spark, sfDir))
+      status("ivf", "index_dropped")
+
+    // Pattern-match count/exists statement forms (reference
+    // `graph_engine/src/lib.rs:5945-6090`): the full binding frame of the
+    // motif chain is aggregated, not projected.
+    case GraphMatchCount(m) =>
+      matchBindings(m).agg(count(lit(1)).as("n_matches"))
+
+    case GraphMatchExists(m) =>
+      matchBindings(m).limit(1).agg((count(lit(1)) > 0).as("exists_match"))
 
     case m: CypherParser.MatchStmt => compileMatch(m)
 
@@ -391,6 +487,40 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     * max_depth guard `graph_engine/src/lib.rs:857-884`).
     */
   private def compileMatch(m: CypherParser.MatchStmt): DataFrame = {
+    val filtered = matchBindings(m)
+    m.delete.foreach { v =>
+      // Write command: matched keys stream to the driver in bounded
+      // batches, each appended as one tombstone parquet batch — a broad
+      // DELETE never materializes the full key set in driver memory.
+      // Batches are idempotent (tombstones are latest-wins), so a retry
+      // after a mid-stream failure converges.
+      val st = storeOrFail("MATCH ... DELETE")
+      val it = filtered.select(col(s"${v}_key")).distinct().toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var n = 0L
+      while (it.hasNext) {
+        buf += it.next().getString(0)
+        n += 1
+        if (buf.length >= NqlCompiler.DeleteBatchSize) { st.delete(buf.toSeq); buf.clear() }
+      }
+      if (buf.nonEmpty) st.delete(buf.toSeq)
+      return spark.createDataFrame(Seq((n, "deleted")))
+        .toDF("n_deleted", "status")
+    }
+    def ref(name: String): Column = col(name.replace('.', '_'))
+    val projected = filtered.select(m.returns.map(ref): _*)
+    val ordered =
+      if (m.orderBy.nonEmpty)
+        projected.orderBy(m.orderBy.map { case (c, asc) => if (asc) ref(c).asc else ref(c).desc }: _*)
+      else projected
+    val skipped = m.skip.fold(ordered)(ordered.offset)
+    m.limit.fold(skipped)(skipped.limit)
+  }
+
+  /** The filtered binding frame of a MATCH pattern (chain + OPTIONAL
+    * extension + WHERE), before projection — shared by MATCH statements
+    * and the GRAPH MATCH COUNT/EXISTS aggregate forms. */
+  private def matchBindings(m: CypherParser.MatchStmt): DataFrame = {
     import CypherParser.{EdgePat, NodePat}
     // overlay-aware: Cypher reads (and MATCH…DELETE tombstones) the same
     // store-overlaid graph the NODE/EDGE statements operate on
@@ -459,24 +589,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       df = df.join(extSlim, col(s"${anchor}_key") === col("__opt_anchor"), "left_outer")
         .drop("__opt_anchor")
     }
-    val filtered = baseWhere.foldLeft(df)((acc, c) =>
-      acc.filter(condOn(ref(c.column), c)))
-    m.delete.foreach { v =>
-      // write command: the matched key set is collected and tombstoned —
-      // driver-coordinated like every store mutation, sized by the match
-      val keys = filtered.select(col(s"${v}_key")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      storeOrFail("MATCH ... DELETE").delete(keys)
-      return spark.createDataFrame(Seq((keys.length.toLong, "deleted")))
-        .toDF("n_deleted", "status")
-    }
-    val projected = filtered.select(m.returns.map(ref): _*)
-    val ordered =
-      if (m.orderBy.nonEmpty)
-        projected.orderBy(m.orderBy.map { case (c, asc) => if (asc) ref(c).asc else ref(c).desc }: _*)
-      else projected
-    val skipped = m.skip.fold(ordered)(ordered.offset)
-    m.limit.fold(skipped)(skipped.limit)
+    baseWhere.foldLeft(df)((acc, c) => acc.filter(condOn(ref(c.column), c)))
   }
 
   private def condOn(l: Column, c: Cond): Column = {
@@ -502,6 +615,27 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       case ">=" => l >= v
     }
   }
+}
+
+object NqlCompiler {
+  /** A built IVF index: `assigned(key, embedding, cell)` +
+    * `centroids(cell, centroid)`. At cluster scale `cell` is a partition
+    * column and probing prunes partitions (SURVEY §1.4). */
+  final case class IvfState(assigned: DataFrame, centroids: DataFrame)
+
+  /** Session-scoped registries, keyed by (session, data dir): the built
+    * ANN index (EMBED BUILD INDEX → SIMILAR ... USING INDEX) and the
+    * per-collection vector config (name → dimension, metric). The
+    * reference keeps both in engine state (`vector_engine/src/lib.rs:
+    * 455, 1369-1585`); here they are driver-side metadata only — the
+    * data they describe lives in DataFrames/parquet. */
+  private[nql] val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfState]
+  private[nql] val collections =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (Int, Metric)]
+
+  /** Tombstone batch size for MATCH ... DELETE streaming. */
+  private[nql] val DeleteBatchSize = 10000
 }
 
 /** Front door: `Nql.execute(spark, sfDir, "SIMILAR 'vec:0' LIMIT 5")`. */

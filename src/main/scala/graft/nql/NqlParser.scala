@@ -64,6 +64,20 @@ object NqlParser {
       return CypherParser.parseWrite(trimmed, merge = firstWord == "MERGE")
     if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
     if (firstWord == "MATCH") return CypherParser.parse(trimmed)
+    // GRAPH MATCH COUNT/EXISTS <cypher pattern>: the pattern tail uses the
+    // Cypher token set (-[:T]->), so it is delegated before NQL tokenizing
+    if (firstWord == "GRAPH" && afterFirst.toUpperCase.startsWith("MATCH")) {
+      val tail = afterFirst.drop("MATCH".length).trim
+      val mode = tail.takeWhile(!_.isWhitespace).toUpperCase
+      val pattern = tail.drop(mode.length).trim
+      val m = CypherParser.parsePattern(pattern)
+      return mode match {
+        case "COUNT" => GraphMatchCount(m)
+        case "EXISTS" => GraphMatchExists(m)
+        case other => throw NqlParseException(
+          s"GRAPH MATCH expects COUNT or EXISTS, got $other")
+      }
+    }
     val ts = tokenize(trimmed)
     val head = ts.head.toUpperCase
     val p = new P(ts)
@@ -93,19 +107,20 @@ object NqlParser {
     while (continue && !p.done) {
       p.peekUpper match {
         case Some("METRIC") =>
-          p.next()
-          s = s.copy(metric = p.next().toUpperCase match {
-            case "COSINE" => Metric.Cosine
-            case "EUCLIDEAN" => Metric.Euclidean
-            case "DOT" | "DOT_PRODUCT" => Metric.Dot
-            case m => throw NqlParseException(s"unknown metric $m")
-          })
+          p.next(); s = s.copy(metric = parseMetric(p))
         case Some("CONNECTED") =>
           p.next(); p.expectKw("TO"); s = s.copy(connectedTo = Some(p.stringLit()))
         case Some("WHERE") =>
           p.next(); s = s.copy(where = parseConds(p))
         case Some("LIMIT") =>
           p.next(); s = s.copy(limit = p.int())
+        case Some("USING") =>
+          p.next(); p.expectKw("INDEX")
+          val nprobe = if (p.accept("PROBES")) p.int() else 1
+          if (nprobe < 1) throw NqlParseException(s"PROBES must be >= 1, got $nprobe")
+          s = s.copy(usingIndex = Some(nprobe))
+        case Some("IN") =>
+          p.next(); s = s.copy(collection = Some(p.stringLit()))
         case _ => continue = false
       }
     }
@@ -177,8 +192,32 @@ object NqlParser {
     case "GET" => EmbedGet(p.stringLit())
     case "STORE" =>
       val key = p.stringLit()
-      EmbedStore(key, parseVector(p))
+      val vec = parseVector(p)
+      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      EmbedStore(key, vec, coll)
+    case "BUILD" =>
+      p.expectKw("INDEX"); p.expectKw("IVF")
+      val clusters = if (p.accept("CLUSTERS")) Some(p.int()) else None
+      EmbedBuildIndex(clusters)
+    case "DROP" =>
+      p.expectKw("INDEX")
+      EmbedDropIndex()
+    case "COLLECTION" =>
+      p.expectKw("CREATE")
+      val name = p.stringLit()
+      p.expectKw("DIMENSION")
+      val dim = p.int()
+      if (dim <= 0) throw NqlParseException(s"DIMENSION must be positive, got $dim")
+      val metric = if (p.accept("METRIC")) parseMetric(p) else Metric.Cosine
+      EmbedCollectionCreate(name, dim, metric)
     case k => throw NqlParseException(s"unknown EMBED op $k")
+  }
+
+  private def parseMetric(p: P): Metric = p.next().toUpperCase match {
+    case "COSINE" => Metric.Cosine
+    case "EUCLIDEAN" => Metric.Euclidean
+    case "DOT" | "DOT_PRODUCT" => Metric.Dot
+    case m => throw NqlParseException(s"unknown metric $m")
   }
 
   private def parseEntity(p: P): Statement = p.next().toUpperCase match {

@@ -48,6 +48,41 @@ object NqlQueries {
         |ORDER BY n_name, sup_key NULLS FIRST
         |OFFSET 2 LIMIT 10""".stripMargin),
 
+    // Pattern-match COUNT statement form (reference count/exists forms,
+    // graph_engine/src/lib.rs:5945-6090): counts full binding rows of a
+    // 2-hop motif chain through the NQL front door.
+    "g33_match_count" -> QDef(
+      (s, d) => Nql.execute(s, d,
+        "GRAPH MATCH COUNT (c:customer)-[:in_nation]->(n:nation)-[:in_region]->(r:region)"),
+      """SELECT count(*) AS n_matches
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin),
+
+    // ANN index statement front (reference EMBED BUILD INDEX ast.rs:703 +
+    // router index-vs-brute routing query_router/src/lib.rs:5414-5447):
+    // EMBED BUILD INDEX IVF registers deterministic label cells with mean
+    // centroids (the v08 construction), SIMILAR ... USING INDEX probes the
+    // 2 nearest cells and exact-ranks inside them — so the full statement
+    // path is oracle-checkable.
+    "v11_nql_ivf_search" -> QDef(
+      (s, d) => {
+        Nql.execute(s, d, "EMBED BUILD INDEX IVF").count()
+        Nql.execute(s, d, "SIMILAR 'vec:5' USING INDEX PROBES 2 LIMIT 8")
+      },
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+        |flat AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+        |         FROM (SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i) GROUP BY label),
+        |probed AS (SELECT label FROM cent, q
+        |         ORDER BY list_cosine_similarity(CAST(centroid AS FLOAT[])::DOUBLE[], q.embedding::DOUBLE[]) DESC, label
+        |         LIMIT 2)
+        |SELECT 'vec:' || CAST(e.vec_id AS VARCHAR) AS key,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+        |FROM embeddings e JOIN probed ON e.label = probed.label, q
+        |WHERE e.vec_id <> 5
+        |ORDER BY score DESC, key LIMIT 8""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -159,7 +159,11 @@ object PipelineQueries {
           .union(pairs.select(col("db").as("src"), col("da").as("dst")))
         val nodes = pairs.select(col("da").as("key"))
           .union(pairs.select(col("db").as("key"))).distinct()
-        val cc = graft.graph.Algorithms.connectedComponents(und, nodes, 8)
+        // Checked variant: "8 >= planted diameter" is VERIFIED by a
+        // convergence probe (one extra round must change nothing), not
+        // asserted in a comment — a split cluster would otherwise match
+        // the identically-unrolled oracle and pass the gate undetected.
+        val cc = graft.graph.Algorithms.connectedComponentsChecked(und, nodes, 8)
         val clusters = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
         clusters.groupBy("cluster_size")
           .agg(count(lit(1)).as("n_clusters"),

@@ -80,4 +80,33 @@ class AlgorithmsSpec extends AnyFunSuite {
     val settledAll = Algorithms.astarSettledCount(edges, noHeuristic, "4", "5", 3)
     assert(settled < settledAll, s"A* kept $settled vs $settledAll without heuristic")
   }
+
+  test("connectedComponentsChecked fails loudly below the graph diameter") {
+    // path a0-a1-...-a9: min-label propagation needs 9 rounds to reach a9
+    val g = und((0 until 9).map(i => s"a$i" -> s"a${i + 1}"): _*)
+    val nodes = (0 to 9).map(i => s"a$i").toDF("key")
+    assertThrows[IllegalStateException](
+      Algorithms.connectedComponentsChecked(g, nodes, 3))
+    val ok = Algorithms.connectedComponentsChecked(g, nodes, 9)
+    assert(ok.select("component").distinct().count() == 1)
+  }
+
+  test("BFS traversal filters restrict edges and enterable nodes") {
+    // a -t1-> b -t1-> c, a -t2-> d: edge filter t1 drops d; node filter
+    // without c stops the frontier at b (c never entered).
+    val e = Seq(("a", "b", "t1"), ("b", "c", "t1"), ("a", "d", "t2"))
+      .toDF("src", "dst", "etype")
+    val all = Algorithms.bfs(e, "a", 3).collect().map(_.getString(0)).toSet
+    assert(all == Set("a", "b", "c", "d"))
+    val t1Only = Algorithms.bfs(e, "a", 3, edgePred = Some(col("etype") === "t1"))
+      .collect().map(_.getString(0)).toSet
+    assert(t1Only == Set("a", "b", "c"))
+    val allowed = Seq("a", "b", "d").toDF("key")
+    val noC = Algorithms.bfs(e, "a", 3, allowedNodes = Some(allowed))
+      .collect().map(_.getString(0)).toSet
+    assert(noC == Set("a", "b", "d"))
+    val both = Algorithms.bfs(e, "a", 3, edgePred = Some(col("etype") === "t1"),
+      allowedNodes = Some(allowed)).collect().map(_.getString(0)).toSet
+    assert(both == Set("a", "b"))
+  }
 }

@@ -252,6 +252,74 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("SAMPLE documents RATE 200 KEY doc_id"))
   }
 
+  test("GRAPH MATCH COUNT / EXISTS statement forms") {
+    // each customer has exactly one nation->region chain
+    val n = run("GRAPH MATCH COUNT (c:customer)-[:in_nation]->(n:nation)-[:in_region]->(r:region)")
+      .collect()(0).getLong(0)
+    assert(n == Tables(spark, sf, "customer").count())
+    // WHERE narrows the binding frame
+    val asia = run("GRAPH MATCH COUNT (n:nation)-[:in_region]->(r:region) WHERE r.name = 'ASIA'")
+      .collect()(0).getLong(0)
+    assert(asia == 5)
+    assert(run("GRAPH MATCH EXISTS (n:nation)-[:in_region]->(r:region {name: 'ASIA'})")
+      .collect()(0).getBoolean(0))
+    assert(!run("GRAPH MATCH EXISTS (n:nation)-[:in_region]->(r:region {name: 'ATLANTIS'})")
+      .collect()(0).getBoolean(0))
+    assertThrows[NqlParseException](Nql.parse("GRAPH MATCH FROB (a)-[:x]->(b)"))
+  }
+
+  test("EMBED BUILD INDEX + SIMILAR USING INDEX route through IVF cells") {
+    run("EMBED DROP INDEX")
+    // routing without a built index fails loudly, not silently-brute-force
+    assertThrows[NqlParseException](run("SIMILAR 'vec:0' USING INDEX LIMIT 5"))
+    val st = run("EMBED BUILD INDEX IVF").collect()(0)
+    assert(st.getString(1) == "ivf_index_built" && st.getLong(0) > 0)
+    val nCells = st.getLong(0).toInt
+    // probing ALL cells makes the index search exact — must equal SIMILAR
+    val viaIndex = run(s"SIMILAR 'vec:0' USING INDEX PROBES $nCells LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val exact = run("SIMILAR 'vec:0' LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaIndex.toSeq == exact.toSeq)
+    // a 1-probe search returns k rows from the probed cell only
+    assert(run("SIMILAR 'vec:0' USING INDEX LIMIT 5").count() == 5)
+    // KMeans-cell variant builds and serves through the same route
+    assert(run("EMBED BUILD INDEX IVF CLUSTERS 4").collect()(0).getLong(0) == 4)
+    assert(run("SIMILAR 'vec:0' USING INDEX PROBES 2 LIMIT 5").count() == 5)
+    // unsupported compositions are rejected loudly
+    assertThrows[NqlParseException](run("SIMILAR 'vec:0' METRIC DOT USING INDEX LIMIT 5"))
+    assertThrows[NqlParseException](run("SIMILAR 'vec:0' USING INDEX WHERE label = 3 LIMIT 5"))
+    run("EMBED DROP INDEX") // leave no index behind for other tests
+  }
+
+  test("EMBED COLLECTION registry validates dimension and metric") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-coll-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("EMBED COLLECTION CREATE 'prod' DIMENSION 3 METRIC COSINE")
+    assert(runS("EMBED STORE 'p:1' (1.0, 0.0, 0.0) IN 'prod'").count() == 1)
+    // dimension mismatch fails loudly at statement time
+    assertThrows[NqlParseException](runS("EMBED STORE 'p:2' (1.0, 0.0) IN 'prod'"))
+    // unknown collection fails loudly (no silent default)
+    assertThrows[NqlParseException](runS("EMBED STORE 'p:3' (1.0) IN 'ghost'"))
+    // metric mismatch on SIMILAR ... IN against the registered config
+    assertThrows[NqlParseException](run("SIMILAR 'vec:0' METRIC EUCLIDEAN IN 'prod' LIMIT 5"))
+    // an unregistered label-collection still filters (v05 semantics)
+    assert(run("SIMILAR 'vec:0' IN '3' LIMIT 5").count() == 5)
+    assertThrows[NqlParseException](Nql.parse("EMBED COLLECTION CREATE 'x' DIMENSION 0"))
+  }
+
+  test("MATCH ... DELETE streams tombstones in bounded batches") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-bulk-del").toString)
+    val n = 12000 // > one DeleteBatchSize batch
+    store.put((1 to n).map(i =>
+      graft.unified.EntityStore.EntityRow(s"bulk:$i", Map("label" -> "bulk"), None)))
+    val res = Nql.execute(spark, sf, store, "MATCH (b:bulk) DELETE b").collect()(0)
+    assert(res.getLong(0) == n && res.getString(1) == "deleted")
+    assert(Nql.execute(spark, sf, store, "MATCH (b:bulk) RETURN b.key").count() == 0)
+  }
+
   test("DEDUP statement keeps one min-key row per duplicate text") {
     val got = run("DEDUP documents BY text KEY doc_id")
     val docs = Tables(spark, sf, "documents")

@@ -5,10 +5,16 @@ import scala.util.matching.Regex
 /** Cypher-subset MATCH (reference executor scope
   * `query_router/src/cypher.rs:47-500`: one pattern chain, optional
   * labels/property maps, bounded variable-length hops, WHERE on
-  * `var.col`, RETURN projection, ORDER BY / LIMIT).
+  * `var.col`, RETURN projection, ORDER BY / LIMIT). Parity-plus beyond
+  * the reference executor: comma-separated multi-pattern MATCH (shared
+  * variables join, disjoint chains are a cartesian product) and
+  * `SET var.prop = '…'` property updates.
   *
   *   MATCH (a:nation {name: 'CHINA'})-[:same_region*1..2]-(b:nation)
   *   WHERE b.key <> 'nation:0' RETURN b.name ORDER BY b.name LIMIT 10
+  *
+  *   MATCH (c:customer)-[:in_nation]->(n:nation), (n)-[:in_region]->(r:region)
+  *   RETURN c.key, r.name
   */
 object CypherParser {
 
@@ -19,7 +25,9 @@ object CypherParser {
       where: Seq[Cond], returns: Seq[String],
       orderBy: Seq[(String, Boolean)], limit: Option[Int],
       optNodes: Seq[NodePat] = Nil, optEdges: Seq[EdgePat] = Nil,
-      skip: Option[Int] = None, delete: Option[String] = None) extends Statement
+      skip: Option[Int] = None, delete: Option[String] = None,
+      morePatterns: Seq[(Seq[NodePat], Seq[EdgePat])] = Nil,
+      set: Seq[(String, String, String)] = Nil) extends Statement
 
   /** CREATE / MERGE of a single node pattern; the `key` property is the
     * entity identity (MERGE = create only if the key is absent). */
@@ -48,6 +56,7 @@ object CypherParser {
   private final class P(ts: Vector[String]) {
     var i = 0
     def peek: Option[String] = if (i < ts.length) Some(ts(i)) else None
+    def peekAt(k: Int): Option[String] = if (i + k < ts.length) Some(ts(i + k)) else None
     def next(): String = {
       if (i >= ts.length) throw NqlParseException("cypher: unexpected end of input")
       val t = ts(i); i += 1; t
@@ -72,11 +81,29 @@ object CypherParser {
       edges += parseEdge(p)
       nodes += parseNode(p)
     }
+    // comma-separated additional pattern chains (Cypher multi-pattern
+    // MATCH): `MATCH (a)-[..]->(b), (b)-[..]->(c)`. A comma is a pattern
+    // separator only when followed by `(` — RETURN/SET lists reuse it.
+    val more = Seq.newBuilder[(Seq[NodePat], Seq[EdgePat])]
+    while (p.peek.contains(",") && p.peekAt(1).contains("(")) {
+      p.next()
+      val ns = Seq.newBuilder[NodePat]
+      val es = Seq.newBuilder[EdgePat]
+      ns += parseNode(p)
+      while (p.peek.exists(t => t == "-" || t == "<-")) {
+        es += parseEdge(p)
+        ns += parseNode(p)
+      }
+      more += ((ns.result(), es.result()))
+    }
+    val allChainVars =
+      (nodes.result().map(_.variable) ++
+        more.result().flatMap(_._1.map(_.variable))).toSet
     val optNodes = Seq.newBuilder[NodePat]
     val optEdges = Seq.newBuilder[EdgePat]
     if (p.accept("OPTIONAL")) {
       p.expect("MATCH")
-      val boundVars = nodes.result().map(_.variable).toSet
+      val boundVars = allChainVars
       val anchor = parseNode(p)
       if (!boundVars.contains(anchor.variable))
         throw NqlParseException(
@@ -96,11 +123,35 @@ object CypherParser {
       if (p.accept("WHERE")) parseConds(p) else Nil
     if (p.accept("DELETE")) {
       val v = p.next()
-      if (!nodes.result().exists(_.variable == v))
+      if (!allChainVars.contains(v))
         throw NqlParseException(s"cypher: DELETE of unbound variable $v")
       if (!p.done) throw NqlParseException("cypher: DELETE takes a single variable")
       return MatchStmt(nodes.result(), edges.result(), where, Nil, Nil, None,
-        optNodes.result(), optEdges.result(), None, Some(v))
+        optNodes.result(), optEdges.result(), None, Some(v), more.result())
+    }
+    if (p.accept("SET")) {
+      // `SET v.prop = 'value' [, v2.prop2 = '…']` — a write statement
+      // (reference executor has no SET; parity-plus per SURVEY §2.10).
+      val sets = Seq.newBuilder[(String, String, String)]
+      var go = true
+      while (go) {
+        val target = p.next()
+        val dot = target.indexOf('.')
+        if (dot <= 0 || dot == target.length - 1)
+          throw NqlParseException(s"cypher: SET target must be var.prop (got $target)")
+        val (v, prop) = (target.substring(0, dot), target.substring(dot + 1))
+        if (!allChainVars.contains(v))
+          throw NqlParseException(s"cypher: SET on unbound variable $v")
+        if (prop == "key")
+          throw NqlParseException("cypher: SET cannot reassign the entity key")
+        p.expect("=")
+        val value = p.stringLit()
+        sets += ((v, prop, value))
+        go = p.accept(",")
+      }
+      if (!p.done) throw NqlParseException("cypher: SET must end the statement")
+      return MatchStmt(nodes.result(), edges.result(), where, Nil, Nil, None,
+        optNodes.result(), optEdges.result(), None, None, more.result(), sets.result())
     }
     p.expect("RETURN")
     val rets = Seq.newBuilder[String]
@@ -121,7 +172,7 @@ object CypherParser {
     val limit = if (p.accept("LIMIT")) Some(p.next().toInt) else None
     if (!p.done) throw NqlParseException(s"cypher: trailing tokens at ${p.peek.get}")
     MatchStmt(nodes.result(), edges.result(), where, rets.result(), order.result(), limit,
-      optNodes.result(), optEdges.result(), skip)
+      optNodes.result(), optEdges.result(), skip, None, more.result())
   }
 
   /** Pattern-only entry for GRAPH MATCH COUNT/EXISTS: a node-edge chain

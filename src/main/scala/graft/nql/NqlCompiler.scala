@@ -507,6 +507,41 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       return spark.createDataFrame(Seq((n, "deleted")))
         .toDF("n_deleted", "status")
     }
+    if (m.set.nonEmpty) {
+      // Write command: SET merges the assignments into each matched
+      // entity's current props (store row wins; a matched base-graph
+      // node materializes into the overlay, same masking rule as NODE
+      // CREATE on a base key). Streams in the same bounded batches as
+      // MATCH ... DELETE; puts are latest-wins, so retries converge.
+      val st = storeOrFail("MATCH ... SET")
+      var total = 0L
+      for ((v, assigns) <- m.set.groupBy(_._1).toSeq.sortBy(_._1)) {
+        val setProps = assigns.map(a => (a._2, a._3)).toMap
+        val cur = filtered.select(col(s"${v}_key").as("key")).distinct()
+          .join(st.entities.select(col("key"), col("props"), col("embedding")),
+            Seq("key"), "left")
+          .join(allNodes.select(col("key"), col("label").as("__label"),
+            col("name").as("__name")), Seq("key"), "left")
+        val it = cur.toLocalIterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.unified.EntityStore.EntityRow]
+        while (it.hasNext) {
+          val r = it.next()
+          val baseProps = Option(r.getAs[scala.collection.Map[String, String]]("props"))
+            .map(_.toMap)
+            .getOrElse(Map(
+              "label" -> Option(r.getAs[String]("__label")).getOrElse("entity"),
+              "name" -> Option(r.getAs[String]("__name")).getOrElse(r.getAs[String]("key"))))
+          val emb = Option(r.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
+          buf += graft.unified.EntityStore.EntityRow(
+            r.getAs[String]("key"), baseProps ++ setProps, emb)
+          total += 1
+          if (buf.length >= NqlCompiler.DeleteBatchSize) { st.put(buf.toSeq); buf.clear() }
+        }
+        if (buf.nonEmpty) st.put(buf.toSeq)
+      }
+      return spark.createDataFrame(Seq((total, "updated")))
+        .toDF("n_updated", "status")
+    }
     def ref(name: String): Column = col(name.replace('.', '_'))
     val projected = filtered.select(m.returns.map(ref): _*)
     val ordered =
@@ -567,6 +602,29 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
 
     var df = chain(m.nodes, m.edges, nodeDf(m.nodes.head))
+    // Additional comma-separated pattern chains: each chain compiles
+    // independently, then joins the accumulated binding frame on the
+    // keys of every shared variable (Cypher semantics: same variable =
+    // same node; disjoint chains = cartesian product). Shared-variable
+    // node filters are already applied inside the chain, so the right
+    // side keeps only its join keys + newly-bound columns.
+    var bound = m.nodes.map(_.variable).toSet
+    val nodeCols = nodes.columns
+    for ((ns, es) <- m.morePatterns) {
+      val sub = chain(ns, es, nodeDf(ns.head))
+      val shared = ns.map(_.variable).distinct.filter(bound.contains)
+      if (shared.isEmpty) df = df.crossJoin(sub)
+      else {
+        var right = sub
+        for (v <- shared) {
+          right = right.withColumnRenamed(s"${v}_key", s"__j_${v}_key")
+          nodeCols.filter(_ != "key").foreach(c => right = right.drop(s"${v}_$c"))
+        }
+        val on = shared.map(v => col(s"${v}_key") === col(s"__j_${v}_key")).reduce(_ && _)
+        df = df.join(right, on).drop(shared.map(v => s"__j_${v}_key"): _*)
+      }
+      bound ++= ns.map(_.variable)
+    }
     // Cypher WHERE scoping: predicates on variables bound by OPTIONAL
     // MATCH filter the extension BEFORE the left-outer join (anchor rows
     // survive with nulls); predicates on base variables filter after.

@@ -83,6 +83,24 @@ object NqlQueries {
         |WHERE e.vec_id <> 5
         |ORDER BY score DESC, key LIMIT 8""".stripMargin),
 
+    // Multi-pattern MATCH (comma-separated chains, Cypher semantics:
+    // shared variable `n` joins the chains on the same node) — customers
+    // and suppliers co-located in one nation. Parity-plus: the reference
+    // executor runs a single chain (`query_router/src/cypher.rs:47-201`).
+    "c05_cypher_multipattern" -> QDef(
+      (s, d) => Nql.execute(s, d,
+        "MATCH (c:customer)-[:in_nation]->(n:nation {name: 'NATION_3'}), " +
+          "(sup:supplier)-[:in_nation]->(n) " +
+          "RETURN c.key, sup.key, n.name ORDER BY c.key, sup.key LIMIT 25"),
+      """SELECT c_key, sup_key, n_name FROM (
+        |  SELECT 'customer:' || CAST(c.c_custkey AS VARCHAR) AS c_key,
+        |         'supplier:' || CAST(s.s_suppkey AS VARCHAR) AS sup_key,
+        |         n.n_name AS n_name
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |  JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
+        |ORDER BY c_key, sup_key LIMIT 25""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -221,6 +221,55 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("CREATE (a {key: 'k1'})-[:t]-(b {key: 'k2'})"))
   }
 
+  test("Cypher multi-pattern MATCH joins shared variables, crosses disjoint chains") {
+    // shared variable n: customers x suppliers co-located in one nation
+    val got = run("MATCH (c:customer)-[:in_nation]->(n:nation {name: 'NATION_3'}), " +
+        "(sup:supplier)-[:in_nation]->(n) RETURN c.key, sup.key ORDER BY c.key, sup.key")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cust = Tables(spark, sf, "customer").filter(col("c_nationkey") === 3)
+      .select(concat(lit("customer:"), col("c_custkey")).as("ck"))
+    val sup = Tables(spark, sf, "supplier").filter(col("s_nationkey") === 3)
+      .select(concat(lit("supplier:"), col("s_suppkey")).as("sk"))
+    val want = cust.crossJoin(sup).orderBy("ck", "sk")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // a chain variable reused with extra filters narrows, not re-binds
+    val narrowed = run("MATCH (n:nation)-[:in_region]->(r:region), " +
+        "(n)-[:in_region]->(r2:region {name: 'ASIA'}) RETURN n.key ORDER BY n.key")
+    assert(narrowed.count() == 5)
+    // disjoint chains are a cartesian product (Cypher semantics)
+    val cross = run("MATCH (r:region {name: 'ASIA'}), (r2:region) RETURN r.key, r2.key")
+    assert(cross.count() == 5)
+    // three chains sharing one hub variable
+    val tri = run("MATCH (c:customer)-[:in_nation]->(n:nation {name: 'NATION_3'}), " +
+      "(sup:supplier)-[:in_nation]->(n), (n)-[:in_region]->(r:region) " +
+      "RETURN c.key, sup.key, r.name ORDER BY c.key, sup.key")
+    assert(tri.count() == got.length)
+  }
+
+  test("Cypher SET updates matched entity properties through the store") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("set-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("CREATE (c:city {key: 'city:1', name: 'Gotham'})")
+    runS("CREATE (c:city {key: 'city:2', name: 'Metropolis'})")
+    // SET on matched store nodes rewrites the prop, latest-wins
+    val res = runS("MATCH (c:city) SET c.name = 'Renamed'").collect()(0)
+    assert(res.getLong(0) == 2 && res.getString(1) == "updated")
+    assert(runS("MATCH (c:city {name: 'Renamed'}) RETURN c.key").count() == 2)
+    // SET on a matched base-graph node materializes it into the overlay
+    runS("MATCH (n:nation {name: 'NATION_3'}) SET n.name = 'RENAMED_3'")
+    assert(runS("MATCH (n:nation {name: 'RENAMED_3'}) RETURN n.key")
+      .collect().map(_.getString(0)).toSeq == Seq("nation:3"))
+    assert(runS("MATCH (n:nation {name: 'NATION_3'}) RETURN n.key").count() == 0)
+    // label is preserved across the rewrite
+    assert(runS("NODE GET 'nation:3'").collect()(0).getString(1) == "nation")
+    // malformed SETs fail loudly
+    assertThrows[NqlParseException](Nql.parse("MATCH (c:city) SET c.key = 'other'"))
+    assertThrows[NqlParseException](Nql.parse("MATCH (c:city) SET z.name = 'x'"))
+    assertThrows[NqlParseException](run("MATCH (c:city) SET c.name = 'x'"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

@@ -781,6 +781,67 @@ object PipelineQueries {
         |                  <> floor((CAST(cum AS DOUBLE) - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // C4/Dolma-style blocklist scrub: one regex pass per document counts
+    // the blocklist hits, redacts them in place, and flags documents over
+    // a hit-ratio threshold. Fully map-side — the blocklist compiles into
+    // the scan (a broadcast constant at 100 TB); the only shuffle is the
+    // gate's ORDER BY. The threshold test is integer arithmetic
+    // (n_hits*20 >= n_tokens ⟺ ratio ≥ 5%), so no float drift, and the
+    // redacted text is verified by md5 on both engines.
+    "t13_blocklist_redaction" -> QDef(
+      (s, d) => {
+        val pat = "\\b(customer|order|value)\\b"
+        docs(s, d)
+          .withColumn("n_hits", regexp_count(col("text"), lit(pat)))
+          .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
+          .withColumn("hit_ratio", round(col("n_hits") / col("n_tokens"), 6))
+          .withColumn("redacted_md5",
+            md5(regexp_replace(col("text"), pat, "[REDACTED]").cast("binary")))
+          .withColumn("blocked", col("n_hits") * 20 >= col("n_tokens"))
+          .select("doc_id", "n_hits", "hit_ratio", "redacted_md5", "blocked")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\b(customer|order|value)\b')) AS INT) AS n_hits,
+        | round(len(regexp_extract_all(text, '\b(customer|order|value)\b')) * 1.0
+        |   / len(regexp_extract_all(text, '\S+')), 6) AS hit_ratio,
+        | md5(regexp_replace(text, '\b(customer|order|value)\b', '[REDACTED]', 'g')) AS redacted_md5,
+        | len(regexp_extract_all(text, '\b(customer|order|value)\b')) * 20
+        |   >= len(regexp_extract_all(text, '\S+')) AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Domain-mix rebalancing — the "data mixing" stage of a training
+    // pipeline: a 60%-of-corpus token budget is split equally across
+    // sources, and each source is downsampled to its share (a source
+    // below its share keeps everything — the min(1, rate) branch).
+    // Keep/drop is an md5-derived hash rule like d06's, but with the
+    // per-source rate computed FROM the data: the per-source census is
+    // broadcast-sized at any scale (domains, not rows), and the keep
+    // decision is map-side integer arithmetic
+    // (hash‱ · n_src < n_tgt · 10⁴ ⟺ rate = n_tgt/n_src), deterministic
+    // and coordination-free on any engine.
+    "d08_domain_mix_rebalance" -> QDef(
+      (s, d) => {
+        val counts = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+        val tgt = counts.agg(expr("(sum(n_src) * 6 div 10) div count(1)").as("n_tgt"))
+        val pct = expr("CAST(conv(substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 10000")
+        docs(s, d)
+          .join(broadcast(counts), "source")
+          .crossJoin(broadcast(tgt))
+          .withColumn("keep", pct * col("n_src") < col("n_tgt") * 10000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT (sum(n_src) * 6 // 10) // count(*) AS n_tgt FROM c)
+        |SELECT d.source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
+        |                     * c.n_src < m.n_tgt * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN c ON d.source = c.source, m
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))

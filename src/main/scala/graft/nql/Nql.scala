@@ -98,6 +98,13 @@ final case class GraphMatchCount(pattern: CypherParser.MatchStmt) extends Statem
 final case class GraphMatchExists(pattern: CypherParser.MatchStmt) extends Statement
 final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
 
+/** `BLOBS SIMILAR TO '<key>' [LIMIT k]` — embedding search over binary
+  * artifacts (reference BLOB store `ast.rs:1127-1167`, parser
+  * `neumann_parser/src/parser.rs:3377`). SURVEY §2.15 scopes every other
+  * admin op out but keeps this one: it is SIMILAR over the blob table —
+  * searchable set = blobs that carry an embedding. */
+final case class BlobsSimilar(key: String, limit: Int = 10) extends Statement
+
 // Statement fronts for the beyond-reference batch operators (ASOF /
 // SAMPLE / DEDUP), so the unified language covers the training-pipeline
 // surface too (COVERAGE.md "north-star additions").

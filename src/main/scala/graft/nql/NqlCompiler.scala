@@ -434,6 +434,23 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       st.connect(r.from.props("key"), r.to.props("key"), r.etype)
       status(s"${r.from.props("key")}->${r.to.props("key")}", s"connected:${r.etype}")
 
+    // BLOB similarity: the v01 top-k plan over a binary-payload table —
+    // blobs join their embeddings on id, the 1-row query vector
+    // broadcasts, cosine is the codegen'd native Expression, and the
+    // top-k is TakeOrderedAndProject (per-partition heap, no global
+    // sort). Blobs without an embedding are simply not searchable.
+    case BlobsSimilar(key, limit) =>
+      val blobs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      blobs.join(emb.select(col("vec_id"), col("embedding"), col("key").as("ekey")),
+          col("doc_id") === col("vec_id"))
+        .filter(col("ekey") =!= key)
+        .crossJoin(broadcast(embOf(key)))
+        .select(concat(lit("blob:"), col("doc_id")).as("blob_key"),
+          length(col("payload")).as("n_bytes"),
+          round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        .orderBy(desc("score"), col("blob_key")).limit(limit)
+
     case Find(target, where, limit) =>
       val base = Tables(spark, sfDir, target)
       val f = where.foldLeft(base)((df, c) => df.filter(cond(c)))

@@ -95,6 +95,12 @@ object NqlParser {
       case "ASOF"      => p.next(); parseAsof(p)
       case "SAMPLE"    => p.next(); parseSample(p)
       case "DEDUP"     => p.next(); parseDedup(p)
+      case "BLOBS"     =>
+        p.next(); p.expectKw("SIMILAR"); p.expectKw("TO")
+        val key = p.stringLit()
+        val limit = if (p.accept("LIMIT")) p.int() else 10
+        if (!p.done) throw NqlParseException("BLOBS SIMILAR TO takes only LIMIT after the key")
+        BlobsSimilar(key, limit)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }

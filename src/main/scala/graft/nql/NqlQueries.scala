@@ -101,6 +101,19 @@ object NqlQueries {
         |  JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
         |ORDER BY c_key, sup_key LIMIT 25""".stripMargin),
 
+    // BLOB-similarity statement (reference BLOBS SIMILAR TO,
+    // `ast.rs:1127-1167` — SURVEY §2.15's one in-scope admin op):
+    // embedding search over binary artifacts through the NQL front door.
+    "b01_blobs_similar" -> QDef(
+      (s, d) => Nql.execute(s, d, "BLOBS SIMILAR TO 'vec:3' LIMIT 10"),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 3)
+        |SELECT 'blob:' || CAST(d.doc_id AS VARCHAR) AS blob_key,
+        |  CAST(octet_length(CAST(d.text AS BLOB)) AS INT) AS n_bytes,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
+        |WHERE e.vec_id <> 3
+        |ORDER BY score DESC, blob_key LIMIT 10""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -270,6 +270,18 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("MATCH (c:city) SET c.name = 'x'"))
   }
 
+  test("BLOBS SIMILAR TO searches binary artifacts by embedding") {
+    val rows = run("BLOBS SIMILAR TO 'vec:3' LIMIT 5").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(0).startsWith("blob:")))
+    assert(!rows.exists(_.getString(0) == "blob:3")) // self excluded
+    // scores are sorted descending
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assertThrows[NqlParseException](Nql.parse("BLOBS SIMILAR 'vec:3'"))
+    assertThrows[NqlParseException](Nql.parse("BLOBS SIMILAR TO 'vec:3' FROB 2"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

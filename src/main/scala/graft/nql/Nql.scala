@@ -115,5 +115,19 @@ final case class AsofJoin(leftType: String, rightType: String, key: String, tsCo
 final case class Sample(table: String, ratePct: Int, keyCol: String) extends Statement
 /** `DEDUP <table> BY <col> KEY <col>`: exact dedup, keep min-key row. */
 final case class Dedup(table: String, byCol: String, keyCol: String) extends Statement
+/** `REBALANCE <table> BY <col> BUDGET <pct> KEY <col>`: equal-share
+  * budget mix — the d08 mechanism as a statement (each group is
+  * downsampled to its share of a pct-of-total budget; groups below
+  * their share keep everything). */
+final case class Rebalance(table: String, byCol: String, budgetPct: Int, keyCol: String) extends Statement
+
+/** `TRAVERSE FROM '<key>' DEPTH n [TYPE '<etype>'] [LABEL '<label>']` —
+  * filtered BFS statement form (reference TRAVERSE with a
+  * `TraversalFilter`, `ast.rs:611-667`,
+  * `graph_engine/src/lib.rs:4674-4790,482-654`): TYPE keeps only edges
+  * of that type; LABEL restricts which nodes the frontier may enter
+  * (the source is always included). */
+final case class Traverse(from: String, depth: Int,
+    etype: Option[String] = None, label: Option[String] = None) extends Statement
 
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

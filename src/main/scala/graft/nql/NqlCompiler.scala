@@ -485,6 +485,30 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .filter(expr(s"CAST(conv(substr(md5(cast(cast($keyCol AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100") < ratePct)
         .orderBy(keyCol)
 
+    // TRAVERSE: the g32 filtered-BFS engine as a statement — both
+    // filters apply once to the edge frame before the loop, so the
+    // per-round plan is the unfiltered BFS's (filters ride the scan).
+    case Traverse(from, depth, etype, label) =>
+      Algorithms.bfs(TpchGraph.undirected(allEdges), from, depth,
+          edgePred = etype.map(t => col("etype") === t),
+          allowedNodes = label.map(l =>
+            allNodes.filter(col("label") === l).select("key")))
+        .orderBy("key")
+
+    // REBALANCE: the d08 equal-share budget mix as a statement. The
+    // per-group census is broadcast-sized (groups, not rows); the keep
+    // decision is map-side deterministic integer arithmetic.
+    case Rebalance(table, byCol, budgetPct, keyCol) =>
+      val base = Tables(spark, sfDir, table)
+      val counts = base.groupBy(byCol).agg(count(lit(1)).as("__n_grp"))
+      val tgt = counts.agg(expr(s"(sum(__n_grp) * $budgetPct div 100) div count(1)").as("__n_tgt"))
+      val pct = expr(s"CAST(conv(substr(md5(cast(cast($keyCol AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 10000")
+      base.join(broadcast(counts), byCol)
+        .crossJoin(broadcast(tgt))
+        .filter(pct * col("__n_grp") < col("__n_tgt") * 10000L)
+        .drop("__n_grp", "__n_tgt")
+        .orderBy(keyCol)
+
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.
     case Dedup(table, byCol, keyCol) =>

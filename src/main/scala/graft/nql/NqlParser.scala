@@ -101,6 +101,26 @@ object NqlParser {
         val limit = if (p.accept("LIMIT")) p.int() else 10
         if (!p.done) throw NqlParseException("BLOBS SIMILAR TO takes only LIMIT after the key")
         BlobsSimilar(key, limit)
+      case "TRAVERSE"  =>
+        p.next(); p.expectKw("FROM")
+        val from = p.stringLit()
+        p.expectKw("DEPTH")
+        val depth = p.int()
+        if (depth < 1 || depth > 8)
+          throw NqlParseException(s"TRAVERSE depth must be in 1..8, got $depth")
+        val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
+        val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
+        if (!p.done) throw NqlParseException("TRAVERSE takes FROM, DEPTH, then optional TYPE and LABEL")
+        Traverse(from, depth, etype, label)
+      case "REBALANCE" =>
+        p.next()
+        val table = p.next()
+        p.expectKw("BY"); val byCol = p.next()
+        p.expectKw("BUDGET"); val pct = p.int()
+        if (pct < 1 || pct > 100)
+          throw NqlParseException(s"REBALANCE budget must be in 1..100, got $pct")
+        p.expectKw("KEY"); val keyCol = p.next()
+        Rebalance(table, byCol, pct, keyCol)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }

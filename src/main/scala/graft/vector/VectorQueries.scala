@@ -143,8 +143,13 @@ object VectorQueries {
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
 
-    // embedding near-duplicate pairs (training-data dedup, cosine variant).
-    // All-pairs here; the LSH/blocked variants live in the pipeline module.
+    // embedding near-duplicate pairs — DECLARED EXACT BASELINE, not a
+    // scale path: all-pairs by construction, kept as v09's recall ground
+    // truth (v09's banded hyperplane-LSH is the 100 TB variant of this
+    // same query). The 0.45 threshold sits in the bulk of the random-
+    // vector score distribution (no planted near-dups in this table), so
+    // no lossless candidate filter can prune it — run this form only at
+    // lab scale.
     "v07_near_dup_pairs_cosine" -> QDef(
       (s, d) => {
         val e = emb(s, d)

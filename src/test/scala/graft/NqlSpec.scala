@@ -282,6 +282,41 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("BLOBS SIMILAR TO 'vec:3' FROB 2"))
   }
 
+  test("TRAVERSE statement runs filtered BFS") {
+    // unfiltered TRAVERSE == the direct bfs plan (g03's engine)
+    val got = run("TRAVERSE FROM 'region:0' DEPTH 3")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val want = graft.graph.Algorithms.bfs(
+        graft.graph.TpchGraph.undirected(graft.graph.TpchGraph.edges(spark, sf)), "region:0", 3)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // TYPE filter: from nation:0, in_region edges only reach the region
+    val typed = run("TRAVERSE FROM 'nation:0' DEPTH 1 TYPE 'in_region'")
+      .collect().map(_.getString(0)).toSeq
+    assert(typed == Seq("nation:0", "region:0"))
+    // LABEL filter: frontier may only enter nation nodes
+    val labeled = run("TRAVERSE FROM 'region:0' DEPTH 2 LABEL 'nation'")
+      .collect().map(_.getString(0))
+    assert(labeled.contains("region:0") &&
+      labeled.filterNot(_ == "region:0").forall(_.startsWith("nation:")))
+    assertThrows[NqlParseException](Nql.parse("TRAVERSE FROM 'region:0' DEPTH 0"))
+    assertThrows[NqlParseException](Nql.parse("TRAVERSE 'region:0' DEPTH 2"))
+  }
+
+  test("REBALANCE statement matches d08's keep rule") {
+    val kept = run("REBALANCE documents BY source BUDGET 60 KEY doc_id")
+    val audit = SparkEntry.queries("d08_domain_mix_rebalance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val got = kept.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // groups with zero kept rows drop out of `got`; every present group
+    // must match the d08 audit count exactly
+    assert(got.forall { case (src, n) => audit(src) == n })
+    assert(audit.filter(_._2 > 0).keySet == got.keySet)
+    assert(kept.count() > 0 && kept.count() < Tables(spark, sf, "documents").count())
+    assertThrows[NqlParseException](Nql.parse("REBALANCE documents BY source BUDGET 0 KEY doc_id"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

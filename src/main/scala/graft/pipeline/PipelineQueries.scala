@@ -842,6 +842,58 @@ object PipelineQueries {
         |FROM documents d JOIN c ON d.source = c.source, m
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
+    // Exact-substring passage dedup at 8-gram granularity (the
+    // suffix-array dedup of Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better", approximated by shingle counting —
+    // the standard distributed form): every word-8-gram is a key, a
+    // gram appearing in ≥ 2 distinct documents is a duplicated passage
+    // witness. The whole pipeline is keyed on the gram itself —
+    // map-side explode, one shuffle on the gram hash, one join back —
+    // never all-pairs, so at 100 TB it is the same shape as d04's
+    // band-bucket join (candidates ∝ per-gram doc counts, and any
+    // stop-gram hot key is bounded by the corpus's true repetition
+    // rate, which is exactly the signal being measured).
+    "d09_duplicate_passages" -> QDef(
+      (s, d) => {
+        val ws = docs(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+          .filter(size(col("a")) >= 8)
+        val grams = ws.select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(a)-8), j -> concat_ws(' '," +
+            " a[j], a[j+1], a[j+2], a[j+3], a[j+4], a[j+5], a[j+6], a[j+7]))")).as("g"))
+        // per-(gram, doc) occurrence counts; grouping already dedups docs,
+        // so the gram-level doc count is a plain count, not countDistinct
+        val pdg = grams.groupBy("g", "doc_id", "source").agg(count(lit(1)).as("occ"))
+        val dupG = pdg.groupBy("g").agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") >= 2).select("g")
+        val perDoc = pdg.join(dupG, Seq("g"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("ndg"), sum("occ").as("nocc"))
+        val census = ws.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs_hit"),
+            sum("ndg").as("n_dup_grams"),
+            sum("nocc").as("n_dup_occurrences"))
+          .join(census, Seq("source"))
+          .select("source", "n_docs", "n_docs_hit", "n_dup_grams", "n_dup_occurrences")
+          .orderBy("source")
+      },
+      """WITH ws AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |            FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 8),
+        |grams AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(a)-7),
+        |            i -> a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||a[i+4]||' '||a[i+5]||' '||a[i+6]||' '||a[i+7])) AS g
+        |          FROM ws),
+        |pdg AS (SELECT g, doc_id, source, count(*) AS occ FROM grams GROUP BY 1, 2, 3),
+        |dg AS (SELECT g FROM (SELECT g, count(*) AS ndocs FROM pdg GROUP BY 1) WHERE ndocs >= 2),
+        |per AS (SELECT doc_id, source, count(*) AS ndg, sum(occ) AS nocc
+        |        FROM pdg JOIN dg USING (g) GROUP BY 1, 2),
+        |census AS (SELECT source, count(*) AS n_docs FROM ws GROUP BY 1)
+        |SELECT source, n_docs, count(*) AS n_docs_hit,
+        |  CAST(sum(ndg) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(nocc) AS BIGINT) AS n_dup_occurrences
+        |FROM per JOIN census USING (source)
+        |GROUP BY source, n_docs ORDER BY source""".stripMargin),
+
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))

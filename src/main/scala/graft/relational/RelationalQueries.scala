@@ -603,6 +603,29 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderpriority,
         | count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_near
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Arbitrary GROUPING SETS (completes the q27 rollup / q36 cube
+    // family): the two single-column marginals plus the grand total in
+    // ONE aggregation pass — Catalyst expands the sets into a single
+    // Expand + HashAggregate, so the input is scanned once however many
+    // sets are requested. grouping_id() disambiguates the null produced
+    // by set expansion from a null group key (same convention DuckDB
+    // uses), keeping the hash compare exact.
+    "q41_grouping_sets" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
   )
 }

@@ -277,6 +277,90 @@ object VectorQueries {
            |SELECT va, vb, round(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4) AS score
            |FROM cand WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= 0.45
            |ORDER BY va, vb""".stripMargin
-      })
+      }),
+
+    // Batch k-NN JOIN via IVF cells — the scale path for "dedup/enrich a
+    // whole shard of embeddings against the corpus" (vs v01's single
+    // query). Every query vector (deterministic vec_id % 37 sample) is
+    // routed to its nearest coarse cell (label cells + mean centroids,
+    // same oracle-checkable construction as v08), then exact-ranked
+    // top-3 inside that cell only. At 100 TB the assignment frame is
+    // queries × 10-10⁴ centroids (broadcast-sized), the corpus is
+    // scanned ONCE with the assignments broadcast onto it (no corpus
+    // shuffle), and the per-query window ranks only cell-sized
+    // candidate sets. Scores round to 4 decimals BEFORE ranking with
+    // vec_id tiebreak (file convention) so ranks are engine-stable.
+    "v12_knn_join_ivf" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+        val q = e.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wAssign = Window.partitionBy("qid").orderBy(desc("cs"), col("label"))
+        val assigned = q.crossJoin(broadcast(cent))
+          .withColumn("cs", cosine_similarity(col("centroid").cast("array<float>"), col("qv")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select("qid", "qv", "label")
+        val wRank = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        e.join(broadcast(assigned), Seq("label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(cosine_similarity(col("embedding"), col("qv")), 4))
+          .withColumn("rnk", row_number().over(wRank).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id").as("nbr_id"), col("rnk"), col("score"))
+          .orderBy("qid", "rnk")
+      },
+      """WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+        |         FROM (SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i) GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 37 = 0),
+        |assigned AS (SELECT qid, qv, label FROM (
+        |  SELECT q.qid, q.qv, cent.label,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(centroid AS FLOAT[])::DOUBLE[], q.qv::DOUBLE[]) DESC, cent.label) AS rn
+        |  FROM q, cent) WHERE rn = 1),
+        |scored AS (SELECT a.qid, e.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], a.qv::DOUBLE[]), 4) AS score
+        |  FROM assigned a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.qid)
+        |SELECT qid, nbr_id, rnk, score FROM (
+        |  SELECT qid, nbr_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr_id) AS rnk
+        |  FROM scored) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+
+    // Cluster-separation audit: pairwise cosine between per-label mean
+    // centroids — the "are my data domains embedding-distinct?" check a
+    // training pipeline runs before mixing sources (high inter-centroid
+    // similarity ⇒ domains overlap ⇒ near-dup sweep across them, low ⇒
+    // they stratify cleanly). The centroid reduction is the only pass
+    // over the corpus (posexplode + per-dim avg = partial-agg friendly);
+    // the pair stage is centroids × centroids — always domain-count
+    // sized, broadcast territory at any corpus scale.
+    "v13_centroid_separation" -> QDef(
+      (s, d) => {
+        val cent = emb(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+        val a = cent.select(col("label").as("la"), col("centroid").as("ca"))
+        val b = cent.select(col("label").as("lb"), col("centroid").as("cb"))
+        a.join(b, col("la") < col("lb"))
+          .select(col("la"), col("lb"),
+            round(cosine_similarity(col("ca").cast("array<float>"),
+              col("cb").cast("array<float>")), 4).as("score"))
+          .orderBy("la", "lb")
+      },
+      """WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+        |         FROM (SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i) GROUP BY label)
+        |SELECT a.label AS la, b.label AS lb,
+        |  round(list_cosine_similarity(CAST(a.centroid AS FLOAT[])::DOUBLE[],
+        |                               CAST(b.centroid AS FLOAT[])::DOUBLE[]), 4) AS score
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY la, lb""".stripMargin)
   )
 }

@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees localCheckpoint/cache blocks only after a
+      // DRIVER GC discovers the RDD unreferenced; the default periodic GC
+      // (30 min) is longer than a whole bench/verify run, so dead blocks
+      // from completed queries pile up in the block manager and grind
+      // late queries into GC thrash. One driver GC a minute bounds that.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = {

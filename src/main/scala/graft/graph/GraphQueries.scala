@@ -1084,6 +1084,53 @@ object GraphQueries {
         }
         sb ++= "\nSELECT 'nation:0' AS from_key, key AS to_key, round(cost, 4) AS cost FROM c8 WHERE key = 'nation:8'"
         sb.toString
-      })
+      }),
+
+    // Harmonic centrality (g18's closeness made robust to disconnection:
+    // sum of 1/d instead of n/sum(d), the form recommended for graphs
+    // with unreachable pairs — Boldi & Vigna, "Axioms for Centrality").
+    // Same 2-hop multi-source BFS frame as g18 over the nation/region
+    // tree; with distances capped at 2 the score is (2·n1 + n2)/2, an
+    // INTEGER expression until the final halving, so no float-sum order
+    // dependence between engines. One shuffle per BFS round on the
+    // frontier key — the multi-source form that batches all sources in
+    // one frame instead of |V| sequential traversals.
+    "g34_harmonic_centrality" -> QDef(
+      (s, d) => {
+        val e = TpchGraph.treeEdges(s, d).filter(col("etype") === "in_region")
+        val und = e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val n30 = und.select(col("src").as("key")).distinct()
+        var reach = n30.select(col("key").as("source"), col("key"), lit(0).as("dd"))
+        var frontier = reach
+        for (i <- 1 to 2) {
+          frontier = Algorithms.cut(frontier.join(und, col("key") === col("src"))
+            .select(col("source"), col("dst").as("key"), lit(i).as("dd")))
+          reach = reach.union(frontier)
+        }
+        reach.groupBy("source", "key").agg(min("dd").as("dd"))
+          .filter(col("dd") > 0)
+          .groupBy("source").agg(
+            sum(when(col("dd") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("dd") === 2, 1L).otherwise(0L)).as("n2"))
+          .select(col("source").as("key"),
+            ((col("n1") * 2 + col("n2")) / lit(2.0)).as("harmonic"))
+          .orderBy(desc("harmonic"), col("key")).limit(30)
+      },
+      s"""WITH $treeEdgesSql,
+         |e AS (SELECT src, dst FROM edt WHERE etype = 'in_region'),
+         |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |n30 AS (SELECT DISTINCT src AS key FROM und),
+         |r0 AS (SELECT key AS source, key, 0 AS dd FROM n30),
+         |r1 AS (SELECT r0.source, u.dst AS key, 1 AS dd FROM r0 JOIN und u ON r0.key = u.src),
+         |r2 AS (SELECT r1.source, u.dst AS key, 2 AS dd FROM r1 JOIN und u ON r1.key = u.src),
+         |mind AS (SELECT source, key, min(dd) AS dd FROM
+         |         (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2) t
+         |         GROUP BY 1, 2)
+         |SELECT source AS key,
+         |  CAST((sum(CASE WHEN dd = 1 THEN 1 ELSE 0 END) * 2
+         |        + sum(CASE WHEN dd = 2 THEN 1 ELSE 0 END)) AS DOUBLE) / 2 AS harmonic
+         |FROM mind WHERE dd > 0
+         |GROUP BY source ORDER BY harmonic DESC, key LIMIT 30""".stripMargin)
   )
 }

@@ -1131,6 +1131,48 @@ object GraphQueries {
          |  CAST((sum(CASE WHEN dd = 1 THEN 1 ELSE 0 END) * 2
          |        + sum(CASE WHEN dd = 2 THEN 1 ELSE 0 END)) AS DOUBLE) / 2 AS harmonic
          |FROM mind WHERE dd > 0
-         |GROUP BY source ORDER BY harmonic DESC, key LIMIT 30""".stripMargin)
+         |GROUP BY source ORDER BY harmonic DESC, key LIMIT 30""".stripMargin),
+
+    // Deterministic hash-greedy random walk (node2vec-style neighborhood
+    // sampling with the RNG replaced by md5 so the oracle replays the
+    // exact walk): from each seed node, 3 steps; each step moves to the
+    // neighbor minimizing md5("<step>|<cur>|<next>"). Each step is ONE
+    // frontier⋈edges join (shuffle keyed on the current node) plus a
+    // per-walk argmin — at scale the frontier is ∝ number of walks, not
+    // graph size, which is exactly how a distributed embedding-corpus
+    // walk generator stays bounded on a 100 TB graph.
+    "g35_random_walk" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        var f = TpchGraph.nodes(s, d)
+          .filter(col("key").isin((0 until 5).map(i => s"supplier:$i"): _*))
+          .select(col("key").as("walk_id"), col("key").as("cur"), col("key").as("path"))
+        for (i <- 1 to 3) {
+          f = f.join(und, col("cur") === col("src"))
+            .withColumn("h",
+              md5(concat_ws("|", lit(i.toString), col("cur"), col("dst")).cast("binary")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("walk_id").orderBy(col("h"), col("dst"))))
+            .filter(col("rn") === 1)
+            .select(col("walk_id"), col("dst").as("cur"),
+              concat(col("path"), lit("->"), col("dst")).as("path"))
+        }
+        f.select(col("walk_id"), col("cur").as("final_node"), col("path"))
+          .orderBy("walk_id")
+      }, {
+        val steps = (1 to 3).map { i =>
+          s"""s$i AS (SELECT walk_id, cur, path FROM (
+             |  SELECT w.walk_id, u.dst AS cur, w.path || '->' || u.dst AS path,
+             |    row_number() OVER (PARTITION BY w.walk_id
+             |      ORDER BY md5('$i|' || w.cur || '|' || u.dst), u.dst) AS rn
+             |  FROM s${i - 1} w JOIN und u ON u.src = w.cur) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $nodesSql,
+           |$allEdgesSql,
+           |s0 AS (SELECT key AS walk_id, key AS cur, key AS path FROM nds
+           |       WHERE key IN ('supplier:0','supplier:1','supplier:2','supplier:3','supplier:4')),
+           |$steps
+           |SELECT walk_id, cur AS final_node, path FROM s3 ORDER BY walk_id""".stripMargin
+      })
   )
 }

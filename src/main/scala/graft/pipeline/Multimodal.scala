@@ -56,4 +56,43 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
   }
+
+  final case class FrameOut(doc_id: Long, frame_idx: Int, frame_off: Int, frame_sig: String)
+
+  /** Frame sampling: every `stride`-th fixed-size frame of the payload
+    * (the video-keyframe / audio-window sampling shape). A typed flatMap
+    * — one input row fans out to its sampled frames only, so a long
+    * recording becomes its keyframes without the full decode ever being
+    * held in memory, and the output partitioning follows the input (no
+    * shuffle). `frame_sig` is the md5 of the frame bytes, standing in
+    * for a per-frame feature a real codec would emit.
+    */
+  def sampleFrames(media: Dataset[MediaIn], frameBytes: Int, stride: Int): Dataset[FrameOut] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nFrames = m.payload.length / frameBytes
+      Range(0, nFrames, stride).map { i =>
+        val sig = md.digest(java.util.Arrays.copyOfRange(
+            m.payload, i * frameBytes, (i + 1) * frameBytes))
+          .map("%02x".format(_)).mkString
+        FrameOut(m.doc_id, i, i * frameBytes, sig)
+      }
+    }
+  }
+
+  final case class ResizeOut(doc_id: Long, width: Int, height: Int, rw: Int, rh: Int)
+
+  /** Resize-to-fit metadata transform: scale decoded dimensions into a
+    * `box`×`box` bounding box preserving aspect ratio. Integer-only
+    * arithmetic (floor division) so the result is engine-exact; a real
+    * implementation would also resample `payload` here.
+    */
+  def resizeMeta(decoded: Dataset[MediaOut], box: Int): Dataset[ResizeOut] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      val mx = math.max(m.width, m.height)
+      ResizeOut(m.doc_id, m.width, m.height, m.width * box / mx, m.height * box / mx)
+    }
+  }
 }

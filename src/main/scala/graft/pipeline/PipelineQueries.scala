@@ -541,6 +541,22 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin),
 
+    // Stream-static enrichment join, batch form: events enriched with the
+    // broadcast customer→nation dimension, aggregated per (nation, type).
+    // The SAME plan runs on readStream input as Spark's stream-static
+    // join (EventStreams.nationEnrichedCounts; driven over MemoryStream
+    // in EventStreamsSpec) — at scale the event side never shuffles for
+    // the join, only for the final small-key aggregate.
+    "s06_stream_static_enrich" -> QDef(
+      (s, d) => graft.streaming.EventStreams.nationEnrichedCounts(
+          Tables(s, d, "events"), Tables(s, d, "customer"), Tables(s, d, "nation"))
+        .orderBy("n_name", "event_type"),
+      """SELECT n_name, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin),
+
     // Deterministic stratified sampling for training-data mixing: keep
     // 50% of English documents and 10% of every other language, decided
     // by an md5-derived hash of the doc id — reproducible on any engine,
@@ -910,6 +926,104 @@ object PipelineQueries {
         |  CAST(sum(nocc) AS BIGINT) AS n_dup_occurrences
         |FROM per JOIN census USING (source)
         |GROUP BY source, n_docs ORDER BY source""".stripMargin),
+
+    // Cross-source containment (subsumption) dedup: directional shingle
+    // containment C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 with A and B
+    // in different sources — the "is this doc already covered by another
+    // dump" pass run between crawl snapshots. Candidate generation is a
+    // PPJoin prefix filter, never all-pairs: rank each doc's shingles by
+    // ascending global doc-frequency and probe only the floor(n/10)+1
+    // RAREST ones — if B misses all of them then |A∩B| ≤ n−(n/10+1) <
+    // 0.9n, so the prefix probe is lossless for the 0.9 threshold.
+    // Rare-shingle probing also bounds the join fan-out (each probe key's
+    // bucket is its doc-frequency, small by construction); on a Zipfian
+    // real-corpus vocabulary the same prefix prunes orders of magnitude.
+    // All threshold comparisons are integer-only (c*10 >= n*9) so both
+    // engines agree bit-for-bit at the boundary.
+    "d10_cross_source_containment" -> QDef(
+      (s, d) => {
+        val sh = shingles(s, d)
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val ranked = sh.join(df, Seq("sh")).join(sz, Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+          .filter((col("rk") - 1) * 10 <= col("n"))
+        val probe = ranked.join(src, Seq("doc_id"))
+          .select(col("doc_id").as("da"), col("source").as("sa"), col("sh"))
+        val build = sh.join(src, Seq("doc_id"))
+          .select(col("doc_id").as("db"), col("source").as("sb"), col("sh"))
+        val cand = probe.join(build, Seq("sh"))
+          .filter(col("sa") =!= col("sb"))
+          .select("da", "db").distinct()
+        val contained = jaccardOf(cand, sh).filter(col("c") * 10 >= col("na") * 9)
+        contained.join(src.select(col("doc_id").as("da"), col("source")), Seq("da"))
+          .groupBy("source")
+          .agg(countDistinct("da").as("n_subsumed"), count(lit(1)).as("n_pairs"))
+          .orderBy("source")
+      },
+      """WITH ws AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |           WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+        |wrd AS (SELECT doc_id, source, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
+        |sh AS (SELECT DISTINCT a.doc_id, a.source, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |rk AS (SELECT s.doc_id, s.source, s.sh,
+        |         row_number() OVER (PARTITION BY s.doc_id ORDER BY dfq.df, s.sh) AS rk, sz.n
+        |       FROM sh s JOIN dfq USING (sh) JOIN sz USING (doc_id)),
+        |pre AS (SELECT doc_id, source, sh FROM rk WHERE (rk - 1) * 10 <= n),
+        |cand AS (SELECT DISTINCT p.doc_id AS da, b.doc_id AS db
+        |         FROM pre p JOIN sh b ON p.sh = b.sh AND p.source <> b.source),
+        |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
+        |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
+        |          GROUP BY 1, 2),
+        |cont AS (SELECT i.da, i.db FROM inter i JOIN sz ON sz.doc_id = i.da
+        |         WHERE i.c * 10 >= sz.n * 9)
+        |SELECT d.source, count(DISTINCT c.da) AS n_subsumed, count(*) AS n_pairs
+        |FROM cont c JOIN documents d ON d.doc_id = c.da
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // Frame sampling over the binary payload (every 2nd 64-byte frame):
+    // the video-keyframe / audio-window extraction shape — a typed
+    // flatMap that fans each payload out to its sampled frames only, no
+    // shuffle, partitioning inherited from the scan. The oracle mirrors
+    // the byte windows with substr (the synthetic payload is ASCII, so
+    // char offsets == byte offsets).
+    "m03_multimodal_frame_sample" -> QDef(
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, docs(s, d))
+        Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 64 - 1)) AS fi
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 64 AS INT) AS frame_off,
+        |  md5(substr(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_sig
+        |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Resize-to-fit metadata (128×128 box, aspect preserved): the decoded
+    // dimensions pass through an integer-only floor-division scale, so
+    // both engines agree exactly. Payload resampling is the stubbed step;
+    // the typed map plumbing is real.
+    "m04_multimodal_resize" -> QDef(
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, docs(s, d))
+        Multimodal.resizeMeta(Multimodal.decodeAll(media, parallelism = 8), box = 128)
+          .toDF().orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(64 + ord(substr(text, 1, 1)) % 64 AS INT) AS width,
+        |  CAST(64 + ord(substr(text, 2, 1)) % 64 AS INT) AS height,
+        |  CAST((64 + ord(substr(text, 1, 1)) % 64) * 128
+        |    // greatest(64 + ord(substr(text, 1, 1)) % 64, 64 + ord(substr(text, 2, 1)) % 64) AS INT) AS rw,
+        |  CAST((64 + ord(substr(text, 2, 1)) % 64) * 128
+        |    // greatest(64 + ord(substr(text, 1, 1)) % 64, 64 + ord(substr(text, 2, 1)) % 64) AS INT) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     "m01_multimodal_binary" -> QDef(
       (s, d) => docs(s, d)

@@ -115,6 +115,29 @@ object EventStreams {
     purchaseClickJoin(purchases.withWatermark("ts", "10 minutes"),
       clicks.withWatermark("ts", "10 minutes"))
 
+  /** Stream-static enrichment join: events (the unbounded side) joined to
+    * the customer→nation dimension (static side, explicitly broadcast) —
+    * the canonical "enrich a 100 TB event stream with a small dim table"
+    * shape. The dim build is two dimension-table scans joined once and
+    * shipped to every executor; the event side never shuffles for the
+    * join, only for the final (nation, type) aggregate. Value totals are
+    * 1e-4-quantized longs so the sum is merge-order-independent (the
+    * sessionWindowCounts precedent). On `readStream` input the identical
+    * plan runs as Spark's stream-static join (complete-mode aggregate;
+    * see EventStreamsSpec), where the static side is re-broadcast per
+    * micro-batch.
+    */
+  def nationEnrichedCounts(events: DataFrame, customer: DataFrame,
+                           nation: DataFrame): DataFrame = {
+    val dim = broadcast(
+      customer.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 1e4, 0).cast("long")) / 1e4).as("total_value"))
+  }
+
   /** Per-user session state for flatMapGroupsWithState. */
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

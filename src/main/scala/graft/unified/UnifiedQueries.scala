@@ -4,6 +4,7 @@ import graft.{QDef, Tables}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Unified cross-engine operators (SURVEY.md §2.12) — the reference's
   * flagship: one entity key resolves to relational fields, graph edges and
@@ -104,6 +105,52 @@ object UnifiedQueries {
         |SELECT e.vec_id,
         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),4) AS score
         |FROM embeddings e, q, el WHERE e.label = elabel AND e.vec_id <> 1
-        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the
+    // cross-engine "keyword search + vector search, one ranked answer"
+    // operator. Each side independently produces its top-20 as a
+    // TakeOrderedAndProject (no global sort of the corpus — rank lists
+    // are small BY CONSTRUCTION, which is what makes RRF scale: fusing
+    // happens on ≤ 2k rows no matter how big the corpus is). Text side:
+    // term frequency of 'join' over documents; vector side: cosine to
+    // embedding 0; documents and embeddings share the id space. Fused
+    // score is an INTEGER sum of round(1e6/(60+rank)) per side (absent
+    // rank contributes 0 — standard RRF over the union of lists), so the
+    // compare is exact.
+    "u05_hybrid_rrf" -> QDef(
+      (s, d) => {
+        val tf = graft.Tables(s, d, "documents").select(col("doc_id"),
+          expr("size(filter(split(text, '\\\\s+'), w -> w = 'join'))").as("tf"))
+        // row_number over the already-limited 20-row frame (not the corpus)
+        val tr = tf.orderBy(desc("tf"), col("doc_id")).limit(20)
+          .withColumn("rt", row_number().over(Window.orderBy(desc("tf"), col("doc_id"))))
+        val vs = emb(s, d).crossJoin(broadcast(qv(s, d, 0)))
+          .select(col("vec_id"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        val vr = vs.orderBy(desc("score"), col("vec_id")).limit(20)
+          .withColumn("rv", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+        tr.join(vr, col("doc_id") === col("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+            (coalesce(expr("CAST(round(1e6 / (60 + rt), 0) AS BIGINT)"), lit(0L)) +
+              coalesce(expr("CAST(round(1e6 / (60 + rv), 0) AS BIGINT)"), lit(0L))).as("rrf_ppm"))
+          .orderBy(desc("rrf_ppm"), col("id")).limit(10)
+      },
+      """WITH tf AS (SELECT doc_id,
+        |        len(list_filter(regexp_split_to_array(text, '\s+'), w -> w = 'join')) AS tf
+        |      FROM documents),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rt
+        |       FROM tf QUALIFY rt <= 20),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+        |       FROM embeddings e, q),
+        |vr AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rv
+        |       FROM vs QUALIFY rv <= 20)
+        |SELECT coalesce(tr.doc_id, vr.vec_id) AS id,
+        |  coalesce(CAST(round(1e6 / (60 + rt), 0) AS BIGINT), 0)
+        |    + coalesce(CAST(round(1e6 / (60 + rv), 0) AS BIGINT), 0) AS rrf_ppm
+        |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
+        |ORDER BY rrf_ppm DESC, id LIMIT 10""".stripMargin)
   )
 }

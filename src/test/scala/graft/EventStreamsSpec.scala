@@ -130,4 +130,34 @@ class EventStreamsSpec extends AnyFunSuite {
     // only completed sessions emit inside the batch (the open ones stay in state)
     assert(out.toSet == Set(EventStreams.SessionOut(1L, 2, 3.0, 600)))
   }
+
+  test("stream-static enrichment join over a real stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables(spark, sf, "events")
+      .select("ts", "user_id", "event_type", "value")
+      .orderBy("ts")
+      .collect()
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val customer = Tables(spark, sf, "customer")
+    val nation = Tables(spark, sf, "nation")
+    val q = EventStreams.nationEnrichedCounts(streamDf, customer, nation)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      mem.addData(events.map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .orderBy("n_name", "event_type").collect().toSeq
+      val batch = EventStreams.nationEnrichedCounts(
+          Tables(spark, sf, "events"), customer, nation)
+        .orderBy("n_name", "event_type").collect().toSeq
+      assert(streamed == batch, "stream-static enrichment differs from batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

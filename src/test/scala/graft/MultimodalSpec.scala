@@ -1,0 +1,49 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case coverage for the multimodal typed pipelines (the gate
+  * queries m01–m04 cover the happy path against the oracle; these pin
+  * the boundary behavior a synthetic corpus never hits).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def media(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "payload").as[Multimodal.MediaIn]
+  }
+
+  test("sampleFrames: payload shorter than one frame emits no rows") {
+    val out = Multimodal.sampleFrames(media(1L -> Array.fill(63)('a'.toByte)),
+      frameBytes = 64, stride = 2).collect()
+    assert(out.isEmpty)
+  }
+
+  test("sampleFrames: stride skips frames and offsets are frame-aligned") {
+    val payload = Array.tabulate(64 * 5 + 10)(i => (i % 251).toByte)
+    val out = Multimodal.sampleFrames(media(1L -> payload), frameBytes = 64, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // 5 full frames; stride 2 keeps frames 0, 2, 4; the 10-byte tail is dropped
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(out.map(_.frame_off).toSeq == Seq(0, 128, 256))
+    // signature is the md5 of exactly that frame's bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(java.util.Arrays.copyOfRange(payload, 128, 192))
+      .map("%02x".format(_)).mkString
+    assert(out(1).frame_sig == expect)
+  }
+
+  test("resizeMeta: aspect is preserved with integer floor division") {
+    import spark.implicits._
+    val decoded = Seq(
+      Multimodal.MediaOut(1L, 0, 200, 100, 1, Array(0.0)),
+      Multimodal.MediaOut(2L, 0, 50, 50, 1, Array(0.0))).toDS()
+    val out = Multimodal.resizeMeta(decoded, box = 128).collect().sortBy(_.doc_id)
+    // width 200 is the long side → rw = 128, rh = floor(100*128/200) = 64
+    assert(out(0).rw == 128 && out(0).rh == 64)
+    // square input fills the box exactly
+    assert(out(1).rw == 128 && out(1).rh == 128)
+  }
+}

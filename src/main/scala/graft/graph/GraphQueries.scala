@@ -1143,21 +1143,12 @@ object GraphQueries {
     // walk generator stays bounded on a 100 TB graph.
     "g35_random_walk" -> QDef(
       (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        var f = TpchGraph.nodes(s, d)
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d))
+        val seeds = TpchGraph.nodes(s, d)
           .filter(col("key").isin((0 until 5).map(i => s"supplier:$i"): _*))
-          .select(col("key").as("walk_id"), col("key").as("cur"), col("key").as("path"))
-        for (i <- 1 to 3) {
-          f = f.join(und, col("cur") === col("src"))
-            .withColumn("h",
-              md5(concat_ws("|", lit(i.toString), col("cur"), col("dst")).cast("binary")))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("walk_id").orderBy(col("h"), col("dst"))))
-            .filter(col("rn") === 1)
-            .select(col("walk_id"), col("dst").as("cur"),
-              concat(col("path"), lit("->"), col("dst")).as("path"))
-        }
-        f.select(col("walk_id"), col("cur").as("final_node"), col("path"))
+          .select("key")
+        Algorithms.hashGreedyWalk(und, seeds, 3)
+          .select(col("walk_id"), col("cur").as("final_node"), col("path"))
           .orderBy("walk_id")
       }, {
         val steps = (1 to 3).map { i =>

@@ -170,6 +170,32 @@ object Algorithms {
     reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
   }
 
+  /** Deterministic hash-greedy random walk: from each seed, `steps` hops;
+    * at hop i the walker moves to the neighbor minimizing
+    * md5("<i>|<cur>|<next>") — node2vec-style neighborhood sampling with
+    * the RNG replaced by a content hash so any engine replays the exact
+    * walk. One frontier⋈edges join per hop (keyed on the current node),
+    * so the frontier stays ∝ the number of walks, never the graph size.
+    * Returns (walk_id, cur, path); a walk whose node has no out-edge
+    * simply ends (drops out of the frontier).
+    */
+  def hashGreedyWalk(und: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    var f = seeds.select(col("key").as("walk_id"), col("key").as("cur"),
+      col("key").as("path"))
+    for (i <- 1 to steps) {
+      f = f.join(und.select("src", "dst"), col("cur") === col("src"))
+        .withColumn("h",
+          md5(concat_ws("|", lit(i.toString), col("cur"), col("dst")).cast("binary")))
+        .withColumn("rn", row_number().over(
+          w.partitionBy("walk_id").orderBy(col("h"), col("dst"))))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), col("dst").as("cur"),
+          concat(col("path"), lit("->"), col("dst")).as("path"))
+    }
+    f
+  }
+
   /** Bounded-hop single-source shortest paths over weighted edges
     * (src, dst, w) — Bellman-Ford style relaxation, `iters` rounds.
     * Returns (key, cost) for reached nodes.

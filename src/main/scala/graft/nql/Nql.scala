@@ -130,4 +130,14 @@ final case class Rebalance(table: String, byCol: String, budgetPct: Int, keyCol:
 final case class Traverse(from: String, depth: Int,
     etype: Option[String] = None, label: Option[String] = None) extends Statement
 
+/** WALK FROM '<key>' STEPS n — deterministic hash-greedy random walk
+  * (the g35 engine, [[graft.graph.Algorithms.hashGreedyWalk]], as a
+  * statement; a sampling extension over the reference's traversal
+  * surface). */
+final case class Walk(from: String, steps: Int) extends Statement
+
+/** HYBRID '<term>' VECTOR <id> [LIMIT k] — keyword + vector retrieval
+  * fused with reciprocal ranks (the u05 engine as a statement). */
+final case class Hybrid(term: String, vecId: Long, limit: Int = 10) extends Statement
+
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

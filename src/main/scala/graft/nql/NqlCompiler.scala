@@ -509,6 +509,19 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .drop("__n_grp", "__n_tgt")
         .orderBy(keyCol)
 
+    // WALK: the g35 hash-greedy deterministic walk as a statement. A
+    // missing start key yields an empty result (the walk never begins),
+    // matching NEIGHBORS' behavior for unknown keys.
+    case Walk(from, steps) =>
+      val seeds = allNodes.filter(col("key") === from).select("key")
+      Algorithms.hashGreedyWalk(TpchGraph.undirected(allEdges), seeds, steps)
+        .select(col("walk_id"), col("cur").as("final_node"), col("path"))
+
+    // HYBRID: keyword + vector RRF fusion (the u05 engine); the term is
+    // parser-validated to a plain word before it reaches the plan.
+    case Hybrid(term, vecId, limit) =>
+      graft.unified.UnifiedQueries.hybridRrf(spark, sfDir, term, vecId, limit)
+
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.
     case Dedup(table, byCol, keyCol) =>

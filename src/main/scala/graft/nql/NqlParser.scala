@@ -112,6 +112,25 @@ object NqlParser {
         val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
         if (!p.done) throw NqlParseException("TRAVERSE takes FROM, DEPTH, then optional TYPE and LABEL")
         Traverse(from, depth, etype, label)
+      case "WALK"      =>
+        p.next(); p.expectKw("FROM")
+        val from = p.stringLit()
+        p.expectKw("STEPS")
+        val steps = p.int()
+        if (steps < 1 || steps > 6)
+          throw NqlParseException(s"WALK steps must be in 1..6, got $steps")
+        if (!p.done) throw NqlParseException("WALK takes FROM '<key>' STEPS n")
+        Walk(from, steps)
+      case "HYBRID"    =>
+        p.next()
+        val term = p.stringLit()
+        if (!term.matches("[A-Za-z0-9_-]+"))
+          throw NqlParseException(s"HYBRID term must be a plain word, got '$term'")
+        p.expectKw("VECTOR")
+        val vid = p.int()
+        val limit = if (p.accept("LIMIT")) p.int() else 10
+        if (!p.done) throw NqlParseException("HYBRID takes '<term>' VECTOR <id> [LIMIT k]")
+        Hybrid(term, vid.toLong, limit)
       case "REBALANCE" =>
         p.next()
         val table = p.next()

@@ -22,6 +22,29 @@ object UnifiedQueries {
   private def qv(s: SparkSession, d: String, id: Long): DataFrame =
     emb(s, d).filter(col("vec_id") === id).select(col("embedding").as("qv"))
 
+  /** Hybrid keyword+vector retrieval via reciprocal-rank fusion (see the
+    * u05 entry for the plan-shape discussion). `term` must be a plain
+    * word (validated by the NQL parser before it reaches the lambda).
+    */
+  def hybridRrf(s: SparkSession, d: String, term: String, vecId: Long,
+                limit: Int): DataFrame = {
+    val tf = Tables(s, d, "documents").select(col("doc_id"),
+      expr(s"size(filter(split(text, '\\\\s+'), w -> w = '$term'))").as("tf"))
+    // row_number over the already-limited 20-row frame (not the corpus)
+    val tr = tf.orderBy(desc("tf"), col("doc_id")).limit(20)
+      .withColumn("rt", row_number().over(Window.orderBy(desc("tf"), col("doc_id"))))
+    val vs = emb(s, d).crossJoin(broadcast(qv(s, d, vecId)))
+      .select(col("vec_id"),
+        round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+    val vr = vs.orderBy(desc("score"), col("vec_id")).limit(20)
+      .withColumn("rv", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+    tr.join(vr, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        (coalesce(expr("CAST(round(1e6 / (60 + rt), 0) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(round(1e6 / (60 + rv), 0) AS BIGINT)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(desc("rrf_ppm"), col("id")).limit(limit)
+  }
+
   /** neighbors(e) = same-label entities, excluding e itself. */
   private def neighbors(s: SparkSession, d: String, id: Long): DataFrame = {
     val lab = emb(s, d).filter(col("vec_id") === id).select(col("label").as("elabel"))
@@ -117,25 +140,9 @@ object UnifiedQueries {
     // embedding 0; documents and embeddings share the id space. Fused
     // score is an INTEGER sum of round(1e6/(60+rank)) per side (absent
     // rank contributes 0 — standard RRF over the union of lists), so the
-    // compare is exact.
+    // compare is exact. (Also the engine behind the NQL HYBRID statement.)
     "u05_hybrid_rrf" -> QDef(
-      (s, d) => {
-        val tf = graft.Tables(s, d, "documents").select(col("doc_id"),
-          expr("size(filter(split(text, '\\\\s+'), w -> w = 'join'))").as("tf"))
-        // row_number over the already-limited 20-row frame (not the corpus)
-        val tr = tf.orderBy(desc("tf"), col("doc_id")).limit(20)
-          .withColumn("rt", row_number().over(Window.orderBy(desc("tf"), col("doc_id"))))
-        val vs = emb(s, d).crossJoin(broadcast(qv(s, d, 0)))
-          .select(col("vec_id"),
-            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
-        val vr = vs.orderBy(desc("score"), col("vec_id")).limit(20)
-          .withColumn("rv", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-        tr.join(vr, col("doc_id") === col("vec_id"), "full_outer")
-          .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
-            (coalesce(expr("CAST(round(1e6 / (60 + rt), 0) AS BIGINT)"), lit(0L)) +
-              coalesce(expr("CAST(round(1e6 / (60 + rv), 0) AS BIGINT)"), lit(0L))).as("rrf_ppm"))
-          .orderBy(desc("rrf_ppm"), col("id")).limit(10)
-      },
+      (s, d) => hybridRrf(s, d, "join", 0, 10),
       """WITH tf AS (SELECT doc_id,
         |        len(list_filter(regexp_split_to_array(text, '\s+'), w -> w = 'join')) AS tf
         |      FROM documents),

@@ -303,6 +303,34 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("TRAVERSE 'region:0' DEPTH 2"))
   }
 
+  test("WALK statement replays the g35 walk engine") {
+    // single-seed WALK == the same seed's row in the g35 gate query
+    val got = run("WALK FROM 'supplier:0' STEPS 3")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val want = SparkEntry.queries("g35_random_walk")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("walk_id") === "supplier:0")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // unknown start key → empty walk, not an error
+    assert(run("WALK FROM 'supplier:999999' STEPS 2").collect().isEmpty)
+    assertThrows[NqlParseException](Nql.parse("WALK FROM 'supplier:0' STEPS 0"))
+    assertThrows[NqlParseException](Nql.parse("WALK 'supplier:0' STEPS 2"))
+  }
+
+  test("HYBRID statement matches the u05 fusion engine") {
+    val got = run("HYBRID 'join' VECTOR 0 LIMIT 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("u05_hybrid_rrf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // a different limit truncates the same fused ranking
+    assert(run("HYBRID 'join' VECTOR 0 LIMIT 3").collect().map(_.getLong(0)).toSeq
+      == want.take(3).map(_._1))
+    // injection-shaped terms are rejected at parse time
+    assertThrows[NqlParseException](Nql.parse("HYBRID 'a'' OR 1=1' VECTOR 0"))
+    assertThrows[NqlParseException](Nql.parse("HYBRID 'join' LIMIT 5"))
+  }
+
   test("REBALANCE statement matches d08's keep rule") {
     val kept = run("REBALANCE documents BY source BUDGET 60 KEY doc_id")
     val audit = SparkEntry.queries("d08_domain_mix_rebalance")(spark, sf)

@@ -1164,6 +1164,39 @@ object GraphQueries {
            |       WHERE key IN ('supplier:0','supplier:1','supplier:2','supplier:3','supplier:4')),
            |$steps
            |SELECT walk_id, cur AS final_node, path FROM s3 ORDER BY walk_id""".stripMargin
+      }),
+
+    // 4-truss of the full graph (clique + hierarchy edges): every edge
+    // must close ≥ 2 triangles; customer/supplier spokes (support 0) peel
+    // off, the nation-clique + nation-region core (support 4) survives.
+    // Distributed edge-peeling (`Algorithms.ktruss`) with a recompute
+    // that PROVES the fixpoint; the oracle unrolls the same 2 rounds.
+    // On this topology round 1 already converges — the 2-round cascade
+    // case (bowtie) is exercised in AlgorithmsSpec.
+    "g36_ktruss" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.edges(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+        Algorithms.ktruss(und, k = 4, rounds = 2)
+          .select(explode(array(col("u"), col("v"))).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("n_truss_edges"))
+          .orderBy("key")
+      }, {
+        val peels = (1 to 2).map { i =>
+          s"""adj$i AS (SELECT u AS x, v AS w FROM e${i - 1} UNION ALL SELECT v, u FROM e${i - 1}),
+             |sup$i AS (SELECT e.u, e.v, count(*) AS sup FROM e${i - 1} e
+             |          JOIN adj$i a ON a.x = e.u JOIN adj$i b ON b.x = e.v AND b.w = a.w
+             |          GROUP BY e.u, e.v),
+             |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+             |        JOIN sup$i s ON s.u = e.u AND s.v = e.v AND s.sup >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $allEdgesSql,
+           |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
+           |$peels
+           |SELECT key, count(*) AS n_truss_edges
+           |FROM (SELECT u AS key FROM e2 UNION ALL SELECT v FROM e2)
+           |GROUP BY key ORDER BY key""".stripMargin
       })
   )
 }

@@ -235,6 +235,37 @@ object Algorithms {
     * materialized) labels; the returned frame is the plain iters-round
     * result, so oracle parity is unaffected.
     */
+  /** k-truss edge subgraph: iteratively delete every edge whose support
+    * (number of triangles it closes) is < k−2, until fixpoint. `und` is
+    * the u<v-normalized undirected edge list. This is the distributed
+    * edge-peeling formulation (no per-node DFS state): each round is two
+    * degree-bounded joins on the edge endpoints + one aggregate on the
+    * edge key, so a round shuffles ∝ Σ_v deg(v)² wedges — the same
+    * bound as triangle counting — and the edge set only shrinks.
+    * `rounds` must reach the peeling fixpoint; like
+    * [[connectedComponentsChecked]], one extra recompute VERIFIES that
+    * (silent non-convergence would match an identically-unrolled oracle
+    * and pass the parity gate undetected).
+    */
+  def ktruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    def peel(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("x"), col("v").as("w"))
+        .union(e.select(col("v").as("x"), col("u").as("w")))
+      val sup = e
+        .join(adj.select(col("x").as("u"), col("w")), Seq("u"))
+        .join(adj.select(col("x").as("v"), col("w")), Seq("v", "w"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      e.join(sup.filter(col("sup") >= k - 2).select("u", "v"), Seq("u", "v"))
+    }
+    var e = cut(und.select("u", "v"))
+    for (i <- 1 to rounds) e = chk(peel(e), i, rounds)
+    if (peel(e).count() != e.count()) throw new IllegalStateException(
+      s"ktruss did not reach its fixpoint in $rounds rounds (a further peel still " +
+        "removes edges) — raise the round count")
+    e
+  }
+
   def connectedComponentsChecked(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val labels = connectedComponents(undirectedEdges, nodes, iters)
     val e = undirectedEdges.select("src", "dst")

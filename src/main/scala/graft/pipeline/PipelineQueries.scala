@@ -1038,6 +1038,46 @@ object PipelineQueries {
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
         | array_to_string([CAST((octet_length(CAST(text AS BLOB)) * j) % 97 AS BIGINT) FOR j IN generate_series(1, 8)], ';') AS features_sig
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the embedding space, then compute pairwise cosine ONLY
+    // within each cluster and drop all but one exemplar of every near-dup
+    // pair. Clusters here are the pre-assigned label cells (v08's
+    // determinism trade — KMeans centroids would make the oracle
+    // non-reproducible; in production the cluster id comes from
+    // `AnnIndex.buildIvf`). The pair stage joins on the cluster key, so
+    // its cost is Σ_c |c|² — the SemDeDup bound, never corpus² — and each
+    // cluster's pairs land on that cluster's shuffle key. Keep rule:
+    // the lowest vec_id of a similar pair survives (deterministic
+    // stand-in for the paper's per-pair random exemplar).
+    "d11_semantic_dedup" -> QDef(
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = e.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        val rm = a.join(b, Seq("label")).filter(col("va") < col("vb"))
+          .filter(graft.functions.VectorFunctions.cosine_similarity(col("ea"), col("eb")) >= 0.35)
+          .select(col("label"), col("vb").as("vec_id")).distinct()
+        val census = e.groupBy("label").agg(count(lit(1)).as("n_total"))
+        val removed = rm.groupBy("label").agg(count(lit(1)).as("n_removed"))
+        census.join(removed, Seq("label"), "left")
+          .select(col("label"), col("n_total"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_total") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+          .orderBy("label")
+      },
+      """WITH rm AS (
+        |  SELECT DISTINCT a.label, b.vec_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35),
+        |census AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY 1),
+        |removed AS (SELECT label, count(*) AS n_removed FROM rm GROUP BY 1)
+        |SELECT c.label, c.n_total,
+        |  COALESCE(r.n_removed, 0) AS n_removed,
+        |  c.n_total - COALESCE(r.n_removed, 0) AS n_kept
+        |FROM census c LEFT JOIN removed r USING (label)
+        |ORDER BY label""".stripMargin)
   )
 }

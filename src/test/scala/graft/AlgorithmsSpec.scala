@@ -109,4 +109,28 @@ class AlgorithmsSpec extends AnyFunSuite {
       allowedNodes = Some(allowed)).collect().map(_.getString(0)).toSet
     assert(both == Set("a", "b"))
   }
+
+  private def uvEdges(pairs: (String, String)*) =
+    pairs.toDF("u", "v").select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v"))
+
+  test("ktruss: K4 plus a pendant triangle — K4 survives k=4, triangle peels") {
+    // K4 edges each close 2 triangles (support 2 ≥ k−2); the pendant
+    // triangle d-e-f shares only vertex d, its edges have support 1.
+    val g = uvEdges("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d", "d" -> "e", "d" -> "f", "e" -> "f")
+    val t = Algorithms.ktruss(g, 4, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t == Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("ktruss: bowtie cascade needs 2 rounds and ends empty at k=4") {
+    // Two triangles sharing edge a-b: a-b has support 2, the other four
+    // edges support 1. Round 1 peels the four spokes; only then does a-b
+    // lose its triangles, so round 2 removes it — a genuine cascade.
+    val g = uvEdges("a" -> "b", "a" -> "c", "b" -> "c", "a" -> "d", "b" -> "d")
+    assert(Algorithms.ktruss(g, 4, rounds = 2).count() == 0)
+    // One round is NOT a fixpoint: the checked recompute must throw.
+    assertThrows[IllegalStateException](Algorithms.ktruss(g, 4, rounds = 1))
+  }
 }

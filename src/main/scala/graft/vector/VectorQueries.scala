@@ -361,6 +361,61 @@ object VectorQueries {
         |  round(list_cosine_similarity(CAST(a.centroid AS FLOAT[])::DOUBLE[],
         |                               CAST(b.centroid AS FLOAT[])::DOUBLE[]), 4) AS score
         |FROM cent a JOIN cent b ON a.label < b.label
-        |ORDER BY la, lb""".stripMargin)
+        |ORDER BY la, lb""".stripMargin),
+
+    // Scalar-quantized (int8) similarity search — the SQ half of the
+    // IVF+SQ pairing that serves large-corpus ANN in practice: store d
+    // int8 codes + one scale per vector (4× less scan bandwidth than
+    // float32), rank candidates by the integer dot product rescaled by
+    // the two scales, touch float vectors only to verify survivors.
+    // Determinism: quantization is floor(x/scale) with scale =
+    // max|x|/127 (floor, not round — no half-up/half-even divergence),
+    // the code dot is exact integer arithmetic on both engines, and the
+    // two rescale multiplications are ordered identically. approx_ok
+    // gates the quantization error at 5% of the exact dot (q32's
+    // sketch-accuracy pattern); the driver hash-checks the boolean.
+    // All quantization/scoring is map-side per row — at 100 TB this is
+    // one pruned column scan + TakeOrderedAndProject, and the codes
+    // column would be written once at ingest, not recomputed per query.
+    "v14_scalar_quantized_search" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+          .withColumn("sc", expr(
+            "CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0"))
+          .filter(col("sc") > 0)
+          .withColumn("qv8", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc) AS INT))"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("sc").as("qsc"), col("qv8").as("qq8"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("qdot", expr(
+            "aggregate(zip_with(qv8, qq8, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("qscore", round(expr("(CAST(qdot AS DOUBLE) * sc) * qsc"), 4))
+          .withColumn("exact_dot", round(dot_product(col("embedding"), col("qe")), 4))
+          .withColumn("approx_ok", expr(
+            "abs(qscore - exact_dot) <= 0.05 * greatest(abs(exact_dot), 0.0001)"))
+          .select("vec_id", "qscore", "exact_dot", "approx_ok")
+          .orderBy(desc("qscore"), col("vec_id")).limit(10)
+      },
+      """WITH sq AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS sc
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id, v, sc, list_transform(v, x -> CAST(floor(x / sc) AS INT)) AS qv8
+        |       FROM sq WHERE sc > 0),
+        |qq AS (SELECT v AS qv, sc AS qsc, qv8 AS qq8 FROM q8 WHERE vec_id = 0),
+        |du AS (SELECT d.vec_id, generate_subscripts(d.qv8, 1) AS i, unnest(d.qv8) AS a
+        |       FROM q8 d WHERE d.vec_id <> 0),
+        |qu AS (SELECT generate_subscripts(qq8, 1) AS i, unnest(qq8) AS b FROM qq),
+        |dots AS (SELECT vec_id, CAST(sum(CAST(a AS BIGINT) * b) AS BIGINT) AS qdot
+        |         FROM du JOIN qu USING (i) GROUP BY 1),
+        |scored AS (
+        |  SELECT s.vec_id,
+        |    round((CAST(t.qdot AS DOUBLE) * s.sc) * qq.qsc, 4) AS qscore,
+        |    round(list_inner_product(s.v, qq.qv), 4) AS exact_dot
+        |  FROM dots t JOIN q8 s USING (vec_id), qq)
+        |SELECT vec_id, qscore, exact_dot,
+        |  abs(qscore - exact_dot) <= 0.05 * greatest(abs(exact_dot), 0.0001) AS approx_ok
+        |FROM scored ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin)
   )
 }

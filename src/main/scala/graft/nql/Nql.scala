@@ -120,6 +120,12 @@ final case class Dedup(table: String, byCol: String, keyCol: String) extends Sta
   * downsampled to its share of a pct-of-total budget; groups below
   * their share keep everything). */
 final case class Rebalance(table: String, byCol: String, budgetPct: Int, keyCol: String) extends Statement
+/** `SEMDEDUP <table> BY <cluster-col> THRESHOLD <pct> KEY <id-col> VECTOR <vec-col>`:
+  * SemDeDup-style semantic dedup census — pairwise cosine ONLY within
+  * each cluster (pct/100 threshold), keep-lowest-key exemplar; the d11
+  * mechanism as a statement. */
+final case class SemDedup(table: String, byCol: String, thresholdPct: Int,
+    keyCol: String, vecCol: String) extends Statement
 
 /** `TRAVERSE FROM '<key>' DEPTH n [TYPE '<etype>'] [LABEL '<label>']` —
   * filtered BFS statement form (reference TRAVERSE with a

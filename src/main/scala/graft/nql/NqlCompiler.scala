@@ -509,6 +509,27 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .drop("__n_grp", "__n_tgt")
         .orderBy(keyCol)
 
+    // SEMDEDUP: the d11 semantic-dedup census as a statement. The pair
+    // stage joins on the cluster column, so fan-out is Σ_c |c|² — the
+    // SemDeDup bound — and the keep rule (lowest key survives) is
+    // deterministic.
+    case SemDedup(table, byCol, thresholdPct, keyCol, vecCol) =>
+      val base = Tables(spark, sfDir, table)
+      val tau = thresholdPct / 100.0
+      val a = base.select(col(byCol), col(keyCol).as("__ka"), col(vecCol).as("__va"))
+      val b = base.select(col(byCol), col(keyCol).as("__kb"), col(vecCol).as("__vb"))
+      val rm = a.join(b, Seq(byCol)).filter(col("__ka") < col("__kb"))
+        .filter(graft.functions.VectorFunctions.cosine_similarity(
+          col("__va"), col("__vb")) >= tau)
+        .select(col(byCol), col("__kb")).distinct()
+      val census = base.groupBy(byCol).agg(count(lit(1)).as("n_total"))
+      val removed = rm.groupBy(byCol).agg(count(lit(1)).as("n_removed"))
+      census.join(removed, Seq(byCol), "left")
+        .select(col(byCol), col("n_total"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          (col("n_total") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        .orderBy(byCol)
+
     // WALK: the g35 hash-greedy deterministic walk as a statement. A
     // missing start key yields an empty result (the walk never begins),
     // matching NEIGHBORS' behavior for unknown keys.

@@ -35,7 +35,10 @@ object NqlParser {
     var i = 0
     def peek: Option[String] = if (i < ts.length) Some(ts(i)) else None
     def peekUpper: Option[String] = peek.map(_.toUpperCase)
-    def next(): String = { val t = ts(i); i += 1; t }
+    def next(): String = {
+      if (i >= ts.length) throw NqlParseException("unexpected end of statement")
+      val t = ts(i); i += 1; t
+    }
     def expectKw(kw: String): Unit = {
       val t = next()
       if (t.toUpperCase != kw) throw NqlParseException(s"expected $kw, got $t")
@@ -47,7 +50,13 @@ object NqlParser {
       if (!t.startsWith("'")) throw NqlParseException(s"expected string literal, got $t")
       t.substring(1, t.length - 1).replace("\\'", "'")
     }
-    def int(): Int = next().toInt
+    def int(): Int = {
+      val t = next()
+      try t.toInt catch {
+        case _: NumberFormatException =>
+          throw NqlParseException(s"expected an integer, got $t")
+      }
+    }
     def done: Boolean = i >= ts.length
   }
 
@@ -140,6 +149,18 @@ object NqlParser {
           throw NqlParseException(s"REBALANCE budget must be in 1..100, got $pct")
         p.expectKw("KEY"); val keyCol = p.next()
         Rebalance(table, byCol, pct, keyCol)
+      case "SEMDEDUP"  =>
+        p.next()
+        val table = p.next()
+        p.expectKw("BY"); val byCol = p.next()
+        p.expectKw("THRESHOLD"); val pct = p.int()
+        if (pct < 1 || pct > 99)
+          throw NqlParseException(s"SEMDEDUP threshold must be in 1..99 (pct of cosine), got $pct")
+        p.expectKw("KEY"); val keyCol = p.next()
+        p.expectKw("VECTOR"); val vecCol = p.next()
+        if (!p.done) throw NqlParseException(
+          "SEMDEDUP takes <table> BY <col> THRESHOLD <pct> KEY <col> VECTOR <col>")
+        SemDedup(table, byCol, pct, keyCol, vecCol)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }

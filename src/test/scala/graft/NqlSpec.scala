@@ -345,6 +345,19 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("REBALANCE documents BY source BUDGET 0 KEY doc_id"))
   }
 
+  test("SEMDEDUP statement matches the d11 census") {
+    val got = run("SEMDEDUP embeddings BY label THRESHOLD 35 KEY vec_id VECTOR embedding")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = SparkEntry.queries("d11_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._2).sum > 0, "threshold should remove something at this SF")
+    assertThrows[NqlParseException](
+      Nql.parse("SEMDEDUP embeddings BY label THRESHOLD 0 KEY vec_id VECTOR embedding"))
+    assertThrows[NqlParseException](
+      Nql.parse("SEMDEDUP embeddings BY label THRESHOLD 35 KEY vec_id"))
+  }
+
   test("Cypher rejects malformed patterns") {
     assertThrows[NqlParseException](Nql.parse("MATCH (a:nation RETURN a.name"))
     assertThrows[NqlParseException](Nql.parse("MATCH (a)-[:x*3..1]->(b) RETURN a.key"))

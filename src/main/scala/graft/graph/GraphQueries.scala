@@ -1197,6 +1197,110 @@ object GraphQueries {
            |SELECT key, count(*) AS n_truss_edges
            |FROM (SELECT u AS key FROM e2 UNION ALL SELECT v FROM e2)
            |GROUP BY key ORDER BY key""".stripMargin
-      })
+      }),
+
+    // HITS hubs & authorities (Kleinberg) over the DIRECTED edge set —
+    // the query-dependent companion to g05 PageRank / g16 eigenvector
+    // (reference centrality suite, graph_engine/src/lib.rs:7058-7220
+    // neighborhood). 4 unrolled rounds, max-normalized per half-step so
+    // the oracle mirrors the exact arithmetic. Each half-round is one
+    // shuffle keyed on the receiving endpoint.
+    "g37_hits" -> QDef(
+      (s, d) => Algorithms.hits(TpchGraph.edges(s, d), TpchGraph.nodes(s, d), 4)
+        .select(col("key"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy(desc("auth"), desc("hub"), col("key")).limit(20), {
+        val sb = new StringBuilder
+        sb ++= s"WITH $nodesSql,\n$allEdgesSql,\n"
+        // AS MATERIALIZED: the two interleaved score chains reference each
+        // CTE twice per half-step (value + max); inlined, the plan copies
+        // multiply 4× per iteration and DuckDB's planner blows up.
+        sb ++= "h0 AS MATERIALIZED (SELECT key, 1.0 AS hub FROM nds)"
+        for (i <- 1 to 4) {
+          sb ++= s""",
+                    |a${i}0 AS MATERIALIZED (SELECT e.dst AS key, sum(p.hub) AS a0 FROM ed e JOIN h${i - 1} p ON p.key = e.src GROUP BY e.dst),
+                    |a$i AS MATERIALIZED (SELECT n.key, coalesce(x.a0, 0) / (SELECT max(a0) FROM a${i}0) AS auth
+                    |        FROM nds n LEFT JOIN a${i}0 x ON x.key = n.key),
+                    |h${i}0 AS MATERIALIZED (SELECT e.src AS key, sum(p.auth) AS h0 FROM ed e JOIN a$i p ON p.key = e.dst GROUP BY e.src),
+                    |h$i AS MATERIALIZED (SELECT n.key, coalesce(x.h0, 0) / (SELECT max(h0) FROM h${i}0) AS hub
+                    |        FROM nds n LEFT JOIN h${i}0 x ON x.key = n.key)""".stripMargin
+        }
+        sb ++= """
+                 |SELECT h4.key, round(h4.hub, 6) AS hub, round(a4.auth, 6) AS auth
+                 |FROM h4 JOIN a4 ON a4.key = h4.key
+                 |ORDER BY auth DESC, hub DESC, h4.key LIMIT 20""".stripMargin
+        sb.toString
+      }),
+
+    // Local clustering coefficient per node: cc(v) = 2·T(v)/(deg(v)·
+    // (deg(v)−1)) over the undirected simple graph — the per-node form of
+    // g07's global triangle count. Wedge join is keyed on the center
+    // node, closure check on the canonical (u,v) edge key: the standard
+    // Σ_v deg(v)² shuffle bound, no all-pairs stage. The one division of
+    // two integers is bit-exact on both engines.
+    "g38_local_clustering" -> QDef(
+      (s, d) => {
+        val e0 = TpchGraph.edges(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+        val und = e0.select(col("u").as("x"), col("v").as("w"))
+          .union(e0.select(col("v").as("x"), col("u").as("w")))
+        val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
+        val wedges = und.select(col("x"), col("w").as("u"))
+          .join(und.select(col("x"), col("w").as("v")), Seq("x"))
+          .filter(col("u") < col("v"))
+        val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
+          .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("key"), "left")
+          .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+            round(coalesce(col("tri"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
+          .orderBy(desc("cc"), col("key")).limit(20)
+      },
+      s"""WITH $allEdgesSql,
+         |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
+         |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT x AS key, count(*) AS deg FROM u2 GROUP BY x),
+         |tri AS (SELECT a.x AS key, count(*) AS tri
+         |        FROM u2 a JOIN u2 b ON b.x = a.x AND a.w < b.w
+         |        JOIN e0 e ON e.u = a.w AND e.v = b.w
+         |        GROUP BY a.x)
+         |SELECT d.key, d.deg, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+         |  round(CAST(coalesce(t.tri, 0) AS BIGINT) * 2.0 / (d.deg * (d.deg - 1)), 6) AS cc
+         |FROM deg d LEFT JOIN tri t ON t.key = d.key
+         |WHERE d.deg >= 2
+         |ORDER BY cc DESC, d.key LIMIT 20""".stripMargin),
+
+    // Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    // degrees over the symmetrized edge list. Both orientations are
+    // summed, so Σx = Σy and Σx² = Σy² and r reduces to
+    // (M·Σxy − Σx·Σy)/(M·Σx² − Σx·Σy). Every sum is an INTEGER
+    // aggregate — the single double division at the end is bit-exact on
+    // both engines. One shuffle for the degree count, one broadcast-ish
+    // join of deg onto each endpoint, one global aggregate: at 100 TB the
+    // degree table shuffles on node key and the final reduce is 5 longs.
+    "g39_assortativity" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val deg = und.groupBy(col("src").as("k")).agg(count(lit(1)).as("deg"))
+        val xy = und
+          .join(deg.select(col("k").as("src"), col("deg").as("x")), Seq("src"))
+          .join(deg.select(col("k").as("dst"), col("deg").as("y")), Seq("dst"))
+        xy.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("m"), col("sx"), col("sxy"),
+            round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("assortativity"))
+      },
+      s"""WITH $allEdgesSql,
+         |deg AS (SELECT src AS k, count(*) AS deg FROM und GROUP BY src),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y
+         |       FROM und u JOIN deg dx ON dx.k = u.src JOIN deg dy ON dy.k = u.dst),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy)
+         |SELECT m, sx, sxy,
+         |  round(CAST(m * sxy - sx * sx AS DOUBLE) /
+         |        CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+         |FROM s""".stripMargin)
   )
 }

@@ -364,6 +364,36 @@ object Algorithms {
     x
   }
 
+  /** HITS hubs & authorities (Kleinberg): `iters` rounds of
+    * auth ← Aᵀ·hub, hub ← A·auth over the DIRECTED edge set, each
+    * max-normalized (max is order-insensitive, so the oracle can unroll
+    * the identical steps — same policy as [[eigenvector]]). Returns
+    * (key, hub, auth). Each half-round is one shuffle keyed on the
+    * receiving endpoint; at cluster scale the edge frame partitions once
+    * and both joins reuse it.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val keys = nodes.select(col("key"))
+    var h = keys.select(col("key"), lit(1.0).as("hub"))
+    var a = keys.select(col("key"), lit(1.0).as("auth"))
+    for (i <- 1 to iters) {
+      val a0 = h.join(e, col("key") === col("src"))
+        .groupBy(col("dst").as("key")).agg(sum("hub").as("a0"))
+      val am = a0.agg(max("a0").as("am"))
+      a = chk(keys.join(a0, Seq("key"), "left").crossJoin(am)
+        .select(col("key"), (coalesce(col("a0"), lit(0.0)) / col("am")).as("auth")),
+        i, iters, 3)
+      val h0 = a.join(e, col("key") === col("dst"))
+        .groupBy(col("src").as("key")).agg(sum("auth").as("h0"))
+      val hm = h0.agg(max("h0").as("hm"))
+      h = chk(keys.join(h0, Seq("key"), "left").crossJoin(hm)
+        .select(col("key"), (coalesce(col("h0"), lit(0.0)) / col("hm")).as("hub")),
+        i, iters, 3)
+    }
+    h.join(a, Seq("key"))
+  }
+
   /** Sampled Brandes betweenness (reference Brandes `lib.rs:7058-7220`,
     * generalized beyond the diameter-2 midpoint form of g20): forward
     * level-synchronous multi-source BFS accumulates shortest-path counts

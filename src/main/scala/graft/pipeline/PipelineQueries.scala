@@ -1078,6 +1078,146 @@ object PipelineQueries {
         |  COALESCE(r.n_removed, 0) AS n_removed,
         |  c.n_total - COALESCE(r.n_removed, 0) AS n_kept
         |FROM census c LEFT JOIN removed r USING (label)
-        |ORDER BY label""".stripMargin)
+        |ORDER BY label""".stripMargin),
+
+    // Bigram-LM quality score (the order-sensitive companion to t11's
+    // unigram score): score(doc) = mean corpus frequency of its adjacent
+    // token PAIRS = (Σ count(bᵢ)) / (total_bigrams · n). As in t11 the
+    // inner sum is over INTEGER corpus counts and the single division
+    // happens per doc, so both engines produce bit-identical doubles.
+    // The corpus bigram table is dictionary-sized (vocab²) at any corpus
+    // scale; the per-doc bigram build is a map-side window over token
+    // position — no shuffle beyond the doc_id partition.
+    "t14_bigram_lm_score" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(Seq("pos", "w")))
+        val big = toks
+          .withColumn("w2", lead("w", 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+        val bf = big.groupBy("bg").agg(count(lit(1)).as("bf"))
+        val tot = big.agg(count(lit(1)).as("tot"))
+        big.join(bf, "bg")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n"), sum("bf").as("sumbf"))
+          .crossJoin(broadcast(tot))
+          .withColumn("score", col("sumbf") / (col("tot").cast("double") * col("n")))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") < 0.0011, 1L).otherwise(0L)).as("n_low_quality"),
+            round(min("score"), 8).as("min_score"),
+            round(max("score"), 8).as("max_score"))
+          .orderBy("source")
+      },
+      """WITH arr AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS l FROM documents),
+        |idx AS (SELECT doc_id, source, l, unnest(range(1, len(l))) AS i FROM arr),
+        |big AS (SELECT doc_id, source, l[i] || ' ' || l[i + 1] AS bg FROM idx),
+        |bf AS (SELECT bg, count(*) AS bf FROM big GROUP BY bg),
+        |tot AS (SELECT count(*) AS tot FROM big),
+        |per AS (
+        |  SELECT doc_id, source,
+        |    CAST(sum(bf) AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS score
+        |  FROM big JOIN bf USING (bg) CROSS JOIN tot
+        |  GROUP BY doc_id, source, tot)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score < 0.0011 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        |  round(min(score), 8) AS min_score, round(max(score), 8) AS max_score
+        |FROM per GROUP BY source ORDER BY source""".stripMargin),
+
+    // Quality-filter funnel (the FineWeb/C4-style cascade): four
+    // cumulative keep-predicates — length, token count, lexical
+    // diversity, stopword density — reported as per-source survivor
+    // counts at every stage. All four features come from map-side array
+    // functions over the text (no explode, no shuffle before the one
+    // per-source aggregate), and the ratio thresholds are compared in
+    // integer arithmetic so both engines agree exactly. At 100 TB this
+    // is the shape you want: the funnel is a single pass over the corpus
+    // with a dictionary-sized result.
+    "t15_filter_funnel" -> QDef(
+      (s, d) => {
+        val f = docs(s, d)
+          .withColumn("l", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+          .select(col("source"), col("n_chars"),
+            size(col("l")).cast("long").as("nw"),
+            size(array_distinct(col("l"))).cast("long").as("ndw"),
+            size(expr("filter(l, x -> x = 'the' OR x = 'a')")).cast("long").as("nstop"))
+          .withColumn("p1", col("n_chars") >= 100)
+          .withColumn("p2", col("p1") && col("nw") >= 25)
+          .withColumn("p3", col("p2") && col("ndw") * 100 >= col("nw") * 40)
+          .withColumn("p4", col("p3") && col("nstop") * 100 <= col("nw") * 12)
+        f.groupBy("source").agg(
+            count(lit(1)).as("s0_all"),
+            sum(when(col("p1"), 1L).otherwise(0L)).as("s1_len"),
+            sum(when(col("p2"), 1L).otherwise(0L)).as("s2_tokens"),
+            sum(when(col("p3"), 1L).otherwise(0L)).as("s3_diversity"),
+            sum(when(col("p4"), 1L).otherwise(0L)).as("s4_stopwords"))
+          .orderBy("source")
+      },
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS nw,
+        |    len(list_distinct(regexp_extract_all(text, '\S+'))) AS ndw,
+        |    len(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'the' OR x = 'a')) AS nstop
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    (n_chars >= 100) AS p1,
+        |    (n_chars >= 100 AND nw >= 25) AS p2,
+        |    (n_chars >= 100 AND nw >= 25 AND ndw * 100 >= nw * 40) AS p3,
+        |    (n_chars >= 100 AND nw >= 25 AND ndw * 100 >= nw * 40 AND nstop * 100 <= nw * 12) AS p4
+        |  FROM f)
+        |SELECT source, count(*) AS s0_all,
+        |  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_len,
+        |  CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2_tokens,
+        |  CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_diversity,
+        |  CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_stopwords
+        |FROM p GROUP BY source ORDER BY source""".stripMargin),
+
+    // PMI-scored collocations over t14's bigram counts: for each adjacent
+    // pair, lift = p(xy)/(p(x)p(y)) = bf·tot_u²/(cf₁·cf₂·tot_b) — the
+    // exp(PMI) form, computed as ONE division of integer products so both
+    // engines agree bit-for-bit (log() would diverge in the last ulp).
+    // Unigram and bigram tables are both dictionary-sized; the only
+    // shuffles are the two counting aggregates and two broadcast-sized
+    // dictionary joins. min-count 5 is the standard collocation support
+    // floor (kills rare-pair noise that dominates raw PMI).
+    "t16_pmi_collocations" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = docs(s, d)
+          .select(col("doc_id"), posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(Seq("pos", "w")))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+        val totU = toks.agg(count(lit(1)).as("tu"))
+        val big = toks
+          .withColumn("w2", lead("w", 1).over(w))
+          .filter(col("w2").isNotNull)
+        val bf = big.groupBy("w", "w2").agg(count(lit(1)).as("bf"))
+        val totB = big.agg(count(lit(1)).as("tb"))
+        bf.filter(col("bf") >= 5)
+          .join(uni.select(col("w"), col("cf").as("cf1")), "w")
+          .join(uni.select(col("w").as("w2"), col("cf").as("cf2")), "w2")
+          .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+          .select(col("w"), col("w2"), col("bf"),
+            round((col("bf") * col("tu") * col("tu")).cast("double") /
+              (col("cf1") * col("cf2") * col("tb")).cast("double"), 6).as("lift"))
+          .orderBy(desc("lift"), col("w"), col("w2")).limit(20)
+      },
+      """WITH arr AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM arr),
+        |uni AS (SELECT l[i] AS w, count(*) AS cf FROM tok GROUP BY 1),
+        |tu AS (SELECT count(*) AS tu FROM tok),
+        |bigr AS (SELECT l[i] AS w, l[i + 1] AS w2 FROM tok WHERE i < len(l)),
+        |bf AS (SELECT w, w2, count(*) AS bf FROM bigr GROUP BY w, w2),
+        |tb AS (SELECT count(*) AS tb FROM bigr)
+        |SELECT b.w, b.w2, b.bf,
+        |  round(CAST(b.bf * tu.tu * tu.tu AS DOUBLE) /
+        |        CAST(u1.cf * u2.cf * tb.tb AS DOUBLE), 6) AS lift
+        |FROM bf b JOIN uni u1 ON u1.w = b.w JOIN uni u2 ON u2.w = b.w2
+        |CROSS JOIN tu CROSS JOIN tb
+        |WHERE b.bf >= 5
+        |ORDER BY lift DESC, b.w, b.w2 LIMIT 20""".stripMargin)
   )
 }

@@ -124,6 +124,37 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(t == Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")))
   }
 
+  private def bruteKtruss(edges: Set[(String, String)], k: Int): (Set[(String, String)], Int) = {
+    var e = edges
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val adj = (e ++ e.map(_.swap)).groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+      val kept = e.filter { case (u, v) =>
+        (adj.getOrElse(u, Set.empty).toSet & adj.getOrElse(v, Set.empty).toSet).size >= k - 2
+      }
+      changed = kept != e
+      if (changed) rounds += 1
+      e = kept
+    }
+    (e, math.max(rounds, 1))
+  }
+
+  test("ktruss matches brute-force peeling on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 5 + rng.nextInt(3) // 5..7 nodes
+      val all = for { a <- 0 until n; b <- a + 1 until n } yield (s"v$a", s"v$b")
+      val edges = all.filter(_ => rng.nextDouble() < 0.55).toSet
+      if (edges.nonEmpty) {
+        val (want, rounds) = bruteKtruss(edges, 4)
+        val got = Algorithms.ktruss(uvEdges(edges.toSeq: _*), 4, rounds)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got == want, s"edges=$edges rounds=$rounds")
+      }
+    }
+  }
+
   test("ktruss: bowtie cascade needs 2 rounds and ends empty at k=4") {
     // Two triangles sharing edge a-b: a-b has support 2, the other four
     // edges support 1. Round 1 peels the four spokes; only then does a-b

@@ -1099,7 +1099,8 @@ object PipelineQueries {
           .filter(col("w2").isNotNull)
           .select(col("doc_id"), col("source"), concat_ws(" ", col("w"), col("w2")).as("bg"))
         val bf = big.groupBy("bg").agg(count(lit(1)).as("bf"))
-        val tot = big.agg(count(lit(1)).as("tot"))
+        // total bigrams = Σ bf — read the dictionary, not a third corpus pass
+        val tot = bf.agg(sum("bf").as("tot"))
         big.join(bf, "bg")
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("n"), sum("bf").as("sumbf"))
@@ -1190,12 +1191,13 @@ object PipelineQueries {
         val toks = docs(s, d)
           .select(col("doc_id"), posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(Seq("pos", "w")))
         val uni = toks.groupBy("w").agg(count(lit(1)).as("cf"))
-        val totU = toks.agg(count(lit(1)).as("tu"))
         val big = toks
           .withColumn("w2", lead("w", 1).over(w))
           .filter(col("w2").isNotNull)
         val bf = big.groupBy("w", "w2").agg(count(lit(1)).as("bf"))
-        val totB = big.agg(count(lit(1)).as("tb"))
+        // corpus totals = Σ over the dictionary tables — no extra corpus pass
+        val totU = uni.agg(sum("cf").as("tu"))
+        val totB = bf.agg(sum("bf").as("tb"))
         bf.filter(col("bf") >= 5)
           .join(uni.select(col("w"), col("cf").as("cf1")), "w")
           .join(uni.select(col("w").as("w2"), col("cf").as("cf2")), "w2")

@@ -57,6 +57,9 @@ final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
 final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
 final case class GraphBiconnected() extends GraphAlgo
 final case class GraphArticulation() extends GraphAlgo
+final case class GraphHits(iterations: Int = 4) extends GraphAlgo
+final case class GraphClustering() extends GraphAlgo
+final case class GraphAssortativity() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement

@@ -324,6 +324,42 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .filter(col("n_components") >= 2)
         .orderBy("key")
 
+    // GRAPH HITS [ITERATIONS n] — the g37 plan without the top-k cap.
+    case GraphHits(iters) =>
+      Algorithms.hits(TpchGraph.edges(spark, sfDir), TpchGraph.nodes(spark, sfDir), iters)
+        .select(col("key"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy(desc("auth"), desc("hub"), col("key"))
+
+    // GRAPH CLUSTERING — per-node local clustering coefficient (g38 shape).
+    case GraphClustering() =>
+      val e0 = TpchGraph.edges(spark, sfDir)
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      val und = e0.select(col("u").as("x"), col("v").as("w"))
+        .union(e0.select(col("v").as("x"), col("u").as("w")))
+      val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
+      val tri = und.select(col("x"), col("w").as("u"))
+        .join(und.select(col("x"), col("w").as("v")), Seq("x"))
+        .filter(col("u") < col("v"))
+        .join(e0, Seq("u", "v"), "left_semi")
+        .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("key"), "left")
+        .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+          round(coalesce(col("tri"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
+        .orderBy(desc("cc"), col("key"))
+
+    // GRAPH ASSORTATIVITY — Newman degree-correlation r (g39 shape).
+    case GraphAssortativity() =>
+      val und = TpchGraph.undirected(TpchGraph.edges(spark, sfDir)).select("src", "dst")
+      val deg = und.groupBy(col("src").as("k")).agg(count(lit(1)).as("deg"))
+      und.join(deg.select(col("k").as("src"), col("deg").as("x")), Seq("src"))
+        .join(deg.select(col("k").as("dst"), col("deg").as("y")), Seq("dst"))
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("m"),
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("assortativity"))
+
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
       else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")

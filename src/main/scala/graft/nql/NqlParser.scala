@@ -361,6 +361,11 @@ object NqlParser {
       case "TRIANGLES" => GraphTriangles(engine())
       case "BICONNECTED" => GraphBiconnected()
       case "ARTICULATION" => GraphArticulation()
+      case "HITS" =>
+        val it = if (p.accept("ITERATIONS")) p.int() else 4
+        GraphHits(it)
+      case "CLUSTERING" => GraphClustering()
+      case "ASSORTATIVITY" => GraphAssortativity()
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

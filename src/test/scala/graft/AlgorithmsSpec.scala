@@ -124,6 +124,36 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(t == Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")))
   }
 
+  private def bruteHits(edges: Seq[(String, String)], nodes: Seq[String], iters: Int)
+      : Map[String, (Double, Double)] = {
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val a0 = nodes.map(n => n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+      val am = a0.values.max
+      auth = a0.map { case (k, v) => k -> v / am }
+      val h0 = nodes.map(n => n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      val hm = h0.values.max
+      hub = h0.map { case (k, v) => k -> v / hm }
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hits matches an in-memory power iteration on a directed fixture") {
+    // two hubs (a, b) pointing into two authorities (x, y), plus a chain
+    val edges = Seq("a" -> "x", "a" -> "y", "b" -> "x", "x" -> "y", "c" -> "a")
+    val nodes = Seq("a", "b", "c", "x", "y")
+    val want = bruteHits(edges, nodes, 4)
+    val got = Algorithms.hits(edges.toDF("src", "dst"), nodes.toDF("key"), 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (n <- nodes) {
+      assert(math.abs(got(n)._1 - want(n)._1) < 1e-12, s"hub($n)")
+      assert(math.abs(got(n)._2 - want(n)._2) < 1e-12, s"auth($n)")
+    }
+    // x receives from both hubs → top authority
+    assert(want.maxBy(_._2._2)._1 == "x")
+  }
+
   private def bruteKtruss(edges: Set[(String, String)], k: Int): (Set[(String, String)], Int) = {
     var e = edges
     var rounds = 0

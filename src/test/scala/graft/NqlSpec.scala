@@ -80,6 +80,19 @@ class NqlSpec extends AnyFunSuite {
     val arts = run("GRAPH ARTICULATION")
     assert(arts.count() == 25 &&
       arts.collect().forall(_.getString(0).startsWith("nation:")))
+    // HITS: leaves point at hubs, so top authority is a nation and every
+    // score is in [0, 1] with at least one exact 1.0 per column
+    val hits = run("GRAPH HITS ITERATIONS 4").collect()
+    assert(hits.head.getString(0).startsWith("nation:"))
+    assert(hits.forall(r => r.getDouble(1) <= 1.0 && r.getDouble(2) <= 1.0))
+    assert(hits.exists(_.getDouble(2) == 1.0))
+    // clustering: region wheel hubs see fully-connected 5-cliques below
+    val cc = run("GRAPH CLUSTERING").collect()
+    assert(cc.nonEmpty && cc.forall(r => r.getDouble(3) <= 1.0))
+    assert(cc.filter(_.getString(0).startsWith("region:")).forall(_.getDouble(3) == 1.0))
+    // hub-leaf topology is disassortative
+    val r = run("GRAPH ASSORTATIVITY").collect()(0)
+    assert(r.getDouble(1) < 0)
   }
 
   test("EMBED GET / ENTITY GET / FIND ROWS") {

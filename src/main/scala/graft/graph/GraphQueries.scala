@@ -1301,6 +1301,49 @@ object GraphQueries {
          |SELECT m, sx, sxy,
          |  round(CAST(m * sxy - sx * sx AS DOUBLE) /
          |        CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin),
+
+    // Bipartite / odd-cycle check via BFS 2-coloring: multi-source BFS
+    // from the region roots (every component contains exactly one) gives
+    // each node a depth, and an edge whose endpoints share depth parity
+    // witnesses an odd cycle. The tree edges alternate parity by
+    // construction; the same_region cliques are triangles, so every one
+    // of their edges violates — per-etype counts make the structure
+    // visible. One frontier⋈edges join per level (diameter 2 here, 3 for
+    // margin) + one deg-table-style parity join per endpoint: at 100 TB
+    // the parity frame shuffles on node key once and the verdict is a
+    // dictionary-sized per-etype aggregate.
+    "g40_bipartite_check" -> QDef(
+      (s, d) => {
+        val seeds = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
+        val par = Algorithms
+          .bfsFrom(TpchGraph.undirected(TpchGraph.edges(s, d)), seeds, 3)
+          .select(col("key"), (col("depth") % 2).as("p"))
+        TpchGraph.edges(s, d)
+          .join(par.select(col("key").as("src"), col("p").as("ps")), Seq("src"))
+          .join(par.select(col("key").as("dst"), col("p").as("pd")), Seq("dst"))
+          .groupBy("etype")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(when(col("ps") === col("pd"), 1L).otherwise(0L)).as("n_odd"))
+          .withColumn("bipartite_ok", col("n_odd") === 0)
+          .orderBy("etype")
+      },
+      s"""WITH $allEdgesSql,
+         |d0 AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS key, 0 AS depth FROM region),
+         |d1 AS (SELECT DISTINCT u.dst AS key, 1 AS depth FROM und u JOIN d0 ON u.src = d0.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0)),
+         |d2 AS (SELECT DISTINCT u.dst AS key, 2 AS depth FROM und u JOIN d1 ON u.src = d1.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1)),
+         |d3 AS (SELECT DISTINCT u.dst AS key, 3 AS depth FROM und u JOIN d2 ON u.src = d2.key
+         |       WHERE u.dst NOT IN (SELECT key FROM d0 UNION ALL SELECT key FROM d1 UNION ALL SELECT key FROM d2)),
+         |dep AS (SELECT key, CAST(min(depth) AS INT) AS depth
+         |        FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         |              UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) t GROUP BY key),
+         |par AS (SELECT key, depth % 2 AS p FROM dep)
+         |SELECT e.etype, count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+         |  CAST(sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS BIGINT) = 0 AS bipartite_ok
+         |FROM ed e JOIN par a ON e.src = a.key JOIN par b ON e.dst = b.key
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

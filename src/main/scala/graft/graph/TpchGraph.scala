@@ -170,6 +170,27 @@ object Algorithms {
     reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
   }
 
+  /** Multi-source BFS: like [[bfs]] but seeded from a whole frame of
+    * start keys at depth 0 (one frontier⋈edges join per level, shared
+    * across all sources — the standard way to compute distance-to-
+    * nearest-landmark without |sources| separate traversals).
+    */
+  def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    var reached = seeds.select(col("key")).distinct().withColumn("depth", lit(0))
+    var frontier = reached
+    for (i <- 1 to maxDepth) {
+      val next = chk(frontier.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), lit(i).as("depth"))
+        .distinct()
+        .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti"),
+        i, maxDepth)
+      reached = reached.union(next)
+      frontier = next
+    }
+    reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
+  }
+
   /** Deterministic hash-greedy random walk: from each seed, `steps` hops;
     * at hop i the walker moves to the neighbor minimizing
     * md5("<i>|<cur>|<next>") — node2vec-style neighborhood sampling with

@@ -1220,6 +1220,53 @@ object PipelineQueries {
         |FROM bf b JOIN uni u1 ON u1.w = b.w JOIN uni u2 ON u2.w = b.w2
         |CROSS JOIN tu CROSS JOIN tb
         |WHERE b.bf >= 5
-        |ORDER BY lift DESC, b.w, b.w2 LIMIT 20""".stripMargin)
+        |ORDER BY lift DESC, b.w, b.w2 LIMIT 20""".stripMargin),
+
+    // Zipf's-law fit per source: least-squares slope of log-frequency vs
+    // log-rank over each source's top-100 tokens — the standard corpus
+    // sanity check (natural text ≈ −1; boilerplate/spam bends the curve).
+    // Ranks and counts are integers, so lx/ly are 1e6-quantized BIGINTs
+    // (g28's trick) and every regression sum is exact integer arithmetic;
+    // the one double division at the end is bit-identical cross-engine.
+    // One token-count shuffle + a top-100-per-source window: at 100 TB
+    // the word-count table is the only corpus-sized stage, and the
+    // regression runs over ≤100 rows per source.
+    "t17_zipf_fit" -> QDef(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val top = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .withColumn("rank",
+            row_number().over(Window.partitionBy("source").orderBy(desc("c"), col("w"))))
+          .filter(col("rank") <= 100)
+          .withColumn("lx", expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)"))
+          .withColumn("ly", expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)"))
+        top.groupBy("source")
+          .agg(count(lit(1)).as("n_top"), sum("lx").as("sx"), sum("ly").as("sy"),
+            sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
+          .select(col("source"), col("n_top"),
+            round((col("n_top") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_top") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+              .as("zipf_slope"))
+          .orderBy("source")
+      },
+      """WITH raw AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+        |tok AS (SELECT source, w FROM raw WHERE w <> ''),
+        |wc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT source, w, c,
+        |          row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+        |        FROM wc QUALIFY rank <= 100),
+        |lq AS (SELECT source,
+        |         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+        |         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+        |       FROM top),
+        |ag AS (SELECT source, count(*) AS n_top, sum(lx) AS sx, sum(ly) AS sy,
+        |              sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+        |       FROM lq GROUP BY 1)
+        |SELECT source, n_top,
+        |  round(CAST(n_top * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_top * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |FROM ag ORDER BY source""".stripMargin)
   )
 }

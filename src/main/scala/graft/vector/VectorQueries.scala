@@ -416,6 +416,65 @@ object VectorQueries {
         |  FROM dots t JOIN q8 s USING (vec_id), qq)
         |SELECT vec_id, qscore, exact_dot,
         |  abs(qscore - exact_dot) <= 0.05 * greatest(abs(exact_dot), 0.0001) AS approx_ok
-        |FROM scored ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin)
+        |FROM scored ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin),
+
+    // Product quantization with asymmetric distance computation (ADC) —
+    // the remaining rung of the ANN ladder (brute v01, IVF v08/v10, LSH
+    // v09, scalar-quant v14): split the 64-d space into M=4 subspaces of
+    // 16 dims, build one sub-codebook per subspace (per-label sub-
+    // centroids, the same deterministic KMeans stand-in as v08's coarse
+    // cells, quantized to 6 dp so both engines share bit-identical
+    // codebooks), encode every vector as 4 code bytes (argmin sub-
+    // distance), and score a query via a 4×10 lookup table of
+    // query⋅sub-centroid dots — the scan never touches the float
+    // vectors. All distances/LUT entries are 1e-9-quantized BIGINT sums
+    // (g28's order-independence trick), so encode and scoring are exact
+    // integer arithmetic on both engines. At 100 TB the codes column
+    // (4 bytes vs 256) is written once at ingest; a query is one
+    // broadcast of the 40-entry LUT + a codes-column scan +
+    // TakeOrderedAndProject, 64× less bandwidth than the float scan.
+    "v15_pq_adc_search" -> QDef(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val flat = e.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        val cent = flat.groupBy(col("label").as("cl"), col("i"))
+          .agg(round(avg("x"), 6).as("cx"))
+        val dists = flat.drop("label")
+          .join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("cl"), expr("CAST(i DIV 16 AS INT)").as("m"))
+          .agg(sum(expr("CAST(round((x - cx) * (x - cx) * 1e9) AS BIGINT)")).as("dq"))
+        val codes = dists.withColumn("rn",
+            row_number().over(Window.partitionBy("vec_id", "m").orderBy(col("dq"), col("cl"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cl").as("code"))
+        val lut = flat.filter(col("vec_id") === 0).drop("label")
+          .join(broadcast(cent), Seq("i"))
+          .groupBy(col("cl"), expr("CAST(i DIV 16 AS INT)").as("m"))
+          .agg(sum(expr("CAST(round(x * cx * 1e9) AS BIGINT)")).as("lq"))
+        codes.filter(col("vec_id") =!= 0)
+          .join(broadcast(lut), codes("m") === lut("m") && codes("code") === lut("cl"))
+          .groupBy("vec_id")
+          .agg(round(sum("lq") / 1e9, 4).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(10)
+      },
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |flat AS (SELECT vec_id, label, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
+        |cent AS (SELECT label AS cl, i, round(avg(x), 6) AS cx FROM flat GROUP BY 1, 2),
+        |dists AS (SELECT f.vec_id, c.cl, CAST(f.i // 16 AS INT) AS m,
+        |                 sum(CAST(round((f.x - c.cx) * (f.x - c.cx) * 1e9) AS BIGINT)) AS dq
+        |          FROM flat f JOIN cent c ON f.i = c.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, cl AS code FROM (
+        |            SELECT vec_id, m, cl,
+        |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dq, cl) AS rn
+        |            FROM dists) WHERE rn = 1),
+        |lut AS (SELECT c.cl, CAST(f.i // 16 AS INT) AS m,
+        |               sum(CAST(round(f.x * c.cx * 1e9) AS BIGINT)) AS lq
+        |        FROM flat f JOIN cent c ON f.i = c.i WHERE f.vec_id = 0 GROUP BY 1, 2)
+        |SELECT k.vec_id, round(sum(l.lq) / 1e9, 4) AS adc_score
+        |FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cl
+        |WHERE k.vec_id <> 0
+        |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin)
   )
 }

@@ -16,18 +16,24 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // ([PARQUET_TYPE_ILLEGAL]) unless the session was built with
-      // spark.sql.legacy.parquet.nanosAsLong=true (GraftSession sets it at
-      // construction — deliberately NOT mutated here, so building this plan
-      // never changes how unrelated reads behave). Nanos come in as long;
-      // floor-convert to microseconds — identical to DuckDB's ns→µs
-      // truncation.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet is TIMESTAMP(NANOS): build the session via graft.GraftSession " +
-          "(or set spark.sql.legacy.parquet.nanosAsLong=true at construction)")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as either TIMESTAMP(NANOS) (older driver runs;
+      // Spark 4 reads it as long only under
+      // spark.sql.legacy.parquet.nanosAsLong=true, which GraftSession sets at
+      // construction) or TIMESTAMP(MICROS) (current driver runs, read
+      // natively as timestamp). Normalize both to a microsecond timestamp so
+      // every downstream plan sees one schema; the nanos branch
+      // floor-converts exactly like DuckDB's ns→µs truncation.
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Session TZ is UTC (GraftSession), so this cast is a pure type
+          // relabel — the stored microsecond value is unchanged, matching
+          // DuckDB's naive read of the same column.
+          raw.withColumn("ts", raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

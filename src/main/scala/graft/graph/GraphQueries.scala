@@ -1344,6 +1344,63 @@ object GraphQueries {
          |  CAST(sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
          |  CAST(sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS BIGINT) = 0 AS bipartite_ok
          |FROM ed e JOIN par a ON e.src = a.key JOIN par b ON e.dst = b.key
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Personalized PageRank (random walk with restart): the teleport
+    // vector concentrates on a seed set — here region 0's five nations —
+    // so scores rank proximity TO THE SEEDS, the recommendation/expansion
+    // form of PageRank (Jeh & Widom, "Scaling Personalized Web Search").
+    // Same fixed-iteration one-shuffle-per-round shape as g05 (mass agg
+    // keyed on the receiving node, per-round lineage cut), with the
+    // teleport frame computed once and rejoined each round; nodes outside
+    // the seeds' component stay at exactly 0 in both engines and are
+    // filtered, keeping the output non-vacuous. 8 iterations, α = 0.85,
+    // no dangling redistribution (the undirected graph has no sinks).
+    "g41_personalized_pagerank" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d))
+        val seeds = graft.Tables(s, d, "nation").filter(col("n_regionkey") === 0)
+          .select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"),
+            lit(1).as("is_s"))
+        val ns = seeds.agg(count(lit(1)).as("ns"))
+        val tele = Algorithms.cut(TpchGraph.nodes(s, d).select("key")
+          .join(seeds, Seq("key"), "left")
+          .crossJoin(broadcast(ns))
+          .select(col("key"),
+            when(col("is_s") === 1, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("t")))
+        val deg = und.groupBy("src").agg(count(lit(1)).as("od"))
+        val contrib = und.join(deg, "src")
+        var pr = tele.select(col("key"), col("t").as("pr"))
+        for (_ <- 1 to 8) {
+          val mass = pr.join(contrib, col("key") === col("src"))
+            .select(col("dst"), (col("pr") / col("od")).as("m"))
+            .groupBy("dst").agg(sum("m").as("mass"))
+          pr = Algorithms.cut(tele.join(mass, col("key") === col("dst"), "left")
+            .select(col("key"),
+              (lit(0.15) * col("t") + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("pr")))
+        }
+        pr.filter(col("pr") > 0)
+          .select(col("key"), round(col("pr"), 6).as("pr"))
+          .orderBy(desc("pr"), col("key")).limit(20)
+      }, {
+        val sb = new StringBuilder
+        sb ++= s"WITH $nodesSql,\n$allEdgesSql,\n"
+        sb ++= """deg AS (SELECT src, count(*) AS od FROM und GROUP BY src),
+                 |sd AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS key FROM nation WHERE n_regionkey = 0),
+                 |ns AS (SELECT count(*) AS ns FROM sd),
+                 |tele AS (SELECT n.key,
+                 |    CASE WHEN n.key IN (SELECT key FROM sd) THEN CAST(1 AS DOUBLE) / ns.ns ELSE CAST(0 AS DOUBLE) END AS t
+                 |  FROM nds n CROSS JOIN ns),
+                 |pr0 AS (SELECT key, t AS pr FROM tele)""".stripMargin
+        for (i <- 1 to 8) {
+          sb ++= s""",
+                    |pr$i AS (SELECT t.key, 0.15 * t.t + 0.85 * coalesce(m.mass, 0) AS pr FROM tele t
+                    |  LEFT JOIN (SELECT u.dst, sum(p.pr / d.od) AS mass FROM und u
+                    |             JOIN pr${i - 1} p ON p.key = u.src JOIN deg d ON d.src = u.src
+                    |             GROUP BY u.dst) m ON m.dst = t.key)""".stripMargin
+        }
+        sb ++= "\nSELECT key, round(pr, 6) AS pr FROM pr8 WHERE pr > 0 ORDER BY pr DESC, key LIMIT 20"
+        sb.toString
+      })
   )
 }

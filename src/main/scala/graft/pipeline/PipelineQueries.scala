@@ -1267,6 +1267,117 @@ object PipelineQueries {
         |SELECT source, n_top,
         |  round(CAST(n_top * sxy - sx * sy AS DOUBLE) /
         |        CAST(n_top * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
-        |FROM ag ORDER BY source""".stripMargin)
+        |FROM ag ORDER BY source""".stripMargin),
+
+    // Distributed BPE merge discovery (the tokenizer-training core of an
+    // LLM data pipeline): words → character sequences, then 3 rounds of
+    // (count adjacent symbol pairs weighted by word frequency → merge the
+    // argmax pair everywhere). Every round runs over the DISTINCT-WORD
+    // table (Heaps-law ≪ corpus; the corpus itself is read once, for the
+    // word-frequency build), so a round costs one vocab-sized pair agg
+    // plus a 1-row broadcast of the winning pair back onto the vocab —
+    // the shape that trains a tokenizer on 100 TB without a second
+    // corpus shuffle. Merge application is replace(' p1 p2 '→' p1p2 ')
+    // over the space-joined sequence: non-overlapping left-to-right scan,
+    // identical in both engines (for a self-adjacent pair like 'a a'
+    // inside 'a a a' the shared boundary skips one merge — the
+    // documented replace-scan variant of BPE's greedy pass, mirroring
+    // g35's md5-for-RNG determinism swap). Count ties break
+    // lexicographically on the pair.
+    "t18_bpe_merges" -> QDef(
+      (s, d) => {
+        val wf = docs(s, d)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        var seqs = wf.withColumn("seq",
+          expr("concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' '), ' ')"))
+        val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        for (r <- 1 to 3) {
+          val top1 = seqs
+            .select(col("f"), split(trim(col("seq")), " ").as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(col("f"), explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+            .groupBy("pair").agg(sum("f").as("wfreq"))
+            .orderBy(desc("wfreq"), col("pair")).limit(1)
+            .withColumn("merged", expr("replace(pair, ' ', '')"))
+          merges += top1.select(lit(r).as("r"), col("pair"), col("merged"), col("wfreq"))
+          seqs = graft.graph.Algorithms.cut(
+            seqs.crossJoin(broadcast(top1.select(col("pair").as("_p"), col("merged").as("_m"))))
+              .withColumn("seq", expr("replace(seq, concat(' ', _p, ' '), concat(' ', _m, ' '))"))
+              .select("w", "f", "seq"))
+        }
+        merges.reduce(_ union _).orderBy("r")
+      }, {
+        val sb = new StringBuilder
+        sb ++= """WITH wf AS (SELECT w, count(*) AS f FROM (
+                 |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) t
+                 |  WHERE length(w) >= 2 GROUP BY w),
+                 |s0 AS (SELECT w, f,
+                 |  ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') || ' ' AS seq
+                 |  FROM wf)""".stripMargin
+        for (r <- 1 to 3) {
+          sb ++= s""",
+                    |p$r AS (SELECT pair, CAST(sum(f) AS BIGINT) AS wfreq FROM (
+                    |  SELECT f, unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS pair
+                    |  FROM (SELECT f, string_split(trim(seq), ' ') AS t FROM s${r - 1}) x WHERE len(t) >= 2) y
+                    |  GROUP BY pair),
+                    |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, wfreq FROM p$r ORDER BY wfreq DESC, pair LIMIT 1),
+                    |s$r AS (SELECT w, f, replace(seq, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS seq
+                    |        FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
+        }
+        sb ++= """
+                 |SELECT r, pair, merged, wfreq FROM (
+                 |  SELECT 1 AS r, * FROM m1 UNION ALL SELECT 2, * FROM m2 UNION ALL SELECT 3, * FROM m3) z
+                 |ORDER BY r""".stripMargin
+        sb.toString
+      }),
+
+    // Count-min-sketch heavy hitters: a fixed 4×1024 counter grid (rows =
+    // independent md5-derived hashes) estimates any token's frequency as
+    // minⱼ grid[j][hⱼ(token)] — CMS never underestimates, and the grid
+    // size is CONSTANT in the corpus, which is the whole point at 100 TB:
+    // heavy-hitter screening without materializing a full vocabulary agg.
+    // (Here the grid is built from the word-count table so the oracle can
+    // replay it exactly; the streaming form updates the same 4096 cells
+    // map-side from raw tokens.) All hashes are md5-derived, so the grid
+    // — and therefore every estimate — is bit-identical cross-engine and
+    // the gate hashes real estimates, not an approx_ok proxy. Output:
+    // exact top-20 tokens with exact and CMS counts.
+    "t19_cms_heavy_hitters" -> QDef(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val withJ = wc.select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"))
+        val cms = withJ.groupBy("j", "bucket").agg(sum("c").as("tot"))
+        val top = wc.orderBy(desc("c"), col("w")).limit(20)
+        top.select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"))
+          .join(broadcast(cms), Seq("j", "bucket"))
+          .groupBy(col("w").as("token"), col("c").as("exact_cnt"))
+          .agg(min("tot").as("cms_est"))
+          .orderBy(desc("exact_cnt"), col("token"))
+      },
+      """WITH raw AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+        |tok AS (SELECT w FROM raw WHERE w <> ''),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |ju AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cms AS (SELECT j,
+        |          CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 7) AS BIGINT) % 1024 AS bucket,
+        |          CAST(sum(c) AS BIGINT) AS tot
+        |        FROM wc CROSS JOIN ju GROUP BY 1, 2),
+        |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20),
+        |probe AS (SELECT t.w, t.c, ju.j,
+        |            CAST('0x' || substr(md5(CAST(ju.j AS VARCHAR) || ':' || t.w), 1, 7) AS BIGINT) % 1024 AS bucket
+        |          FROM top t CROSS JOIN ju)
+        |SELECT p.w AS token, CAST(p.c AS BIGINT) AS exact_cnt, min(s.tot) AS cms_est
+        |FROM probe p JOIN cms s ON s.j = p.j AND s.bucket = p.bucket
+        |GROUP BY p.w, p.c ORDER BY exact_cnt DESC, token""".stripMargin)
   )
 }

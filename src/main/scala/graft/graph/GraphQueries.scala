@@ -1358,28 +1358,11 @@ object GraphQueries {
     // no dangling redistribution (the undirected graph has no sinks).
     "g41_personalized_pagerank" -> QDef(
       (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d))
         val seeds = graft.Tables(s, d, "nation").filter(col("n_regionkey") === 0)
-          .select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"),
-            lit(1).as("is_s"))
-        val ns = seeds.agg(count(lit(1)).as("ns"))
-        val tele = Algorithms.cut(TpchGraph.nodes(s, d).select("key")
-          .join(seeds, Seq("key"), "left")
-          .crossJoin(broadcast(ns))
-          .select(col("key"),
-            when(col("is_s") === 1, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("t")))
-        val deg = und.groupBy("src").agg(count(lit(1)).as("od"))
-        val contrib = und.join(deg, "src")
-        var pr = tele.select(col("key"), col("t").as("pr"))
-        for (_ <- 1 to 8) {
-          val mass = pr.join(contrib, col("key") === col("src"))
-            .select(col("dst"), (col("pr") / col("od")).as("m"))
-            .groupBy("dst").agg(sum("m").as("mass"))
-          pr = Algorithms.cut(tele.join(mass, col("key") === col("dst"), "left")
-            .select(col("key"),
-              (lit(0.15) * col("t") + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("pr")))
-        }
-        pr.filter(col("pr") > 0)
+          .select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"))
+        Algorithms.personalizedPageRank(
+            TpchGraph.undirected(TpchGraph.edges(s, d)), TpchGraph.nodes(s, d), seeds, 8)
+          .filter(col("pr") > 0)
           .select(col("key"), round(col("pr"), 6).as("pr"))
           .orderBy(desc("pr"), col("key")).limit(20)
       }, {

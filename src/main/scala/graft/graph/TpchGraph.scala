@@ -628,4 +628,35 @@ object Algorithms {
     }
     pr
   }
+
+  /** Personalized PageRank (random walk with restart; Jeh & Widom): the
+    * teleport vector is uniform over `seeds("key")` instead of the whole
+    * node set, so scores rank proximity TO THE SEEDS. Same per-round
+    * shape and lineage policy as [[pageRank]]; nodes outside the seeds'
+    * component stay at exactly 0 (filter on `pr > 0` for non-vacuous
+    * output). No dangling redistribution — callers pass an undirected
+    * (sink-free) edge frame, mirroring the unrolled oracle.
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val ns = seeds.agg(count(lit(1)).as("ns"))
+    val tele = cut(nodes.select("key")
+      .join(seeds.select(col("key")).withColumn("is_s", lit(1)), Seq("key"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("key"),
+        when(col("is_s") === 1, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("t")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val contrib = edges.join(deg, "src")
+    var pr = tele.select(col("key"), col("t").as("pr"))
+    for (i <- 1 to iters) {
+      val mass = pr.join(contrib, col("key") === col("src"))
+        .select(col("dst"), (col("pr") / col("od")).as("m"))
+        .groupBy("dst").agg(sum("m").as("mass"))
+      pr = chk(tele.join(mass, col("key") === col("dst"), "left")
+        .select(col("key"),
+          (lit(1 - damping) * col("t") + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")),
+        i, iters)
+    }
+    pr
+  }
 }

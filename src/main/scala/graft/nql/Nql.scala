@@ -60,6 +60,10 @@ final case class GraphArticulation() extends GraphAlgo
 final case class GraphHits(iterations: Int = 4) extends GraphAlgo
 final case class GraphClustering() extends GraphAlgo
 final case class GraphAssortativity() extends GraphAlgo
+/** `GRAPH PPR FROM '<key>' [ITERATIONS n]` — personalized PageRank with
+  * the teleport vector concentrated on one node (g41's engine,
+  * [[graft.graph.Algorithms.personalizedPageRank]]). */
+final case class GraphPpr(from: String, iterations: Int = 8) extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement
@@ -148,5 +152,14 @@ final case class Walk(from: String, steps: Int) extends Statement
 /** HYBRID '<term>' VECTOR <id> [LIMIT k] — keyword + vector retrieval
   * fused with reciprocal ranks (the u05 engine as a statement). */
 final case class Hybrid(term: String, vecId: Long, limit: Int = 10) extends Statement
+
+/** `BPE TRAIN ROUNDS n` — distributed BPE merge discovery over the
+  * documents table (the t18 engine as a statement; one row per merge
+  * round). */
+final case class BpeTrain(rounds: Int) extends Statement
+
+/** `HEAVY HITTERS TOP k` — count-min-sketch heavy hitters over the
+  * documents token stream (the t19 engine as a statement). */
+final case class HeavyHitters(top: Int = 20) extends Statement
 
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

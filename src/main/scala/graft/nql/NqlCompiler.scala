@@ -360,6 +360,17 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
             (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("assortativity"))
 
+    // GRAPH PPR FROM '<key>' — personalized PageRank seeded on one node
+    // (overlay-aware: walks the same node/edge frames as NEIGHBORS).
+    // An unknown seed yields an empty result, matching WALK's behavior.
+    case GraphPpr(from, iters) =>
+      val seeds = allNodes.filter(col("key") === from).select("key")
+      Algorithms.personalizedPageRank(
+          TpchGraph.undirected(allEdges), allNodes, seeds, iters)
+        .filter(col("pr") > 0)
+        .select(col("key"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), col("key"))
+
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
       else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")
@@ -578,6 +589,14 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // parser-validated to a plain word before it reaches the plan.
     case Hybrid(term, vecId, limit) =>
       graft.unified.UnifiedQueries.hybridRrf(spark, sfDir, term, vecId, limit)
+
+    // BPE TRAIN ROUNDS n — distributed tokenizer-merge discovery (t18).
+    case BpeTrain(rounds) =>
+      graft.pipeline.PipelineQueries.bpeMerges(spark, sfDir, rounds)
+
+    // HEAVY HITTERS TOP k — count-min-sketch heavy hitters (t19).
+    case HeavyHitters(top) =>
+      graft.pipeline.PipelineQueries.cmsHeavyHitters(spark, sfDir, top)
 
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.

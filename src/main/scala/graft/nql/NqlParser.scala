@@ -161,6 +161,20 @@ object NqlParser {
         if (!p.done) throw NqlParseException(
           "SEMDEDUP takes <table> BY <col> THRESHOLD <pct> KEY <col> VECTOR <col>")
         SemDedup(table, byCol, pct, keyCol, vecCol)
+      case "BPE"       =>
+        p.next(); p.expectKw("TRAIN"); p.expectKw("ROUNDS")
+        val n = p.int()
+        if (n < 1 || n > 6)
+          throw NqlParseException(s"BPE TRAIN rounds must be in 1..6, got $n")
+        if (!p.done) throw NqlParseException("BPE takes TRAIN ROUNDS n")
+        BpeTrain(n)
+      case "HEAVY"     =>
+        p.next(); p.expectKw("HITTERS")
+        val k = if (p.accept("TOP")) p.int() else 20
+        if (k < 1 || k > 100)
+          throw NqlParseException(s"HEAVY HITTERS top must be in 1..100, got $k")
+        if (!p.done) throw NqlParseException("HEAVY HITTERS takes optional TOP k")
+        HeavyHitters(k)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }
@@ -366,6 +380,13 @@ object NqlParser {
         GraphHits(it)
       case "CLUSTERING" => GraphClustering()
       case "ASSORTATIVITY" => GraphAssortativity()
+      case "PPR" =>
+        p.expectKw("FROM")
+        val from = p.stringLit()
+        val it = if (p.accept("ITERATIONS")) p.int() else 8
+        if (it < 1 || it > 12)
+          throw NqlParseException(s"PPR iterations must be in 1..12, got $it")
+        GraphPpr(from, it)
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

@@ -122,6 +122,62 @@ object PipelineQueries {
   private val hashAB: Seq[(Long, Long)] =
     (0 until 16).map(i => (((2654435761L * (i + 1)) % P) | 1L, (40503L * (i + 7) * 9973L) % P))
 
+  /** Distributed BPE merge discovery (the t18 engine, parameterized for
+    * the `BPE TRAIN ROUNDS n` statement): `rounds` rounds of (count
+    * adjacent symbol pairs weighted by word frequency → merge the argmax
+    * pair). Returns one row per round: (r, pair, merged, wfreq). All
+    * rounds run over the distinct-word table; the corpus is read once.
+    */
+  def bpeMerges(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val wf = docs(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var seqs = wf.withColumn("seq",
+      expr("concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' '), ' ')"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val top1 = seqs
+        .select(col("f"), split(trim(col("seq")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("wfreq"))
+        .orderBy(desc("wfreq"), col("pair")).limit(1)
+        .withColumn("merged", expr("replace(pair, ' ', '')"))
+      merges += top1.select(lit(r).as("r"), col("pair"), col("merged"), col("wfreq"))
+      seqs = graft.graph.Algorithms.cut(
+        seqs.crossJoin(broadcast(top1.select(col("pair").as("_p"), col("merged").as("_m"))))
+          .withColumn("seq", expr("replace(seq, concat(' ', _p, ' '), concat(' ', _m, ' '))"))
+          .select("w", "f", "seq"))
+    }
+    merges.reduce(_ union _).orderBy("r")
+  }
+
+  /** Count-min-sketch heavy hitters (the t19 engine, parameterized for
+    * the `HEAVY HITTERS TOP k` statement): fixed 4×1024 md5-derived grid,
+    * estimate = minⱼ grid[j][hⱼ(w)]; returns the exact top-k tokens as
+    * (token, exact_cnt, cms_est). Grid size is constant in the corpus.
+    */
+  def cmsHeavyHitters(s: SparkSession, d: String, k: Int): DataFrame = {
+    val bucketExpr =
+      "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val cms = wc.select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("bucket", expr(bucketExpr))
+      .groupBy("j", "bucket").agg(sum("c").as("tot"))
+    wc.orderBy(desc("c"), col("w")).limit(k)
+      .select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("bucket", expr(bucketExpr))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy(col("w").as("token"), col("c").as("exact_cnt"))
+      .agg(min("tot").as("cms_est"))
+      .orderBy(desc("exact_cnt"), col("token"))
+  }
+
   val defs: Seq[(String, QDef)] = Seq(
 
     // ---- deduplication ----
@@ -1285,31 +1341,7 @@ object PipelineQueries {
     // g35's md5-for-RNG determinism swap). Count ties break
     // lexicographically on the pair.
     "t18_bpe_merges" -> QDef(
-      (s, d) => {
-        val wf = docs(s, d)
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("f"))
-        var seqs = wf.withColumn("seq",
-          expr("concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' '), ' ')"))
-        val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        for (r <- 1 to 3) {
-          val top1 = seqs
-            .select(col("f"), split(trim(col("seq")), " ").as("t"))
-            .filter(size(col("t")) >= 2)
-            .select(col("f"), explode(expr(
-              "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
-            .groupBy("pair").agg(sum("f").as("wfreq"))
-            .orderBy(desc("wfreq"), col("pair")).limit(1)
-            .withColumn("merged", expr("replace(pair, ' ', '')"))
-          merges += top1.select(lit(r).as("r"), col("pair"), col("merged"), col("wfreq"))
-          seqs = graft.graph.Algorithms.cut(
-            seqs.crossJoin(broadcast(top1.select(col("pair").as("_p"), col("merged").as("_m"))))
-              .withColumn("seq", expr("replace(seq, concat(' ', _p, ' '), concat(' ', _m, ' '))"))
-              .select("w", "f", "seq"))
-        }
-        merges.reduce(_ union _).orderBy("r")
-      }, {
+      (s, d) => bpeMerges(s, d, 3), {
         val sb = new StringBuilder
         sb ++= """WITH wf AS (SELECT w, count(*) AS f FROM (
                  |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) t
@@ -1346,24 +1378,7 @@ object PipelineQueries {
     // the gate hashes real estimates, not an approx_ok proxy. Output:
     // exact top-20 tokens with exact and CMS counts.
     "t19_cms_heavy_hitters" -> QDef(
-      (s, d) => {
-        val toks = docs(s, d)
-          .select(explode(split(col("text"), "\\s+")).as("w"))
-          .filter(col("w") =!= "")
-        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
-        val withJ = wc.select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
-          .withColumn("bucket", expr(
-            "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"))
-        val cms = withJ.groupBy("j", "bucket").agg(sum("c").as("tot"))
-        val top = wc.orderBy(desc("c"), col("w")).limit(20)
-        top.select(col("w"), col("c"), explode(expr("array(0, 1, 2, 3)")).as("j"))
-          .withColumn("bucket", expr(
-            "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"))
-          .join(broadcast(cms), Seq("j", "bucket"))
-          .groupBy(col("w").as("token"), col("c").as("exact_cnt"))
-          .agg(min("tot").as("cms_est"))
-          .orderBy(desc("exact_cnt"), col("token"))
-      },
+      (s, d) => cmsHeavyHitters(s, d, 20),
       """WITH raw AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
         |tok AS (SELECT w FROM raw WHERE w <> ''),
         |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

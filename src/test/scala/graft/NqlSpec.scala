@@ -482,4 +482,43 @@ class NqlSpec extends AnyFunSuite {
     assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       keep.collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("BPE TRAIN statement replays the t18 merge rounds") {
+    val got = run("BPE TRAIN ROUNDS 2").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = SparkEntry.queries("t18_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // 2 statement rounds == the first 2 of the gate query's 3 (greedy BPE
+    // is prefix-stable: earlier merges don't depend on later ones)
+    assert(got.toSeq == want.toSeq.take(2))
+    assert(got.forall { case (_, pair, merged, w) =>
+      merged == pair.replace(" ", "") && w > 0 })
+    assertThrows[NqlParseException](Nql.parse("BPE TRAIN ROUNDS 0"))
+    assertThrows[NqlParseException](Nql.parse("BPE TRAIN 3"))
+  }
+
+  test("HEAVY HITTERS statement: CMS never underestimates") {
+    val got = run("HEAVY HITTERS TOP 5").collect()
+    assert(got.length == 5)
+    // CMS property: est >= exact for every token (collisions only add)
+    assert(got.forall(r => r.getLong(2) >= r.getLong(1)))
+    val gate = SparkEntry.queries("t19_cms_heavy_hitters")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == gate.take(5).map(_.getString(0)).toSeq)
+    assertThrows[NqlParseException](Nql.parse("HEAVY HITTERS TOP 0"))
+    assertThrows[NqlParseException](Nql.parse("HEAVY SOMETHING"))
+  }
+
+  test("GRAPH PPR statement ranks the seed's neighborhood") {
+    val got = run("GRAPH PPR FROM 'nation:0' ITERATIONS 6").collect()
+    assert(got.nonEmpty)
+    // the seed itself holds the most mass (restart concentrates on it)
+    assert(got.head.getString(0) == "nation:0")
+    // mass reaches only the seed's component: every scored node is the
+    // seed's region tree (region:0's nations/customers/suppliers)
+    assert(got.forall(_.getDouble(1) > 0))
+    // unknown seed -> empty result, WALK semantics
+    assert(run("GRAPH PPR FROM 'nation:999'").collect().isEmpty)
+    assertThrows[NqlParseException](Nql.parse("GRAPH PPR 'nation:0'"))
+    assertThrows[NqlParseException](Nql.parse("GRAPH PPR FROM 'nation:0' ITERATIONS 99"))
+  }
 }

@@ -1384,6 +1384,56 @@ object GraphQueries {
         }
         sb ++= "\nSELECT key, round(pr, 6) AS pr FROM pr8 WHERE pr > 0 ORDER BY pr DESC, key LIMIT 20"
         sb.toString
-      })
+      }),
+
+    // Eccentricity + pseudo-diameter over the connected banded nation
+    // graph (g24's |ka−kb| ≤ 7 band): batched multi-source BFS — ALL
+    // sources advance in one frame per round (4 rounds cover the band
+    // graph's diameter ⌈24/7⌉ = 4), per-round frontier dedup keeps the
+    // frame ≤ |V|² rows, then ecc = max min-distance per source and the
+    // diameter broadcasts back. The batched frame is the scale shape for
+    // a bounded source set; an all-nodes sweep at 100 TB would switch to
+    // the double-sweep pseudo-diameter heuristic (two BFS passes from a
+    // far pair), which this operator's frame structure already provides.
+    "g42_eccentricity" -> QDef(
+      (s, d) => {
+        val n = Tables(s, d, "nation")
+        val e = Algorithms.cut(n.select(col("n_nationkey").as("ka"))
+          .join(n.select(col("n_nationkey").as("kb")),
+            col("ka") =!= col("kb") && abs(col("ka") - col("kb")) <= 7)
+          .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
+            concat(lit("nation:"), col("kb").cast("string")).as("dst")))
+        val nodes = e.select(col("src").as("key")).distinct()
+        var reach = nodes.select(col("key").as("source"), col("key"), lit(0).as("dd"))
+        var frontier = reach
+        for (i <- 1 to 4) {
+          frontier = Algorithms.cut(frontier.join(e, col("key") === col("src"))
+            .select(col("source"), col("dst").as("key"), lit(i).as("dd")).distinct())
+          reach = reach.union(frontier)
+        }
+        val ecc = reach.groupBy("source", "key").agg(min("dd").as("dd"))
+          .groupBy("source").agg(max("dd").as("ecc"))
+        val diam = ecc.agg(max("ecc").as("diameter"))
+        ecc.crossJoin(broadcast(diam))
+          .select(col("source").as("key"), col("ecc"), col("diameter"))
+          .orderBy(desc("ecc"), col("key"))
+      },
+      """WITH e AS (SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR) AS src,
+        |            'nation:' || CAST(b.n_nationkey AS VARCHAR) AS dst
+        |          FROM nation a JOIN nation b
+        |          ON a.n_nationkey <> b.n_nationkey AND abs(a.n_nationkey - b.n_nationkey) <= 7),
+        |n AS (SELECT DISTINCT src AS key FROM e),
+        |r0 AS (SELECT key AS source, key, 0 AS dd FROM n),
+        |r1 AS (SELECT DISTINCT r0.source, e.dst AS key, 1 AS dd FROM r0 JOIN e ON e.src = r0.key),
+        |r2 AS (SELECT DISTINCT r1.source, e.dst AS key, 2 AS dd FROM r1 JOIN e ON e.src = r1.key),
+        |r3 AS (SELECT DISTINCT r2.source, e.dst AS key, 3 AS dd FROM r2 JOIN e ON e.src = r2.key),
+        |r4 AS (SELECT DISTINCT r3.source, e.dst AS key, 4 AS dd FROM r3 JOIN e ON e.src = r3.key),
+        |mind AS (SELECT source, key, min(dd) AS dd FROM
+        |         (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4) t GROUP BY 1, 2),
+        |ecc AS (SELECT source, max(dd) AS ecc FROM mind GROUP BY source),
+        |diam AS (SELECT max(ecc) AS diameter FROM ecc)
+        |SELECT source AS key, ecc, diameter FROM ecc CROSS JOIN diam
+        |ORDER BY ecc DESC, key""".stripMargin)
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Proves the skew-salting scale pattern (PERF.md "skewed keys →
   * salting"): a fact table whose key distribution has one hot key joins a
@@ -69,5 +70,31 @@ class SkewSaltSpec extends AnyFunSuite {
       .groupBy("k", "salt").agg(sum("v").as("ps"))
       .groupBy("k").agg(sum("ps").as("s"))
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // The automated counterpart of the manual salt: AQE's
+    // OptimizeSkewedJoin must detect the oversized shuffle partition and
+    // split it into parallel subtasks. Own session so the thresholds
+    // (tuned down to fire on test-sized data) never leak to other specs.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    // ~90% of fact rows share key 0; md5 payload defeats shuffle
+    // compression so the hot partition's byte size reflects its rows
+    val fact = s.range(400000).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      md5(col("id").cast("string").cast("binary")).as("payload"))
+    val dim = s.range(1000).select(col("id").as("k"),
+      md5((col("id") + 7).cast("string").cast("binary")).as("dpay"))
+    val j = fact.join(dim, "k")
+    // execute THIS frame's queryExecution (a count() would plan its own
+    // query and leave j's adaptive plan unfinalized)
+    assert(j.toLocalIterator().asScala.length === 400000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE skew-join split (skew=true) in the final plan:\n$plan")
   }
 }

@@ -26,13 +26,23 @@ object PipelineQueries {
       explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
       .filter(col("w") =!= "")
 
-  /** Distinct word-3-gram shingles per doc. */
+  /** Distinct word-3-gram shingles per doc — memoized + lineage-cut per
+    * (session, dir): the frame feeds d04 twice and d10 five times (size
+    * census, doc-frequency, prefix ranking, build side, exact verify),
+    * and without the cut every consumer re-runs the corpus-sized
+    * explode + distinct shuffle. Same artifact-sharing policy as
+    * [[sharedJaccardPairs]]; at scale this IS the materialized shingle
+    * table a 100 TB dedup pipeline writes once and joins repeatedly.
+    */
+  private val shinglesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-3), j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2]))")).as("sh"))
-      .distinct()
+    shinglesMemo.getOrElseUpdate((s, d), graft.graph.Algorithms.cut(
+      docs(s, d).select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2]))")).as("sh"))
+        .distinct()))
 
   /** Exact shingle-set Jaccard for a given pair set (da < db). */
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {

@@ -475,6 +475,40 @@ object VectorQueries {
         |SELECT k.vec_id, round(sum(l.lq) / 1e9, 4) AS adc_score
         |FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cl
         |WHERE k.vec_id <> 0
-        |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin)
+        |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin),
+
+    // Hard-negative mining for contrastive training (CLIP/DPR-style data
+    // prep): for each anchor, the top-5 most-similar embeddings whose
+    // label DIFFERS — the near-misses a contrastive loss learns most
+    // from. The 5 anchors broadcast onto a single corpus scan (v06's
+    // batch shape + the label-exclusion predicate fused into the join),
+    // the rank is computed on the ROUNDED score so tie order is
+    // engine-identical, and rn <= 5 pushes down as WindowGroupLimit on
+    // both sides of the per-anchor exchange (the v12-audited pattern) —
+    // candidates truncate before shuffling, so the plan holds at any
+    // corpus width.
+    "v16_hard_negative_mining" -> QDef(
+      (s, d) => {
+        val a = emb(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        emb(s, d).crossJoin(broadcast(a))
+          .filter(col("label") =!= col("qlabel") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      },
+      """WITH a AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT a.qid, e.vec_id, e.label,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], a.qv::DOUBLE[]), 4) AS score
+        |       FROM embeddings e JOIN a ON e.label <> a.qlabel AND e.vec_id <> a.qid),
+        |rk AS (SELECT qid, vec_id, label, score,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+        |       FROM sc)
+        |SELECT qid, vec_id, label, score, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
   )
 }

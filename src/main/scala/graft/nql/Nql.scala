@@ -64,6 +64,12 @@ final case class GraphAssortativity() extends GraphAlgo
   * the teleport vector concentrated on one node (g41's engine,
   * [[graft.graph.Algorithms.personalizedPageRank]]). */
 final case class GraphPpr(from: String, iterations: Int = 8) extends GraphAlgo
+/** `GRAPH DIAMETER` — double-sweep pseudo-diameter (BFS from the min
+  * key, then BFS from the farthest node found; the standard heuristic
+  * that replaces an all-sources eccentricity sweep at scale). Reports
+  * the second sweep's peripheral node and its distance, within the
+  * start node's component. */
+final case class GraphDiameter() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 final case class EntityGet(key: String) extends Statement

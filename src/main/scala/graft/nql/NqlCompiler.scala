@@ -371,6 +371,21 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(col("key"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), col("key"))
 
+    // GRAPH DIAMETER — double-sweep pseudo-diameter: BFS from the min
+    // key, hop to the farthest node, BFS again; the farthest distance of
+    // sweep 2 lower-bounds (and on trees equals) the true diameter. Two
+    // bounded BFS passes instead of an all-sources sweep — the form that
+    // survives a 100 TB graph. Deterministic tie-breaks on key.
+    case GraphDiameter() =>
+      val und = TpchGraph.undirected(allEdges)
+      val start = allNodes.orderBy("key").limit(1).select("key")
+      val far1 = Algorithms.bfsFrom(und, start, 8)
+        .orderBy(desc("depth"), col("key")).limit(1).select("key")
+      Algorithms.bfsFrom(und, far1, 8)
+        .orderBy(desc("depth"), col("key")).limit(1)
+        .select(col("key").as("peripheral_key"),
+          col("depth").as("pseudo_diameter"))
+
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
       else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")

@@ -387,6 +387,7 @@ object NqlParser {
         if (it < 1 || it > 12)
           throw NqlParseException(s"PPR iterations must be in 1..12, got $it")
         GraphPpr(from, it)
+      case "DIAMETER" => GraphDiameter()
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

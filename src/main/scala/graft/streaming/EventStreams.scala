@@ -170,4 +170,48 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Streaming sessionization with EventTimeTimeout: in addition to the
+    * in-batch gap splits above, a session CLOSES AND EMITS when the
+    * watermark passes its last event + gap with no new data — the
+    * production close-on-inactivity path that [[sessionizeStateful]]'s
+    * NoTimeout form cannot express (its open sessions stay in state
+    * forever). State per user is O(1) and every emitted session is final
+    * (append mode), so the operator runs unbounded: the watermark bounds
+    * both state retention and result lateness. MemoryStream-driven in
+    * EventStreamsSpec (watermark advanced by a later event on another
+    * key, closing the idle user's session via the timeout path).
+    */
+  def sessionizeStatefulTimeoutStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.total, (st.last - st.start) / 1000))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMs) {
+                out += SessionOut(user, st.n, st.total, (st.last - st.start) / 1000)
+                st = SessionState(t, t, 1, e.value)
+              } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -131,6 +131,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.toSet == Set(EventStreams.SessionOut(1L, 2, 3.0, 600)))
   }
 
+  test("stateful sessionization closes idle sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeStatefulTimeoutStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_timeout_out")
+      .start()
+    try {
+      // batch 1: user 1's session (2 events, 5 min apart) — stays open
+      mem.addData(
+        EventStreams.SessionEvent(1L, at(0), 1.0),
+        EventStreams.SessionEvent(1L, at(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("session_timeout_out").count() == 0,
+        "session must stay open while the watermark is behind last+gap")
+      // batch 2: user 2 far in the future advances the watermark past
+      // user 1's last+30min -> user 1's session closes via TIMEOUT
+      // (user 1 has no new data, so only the hasTimedOut path can emit)
+      mem.addData(EventStreams.SessionEvent(2L, at(180), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("session_timeout_out")
+        .as[EventStreams.SessionOut].collect().toSet
+      assert(out == Set(EventStreams.SessionOut(1L, 2, 3.0, 300)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join over a real stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -521,4 +521,15 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("GRAPH PPR 'nation:0'"))
     assertThrows[NqlParseException](Nql.parse("GRAPH PPR FROM 'nation:0' ITERATIONS 99"))
   }
+
+  test("GRAPH DIAMETER runs the double-sweep heuristic deterministically") {
+    val a = run("GRAPH DIAMETER").collect()
+    assert(a.length == 1)
+    // region tree + nation cliques: a peripheral customer/supplier sits
+    // 3 hops from the opposite periphery's nation, 4 from its leaves
+    assert(a.head.getInt(1) >= 2 && a.head.getInt(1) <= 8)
+    val b = run("GRAPH DIAMETER").collect()
+    assert(a.head == b.head, "double sweep must be deterministic")
+    assertThrows[NqlParseException](Nql.parse("GRAPH SOMETHING"))
+  }
 }

@@ -509,6 +509,61 @@ object VectorQueries {
         |rk AS (SELECT qid, vec_id, label, score,
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
         |       FROM sc)
-        |SELECT qid, vec_id, label, score, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+        |SELECT qid, vec_id, label, score, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+
+    // Greedy k-center diversity sampling (farthest-point coreset
+    // selection — the data-pruning/curation pick rule): seed with
+    // vec_id 0, then 4 rounds of "select the point farthest from the
+    // selected set". Each round is ONE corpus scan with the ≤5-row
+    // selected set broadcast (min-distance agg keyed on the candidate),
+    // truncated to the argmax via TakeOrderedAndProject — no all-pairs
+    // stage, so rounds cost O(|corpus|·k) at any scale. Distances
+    // accumulate sequentially in doubles in both engines (the codegen'd
+    // L2Distance mirrors DuckDB's list_distance element order), so the
+    // argmax — compared on UNROUNDED values — is engine-identical;
+    // output rounds to 4 for display only. Tie-break on vec_id.
+    "v17_kcenter_diversity" -> QDef(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        var sel = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+        val picks = scala.collection.mutable.ArrayBuffer(
+          e.filter(col("vec_id") === 0)
+            .select(lit(1).as("r"), col("vec_id"), lit(0.0).as("mind")))
+        for (r <- 2 to 5) {
+          val pick = e.crossJoin(broadcast(sel))
+            .select(col("vec_id"), l2_distance(col("embedding"), col("sv")).as("dd"))
+            .groupBy("vec_id").agg(min("dd").as("mind"))
+            .orderBy(desc("mind"), col("vec_id")).limit(1)
+          picks += pick.select(lit(r).as("r"), col("vec_id"), col("mind"))
+          sel = graft.graph.Algorithms.cut(sel.union(
+            e.join(pick.select("vec_id"), Seq("vec_id"))
+              .select(col("vec_id").as("sid"), col("embedding").as("sv"))))
+        }
+        picks.reduce(_ union _)
+          .select(col("r"), col("vec_id"), round(col("mind"), 4).as("mind"))
+          .orderBy("r")
+      }, {
+        val sb = new StringBuilder
+        sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 |s1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0)""".stripMargin
+        for (r <- 2 to 5) {
+          sb ++= s""",
+                    |c$r AS (SELECT e.vec_id, min(list_distance(e.v, s.v)) AS mind
+                    |  FROM e CROSS JOIN s${r - 1} s GROUP BY e.vec_id
+                    |  ORDER BY mind DESC, e.vec_id LIMIT 1),
+                    |s$r AS (SELECT * FROM s${r - 1}
+                    |  UNION ALL SELECT e.vec_id, e.v FROM e JOIN c$r USING (vec_id))""".stripMargin
+        }
+        sb ++= """
+                 |SELECT r, vec_id, round(mind, 4) AS mind FROM (
+                 |  SELECT 1 AS r, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS DOUBLE) AS mind
+                 |  UNION ALL SELECT 2, vec_id, mind FROM c2
+                 |  UNION ALL SELECT 3, vec_id, mind FROM c3
+                 |  UNION ALL SELECT 4, vec_id, mind FROM c4
+                 |  UNION ALL SELECT 5, vec_id, mind FROM c5) z
+                 |ORDER BY r""".stripMargin
+        sb.toString
+      })
   )
 }

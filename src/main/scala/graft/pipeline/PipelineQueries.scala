@@ -941,6 +941,54 @@ object PipelineQueries {
         |FROM documents d JOIN c ON d.source = c.source, m
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
+    // Temperature-scaled language mixing (the multilingual sampling rule
+    // of mT5/UniMax-style pipelines): sampling mass ∝ share^(1/T) with
+    // T = 2, i.e. ∝ √share — upweights low-resource languages relative
+    // to proportional sampling without flattening to uniform (d08 is the
+    // T→∞ equal-share limit). Cross-engine exactness: √ of the 1e12-
+    // scaled share is ONE correctly-rounded IEEE op quantized to BIGINT,
+    // the normalizer is an integer sum, and the per-doc keep rule
+    // `pct·denom·n_lang < qs·budget·10⁴` is pure integer arithmetic on
+    // the d06/d08 md5 keep hash — deterministic, map-side, and
+    // restratifiable at any scale (at 10¹²-doc corpora drop the scale
+    // factor to 1e6 to keep the products inside int64).
+    "d12_temperature_mix" -> QDef(
+      (s, d) => {
+        val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val tot = counts.agg(sum("n_lang").as("n_tot"),
+          expr("sum(n_lang) * 6 div 10").as("budget"))
+        val q = counts.crossJoin(broadcast(tot))
+          .withColumn("qs",
+            expr("CAST(round(sqrt((CAST(n_lang AS DOUBLE) / n_tot) * 1e12)) AS BIGINT)"))
+        val dn = q.agg(sum("qs").as("denom"))
+        val scored = q.crossJoin(broadcast(dn))
+          .withColumn("n_target", expr("qs * budget div denom"))
+          .select("lang", "n_lang", "qs", "n_target", "denom", "budget")
+        val pct = expr(
+          "CAST(conv(substr(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 10000")
+        docs(s, d).join(broadcast(scored), "lang")
+          .withColumn("keep", pct * col("denom") * col("n_lang") <
+            col("qs") * col("budget") * lit(10000L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            max("n_target").as("n_target"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_tot,
+        |             CAST(sum(n_lang) * 6 // 10 AS BIGINT) AS budget FROM c),
+        |q AS (SELECT lang, n_lang,
+        |        CAST(round(sqrt((CAST(n_lang AS DOUBLE) / n_tot) * 1e12)) AS BIGINT) AS qs
+        |      FROM c, t),
+        |dn AS (SELECT CAST(sum(qs) AS BIGINT) AS denom FROM q)
+        |SELECT d.lang, count(*) AS n_total,
+        |  max(q.qs * t.budget // dn.denom) AS n_target,
+        |  CAST(sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
+        |                     * dn.denom * q.n_lang < q.qs * t.budget * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN q USING (lang), t, dn
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
     // Exact-substring passage dedup at 8-gram granularity (the
     // suffix-array dedup of Lee et al. "Deduplicating Training Data
     // Makes Language Models Better", approximated by shingle counting —

@@ -169,9 +169,15 @@ object PipelineQueries {
     * estimate = minⱼ grid[j][hⱼ(w)]; returns the exact top-k tokens as
     * (token, exact_cnt, cms_est). Grid size is constant in the corpus.
     */
+  /** CMS row-hash: md5-derived bucket for hash row `j` and token `w` —
+    * shared by the batch grid (t19), the `HEAVY HITTERS` statement, and
+    * the streaming grid maintenance (EventStreams.cmsGridStream), so all
+    * three build the SAME 4×1024 artifact. */
+  val cmsBucketExpr: String =
+    "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"
+
   def cmsHeavyHitters(s: SparkSession, d: String, k: Int): DataFrame = {
-    val bucketExpr =
-      "CAST(conv(substr(md5(cast(concat(cast(j AS string), ':', w) as binary)), 1, 7), 16, 10) AS BIGINT) % 1024"
+    val bucketExpr = cmsBucketExpr
     val toks = docs(s, d)
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w") =!= "")

@@ -171,6 +171,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming count-min-sketch maintenance: the t19 4×1024 grid as a
+    * live streaming aggregate over an unbounded document stream — each
+    * micro-batch's tokens update at most 4096 counter rows (map-side
+    * partial agg collapses everything else), which is exactly why CMS is
+    * the streaming-ingest form of heavy-hitter tracking at 100 TB: state
+    * is CONSTANT in the corpus. Same md5 row-hashes as the batch grid
+    * ([[graft.pipeline.PipelineQueries.cmsBucketExpr]]), so the
+    * streaming snapshot equals the batch-built grid on the same corpus
+    * (asserted in EventStreamsSpec). Run with Complete output mode (the
+    * grid IS the result).
+    */
+  def cmsGridStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("w"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("bucket", expr(graft.pipeline.PipelineQueries.cmsBucketExpr))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("tot"))
+
   /** Streaming sessionization with EventTimeTimeout: in addition to the
     * in-batch gap splits above, a session CLOSES AND EMITS when the
     * watermark passes its last event + gap with no new data — the

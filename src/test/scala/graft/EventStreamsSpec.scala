@@ -160,6 +160,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS grid snapshot equals the batch-built grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val mem = MemoryStream[String]
+    val q = EventStreams.cmsGridStream(mem.toDF().toDF("text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_grid_out")
+      .start()
+    try {
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("cms_grid_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.cmsGridStream(texts.toSeq.toDF("text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streaming grid must equal the batch grid")
+      assert(streamed.nonEmpty && streamed.keys.map(_._1).toSet == Set(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join over a real stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

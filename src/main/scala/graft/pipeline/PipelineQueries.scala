@@ -1430,6 +1430,42 @@ object PipelineQueries {
         sb.toString
       }),
 
+    // Dedup impact accounting (the before/after report every dedup stage
+    // ships with): d02's keep-first-by-content-hash rule applied, then
+    // per-source doc and TOKEN counts before/after plus the duplicated-
+    // token share in integer basis points. Keep decisions are global
+    // (min doc_id per md5 group, even across sources), so a source that
+    // copies another's documents shows the loss here — the
+    // cross-ownership signal a mixture designer reads before reweighting.
+    // One shuffle on the content hash; everything else map-side; all
+    // outputs integers (no float-sum order dependence).
+    "t20_dedup_impact" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("h")
+        val t = docs(s, d)
+          .withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+          .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+        t.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+            sum("ntok").as("n_tokens"),
+            sum(when(col("keep"), col("ntok")).otherwise(0L)).as("n_tokens_kept"))
+          .withColumn("dup_token_bp",
+            expr("(n_tokens - n_tokens_kept) * 10000 div n_tokens"))
+          .orderBy("source")
+      },
+      """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |k AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  CAST((sum(ntok) - sum(CASE WHEN keep THEN ntok ELSE 0 END)) * 10000 // sum(ntok) AS BIGINT) AS dup_token_bp
+        |FROM k GROUP BY source ORDER BY source""".stripMargin),
+
     // Count-min-sketch heavy hitters: a fixed 4×1024 counter grid (rows =
     // independent md5-derived hashes) estimates any token's frequency as
     // minⱼ grid[j][hⱼ(token)] — CMS never underestimates, and the grid

@@ -132,6 +132,32 @@ object PipelineQueries {
   private val hashAB: Seq[(Long, Long)] =
     (0 until 16).map(i => (((2654435761L * (i + 1)) % P) | 1L, (40503L * (i + 7) * 9973L) % P))
 
+  /** Fully map-side MinHash signature: the same 16 linear-permutation
+    * min-hashes as d04, built per ROW with array higher-order functions
+    * (shingle → md5 → 16 mins) instead of explode + groupBy — zero
+    * shuffle, so it composes with streaming `dropDuplicates` for in-flight
+    * near-exact-dup suppression (EventStreams.minhashDedupStream) and
+    * with any map-only ingest stage at 100 TB. Returns the input plus a
+    * `mh_sig` column (empty-string signature for docs with < 3 words —
+    * callers exclude or keep them deliberately). Cross-validated
+    * signature-for-signature against d04's aggregate-built form in
+    * MinhashSignatureSpec.
+    */
+  def withMinhashSignature(df: DataFrame): DataFrame = {
+    val mins = hashAB.map { case (a, b) =>
+      s"array_min(transform(vs, v -> ($a * v + $b) % $P))"
+    }.mkString(", ")
+    df.withColumn("ws", split(col("text"), "\\s+"))
+      .withColumn("shs", when(size(col("ws")) >= 3, expr(
+        "array_distinct(transform(sequence(0, size(ws)-3), j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2])))"))
+        .otherwise(expr("array()")))
+      .withColumn("vs", expr(
+        "transform(shs, sh -> CAST(conv(substr(md5(cast(sh as binary)), 1, 7), 16, 10) AS BIGINT))"))
+      .withColumn("mh_sig",
+        when(size(col("vs")) > 0, expr(s"concat_ws(',', $mins)")).otherwise(lit("")))
+      .drop("ws", "shs", "vs")
+  }
+
   /** Distributed BPE merge discovery (the t18 engine, parameterized for
     * the `BPE TRAIN ROUNDS n` statement): `rounds` rounds of (count
     * adjacent symbol pairs weighted by word frequency → merge the argmax

@@ -189,6 +189,21 @@ object EventStreams {
       .withColumn("bucket", expr(graft.pipeline.PipelineQueries.cmsBucketExpr))
       .groupBy("j", "bucket").agg(count(lit(1)).as("tot"))
 
+  /** Streaming near-exact-dup suppression: each arriving document gets
+    * its map-side MinHash signature
+    * ([[graft.pipeline.PipelineQueries.withMinhashSignature]] — zero
+    * shuffle) and the stream keeps the FIRST document per signature.
+    * Docs too short to shingle (empty signature) pass through untouched.
+    * State is one row per distinct signature — at 100 TB bound it with
+    * `dropDuplicatesWithinWatermark` on an event-time column exactly as
+    * s03's dedup does; the spec uses the unbounded form over a finite
+    * MemoryStream.
+    */
+  def minhashDedupStream(docs: DataFrame): DataFrame =
+    graft.pipeline.PipelineQueries.withMinhashSignature(docs)
+      .filter(col("mh_sig") =!= "")
+      .dropDuplicates("mh_sig")
+
   /** Streaming sessionization with EventTimeTimeout: in addition to the
     * in-batch gap splits above, a session CLOSES AND EMITS when the
     * watermark passes its last event + gap with no new data — the

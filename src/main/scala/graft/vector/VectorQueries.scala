@@ -564,6 +564,75 @@ object VectorQueries {
                  |  UNION ALL SELECT 5, vec_id, mind FROM c5) z
                  |ORDER BY r""".stripMargin
         sb.toString
+      }),
+
+    // MMR (maximal marginal relevance) diversified re-ranking: retrieve a
+    // top-20 relevance pool for the query vector, then greedily select 5
+    // results maximizing 0.7·relevance − 0.3·max-similarity-to-selected —
+    // the standard redundancy-suppressing re-rank between ANN retrieval
+    // and the consumer. The corpus is touched ONCE (the pool retrieval,
+    // v01's broadcast + TakeOrderedAndProject shape); every greedy round
+    // runs on the 20-row lineage-cut pool with the ≤5 selected rows
+    // broadcast, so re-ranking cost is independent of corpus size. All
+    // scores are sequentially-accumulated doubles combined by single
+    // IEEE ops, so the UNROUNDED argmax is engine-identical (v17's
+    // argument); ties break on vec_id.
+    "v18_mmr_rerank" -> QDef(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        val q0 = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val pool = graft.graph.Algorithms.cut(
+          e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+            .select(col("vec_id"), col("embedding"),
+              cosine_similarity(col("embedding"), col("qvec")).as("rel"))
+            .orderBy(desc("rel"), col("vec_id")).limit(20))
+        var sel = pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+          .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+        val picks = scala.collection.mutable.ArrayBuffer(
+          pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+            .select(lit(1).as("r"), col("vec_id"), col("rel").as("mmr")))
+        for (r <- 2 to 5) {
+          val pick = pool
+            .join(sel.select(col("sid").as("vec_id")), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(sel))
+            .groupBy("vec_id", "rel")
+            .agg(max(cosine_similarity(col("embedding"), col("sv"))).as("msim"))
+            .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+            .orderBy(desc("mmr"), col("vec_id")).limit(1)
+          picks += pick.select(lit(r).as("r"), col("vec_id"), col("mmr"))
+          sel = graft.graph.Algorithms.cut(sel.union(
+            pool.join(pick.select("vec_id"), Seq("vec_id"))
+              .select(col("vec_id").as("sid"), col("embedding").as("sv"))))
+        }
+        picks.reduce(_ union _)
+          .select(col("r"), col("vec_id"), round(col("mmr"), 4).as("mmr"))
+          .orderBy("r")
+      }, {
+        val sb = new StringBuilder
+        sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 |q AS (SELECT v FROM e WHERE vec_id = 0),
+                 |pool AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.v) AS rel
+                 |         FROM e, q WHERE e.vec_id <> 0 ORDER BY rel DESC, e.vec_id LIMIT 20),
+                 |s1 AS (SELECT vec_id, v, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+        for (r <- 2 to 5) {
+          sb ++= s""",
+                    |c$r AS (SELECT p.vec_id, p.rel, 0.7 * p.rel - 0.3 * max(list_cosine_similarity(p.v, s.v)) AS mmr
+                    |  FROM pool p CROSS JOIN s${r - 1} s
+                    |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+                    |  GROUP BY p.vec_id, p.rel
+                    |  ORDER BY mmr DESC, p.vec_id LIMIT 1),
+                    |s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT p.vec_id, p.v, p.rel FROM pool p JOIN c$r USING (vec_id))""".stripMargin
+        }
+        sb ++= """
+                 |SELECT r, vec_id, round(mmr, 4) AS mmr FROM (
+                 |  SELECT 1 AS r, vec_id, rel AS mmr FROM s1
+                 |  UNION ALL SELECT 2, vec_id, mmr FROM c2
+                 |  UNION ALL SELECT 3, vec_id, mmr FROM c3
+                 |  UNION ALL SELECT 4, vec_id, mmr FROM c4
+                 |  UNION ALL SELECT 5, vec_id, mmr FROM c5) z
+                 |ORDER BY r""".stripMargin
+        sb.toString
       })
   )
 }

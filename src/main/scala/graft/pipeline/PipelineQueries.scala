@@ -164,17 +164,29 @@ object PipelineQueries {
     * pair). Returns one row per round: (r, pair, merged, wfreq). All
     * rounds run over the distinct-word table; the corpus is read once.
     */
-  def bpeMerges(s: SparkSession, d: String, rounds: Int): DataFrame = {
-    val wf = docs(s, d)
+  def bpeMerges(s: SparkSession, d: String, rounds: Int): DataFrame =
+    bpeMergesOf(docs(s, d), rounds)
+
+  /** [[bpeMerges]] over any frame with a `text` column (unit-testable on
+    * crafted corpora — BpeMergesSpec pins the greedy semantics,
+    * including the self-adjacent-pair replace-scan case). */
+  def bpeMergesOf(docsDf: DataFrame, rounds: Int): DataFrame = {
+    val wf = docsDf
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
+    // Tokens are DOUBLE-space separated with single-space string ends:
+    // the merge pattern ' p1  p2 ' then consumes only one space of each
+    // separator, so consecutive occurrences ('a b a b') all merge in one
+    // replace pass — canonical leftmost greedy BPE (a single-space
+    // layout shares the boundary space and skips alternate occurrences;
+    // BpeMergesSpec pins both the chain and self-adjacent cases).
     var seqs = wf.withColumn("seq",
-      expr("concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' '), ' ')"))
+      expr("concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  '), ' ')"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val top1 = seqs
-        .select(col("f"), split(trim(col("seq")), " ").as("t"))
+        .select(col("f"), split(trim(col("seq")), "  ").as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("f"), explode(expr(
           "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
@@ -184,7 +196,8 @@ object PipelineQueries {
       merges += top1.select(lit(r).as("r"), col("pair"), col("merged"), col("wfreq"))
       seqs = graft.graph.Algorithms.cut(
         seqs.crossJoin(broadcast(top1.select(col("pair").as("_p"), col("merged").as("_m"))))
-          .withColumn("seq", expr("replace(seq, concat(' ', _p, ' '), concat(' ', _m, ' '))"))
+          .withColumn("seq", expr(
+            "replace(seq, concat(' ', replace(_p, ' ', '  '), ' '), concat(' ', _m, ' '))"))
           .select("w", "f", "seq"))
     }
     merges.reduce(_ union _).orderBy("r")
@@ -1423,13 +1436,12 @@ object PipelineQueries {
     // word-frequency build), so a round costs one vocab-sized pair agg
     // plus a 1-row broadcast of the winning pair back onto the vocab —
     // the shape that trains a tokenizer on 100 TB without a second
-    // corpus shuffle. Merge application is replace(' p1 p2 '→' p1p2 ')
-    // over the space-joined sequence: non-overlapping left-to-right scan,
-    // identical in both engines (for a self-adjacent pair like 'a a'
-    // inside 'a a a' the shared boundary skips one merge — the
-    // documented replace-scan variant of BPE's greedy pass, mirroring
-    // g35's md5-for-RNG determinism swap). Count ties break
-    // lexicographically on the pair.
+    // corpus shuffle. Merge application is one replace() pass over the
+    // DOUBLE-space-joined sequence (pattern ' p1  p2 ' → ' p1p2 '): each
+    // match consumes only one space of each separator, so consecutive
+    // occurrences all merge and the scan IS canonical leftmost-greedy
+    // BPE — identical in both engines; chain and self-adjacent cases
+    // pinned in BpeMergesSpec. Count ties break lexicographically.
     "t18_bpe_merges" -> QDef(
       (s, d) => bpeMerges(s, d, 3), {
         val sb = new StringBuilder
@@ -1437,16 +1449,16 @@ object PipelineQueries {
                  |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) t
                  |  WHERE length(w) >= 2 GROUP BY w),
                  |s0 AS (SELECT w, f,
-                 |  ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') || ' ' AS seq
+                 |  ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '  ') || ' ' AS seq
                  |  FROM wf)""".stripMargin
         for (r <- 1 to 3) {
           sb ++= s""",
                     |p$r AS (SELECT pair, CAST(sum(f) AS BIGINT) AS wfreq FROM (
                     |  SELECT f, unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS pair
-                    |  FROM (SELECT f, string_split(trim(seq), ' ') AS t FROM s${r - 1}) x WHERE len(t) >= 2) y
+                    |  FROM (SELECT f, string_split(trim(seq), '  ') AS t FROM s${r - 1}) x WHERE len(t) >= 2) y
                     |  GROUP BY pair),
                     |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, wfreq FROM p$r ORDER BY wfreq DESC, pair LIMIT 1),
-                    |s$r AS (SELECT w, f, replace(seq, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS seq
+                    |s$r AS (SELECT w, f, replace(seq, ' ' || replace(m.pair, ' ', '  ') || ' ', ' ' || m.merged || ' ') AS seq
                     |        FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
         }
         sb ++= """

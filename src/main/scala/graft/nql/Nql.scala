@@ -168,4 +168,10 @@ final case class BpeTrain(rounds: Int) extends Statement
   * documents token stream (the t19 engine as a statement). */
 final case class HeavyHitters(top: Int = 20) extends Statement
 
+/** `MMR <id> [POOL p] [LIMIT k]` — maximal-marginal-relevance
+  * diversified re-ranking of vector search results (the v18 engine as a
+  * statement: top-p relevance pool for query vector id, k greedy picks
+  * maximizing 0.7·rel − 0.3·max-sim-to-selected). */
+final case class MmrRerank(vecId: Long, pool: Int = 20, limit: Int = 5) extends Statement
+
 final case class NqlParseException(msg: String) extends RuntimeException(msg)

@@ -613,6 +613,10 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case HeavyHitters(top) =>
       graft.pipeline.PipelineQueries.cmsHeavyHitters(spark, sfDir, top)
 
+    // MMR <id> [POOL p] [LIMIT k] — diversified re-ranking (v18).
+    case MmrRerank(vid, pool, k) =>
+      graft.vector.VectorQueries.mmrRerank(spark, sfDir, vid, pool, k)
+
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.
     case Dedup(table, byCol, keyCol) =>

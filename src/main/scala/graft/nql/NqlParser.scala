@@ -175,6 +175,17 @@ object NqlParser {
           throw NqlParseException(s"HEAVY HITTERS top must be in 1..100, got $k")
         if (!p.done) throw NqlParseException("HEAVY HITTERS takes optional TOP k")
         HeavyHitters(k)
+      case "MMR"       =>
+        p.next()
+        val vid = p.int()
+        val pool = if (p.accept("POOL")) p.int() else 20
+        val k = if (p.accept("LIMIT")) p.int() else 5
+        if (pool < 2 || pool > 1000)
+          throw NqlParseException(s"MMR pool must be in 2..1000, got $pool")
+        if (k < 1 || k > pool)
+          throw NqlParseException(s"MMR limit must be in 1..pool($pool), got $k")
+        if (!p.done) throw NqlParseException("MMR takes <id> [POOL p] [LIMIT k]")
+        MmrRerank(vid.toLong, pool, k)
       case other        => throw NqlParseException(s"unknown statement: $other")
     }
   }

@@ -40,6 +40,45 @@ object VectorQueries {
     }
   }
 
+  /** MMR diversified re-ranking (the v18 engine, parameterized for the
+    * `MMR <id> [POOL p] [LIMIT k]` statement): top-`poolK` relevance
+    * pool for query vector `qid`, then `k` greedy picks maximizing
+    * 0.7·rel − 0.3·max-sim-to-selected. Returns (r, vec_id, mmr). The
+    * corpus is scanned once (pool retrieval); every greedy round runs on
+    * the lineage-cut pool with the selected rows broadcast.
+    */
+  def mmrRerank(s: SparkSession, d: String, qid: Long, poolK: Int, k: Int): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val q0 = emb(s, d).filter(col("vec_id") === qid)
+      .select(col("embedding").as("qvec"))
+    val pool = graft.graph.Algorithms.cut(
+      e.filter(col("vec_id") =!= qid).crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("embedding"),
+          cosine_similarity(col("embedding"), col("qvec")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(poolK))
+    var sel = pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+        .select(lit(1).as("r"), col("vec_id"), col("rel").as("mmr")))
+    for (r <- 2 to k) {
+      val pick = pool
+        .join(sel.select(col("sid").as("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .groupBy("vec_id", "rel")
+        .agg(max(cosine_similarity(col("embedding"), col("sv"))).as("msim"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        .orderBy(desc("mmr"), col("vec_id")).limit(1)
+      picks += pick.select(lit(r).as("r"), col("vec_id"), col("mmr"))
+      sel = graft.graph.Algorithms.cut(sel.union(
+        pool.join(pick.select("vec_id"), Seq("vec_id"))
+          .select(col("vec_id").as("sid"), col("embedding").as("sv"))))
+    }
+    picks.reduce(_ union _)
+      .select(col("r"), col("vec_id"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("r")
+  }
+
   val defs: Seq[(String, QDef)] = Seq(
 
     "v01_similar_topk_cosine" -> QDef(
@@ -578,37 +617,7 @@ object VectorQueries {
     // IEEE ops, so the UNROUNDED argmax is engine-identical (v17's
     // argument); ties break on vec_id.
     "v18_mmr_rerank" -> QDef(
-      (s, d) => {
-        val e = emb(s, d).select(col("vec_id"), col("embedding"))
-        val q0 = emb(s, d).filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"))
-        val pool = graft.graph.Algorithms.cut(
-          e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
-            .select(col("vec_id"), col("embedding"),
-              cosine_similarity(col("embedding"), col("qvec")).as("rel"))
-            .orderBy(desc("rel"), col("vec_id")).limit(20))
-        var sel = pool.orderBy(desc("rel"), col("vec_id")).limit(1)
-          .select(col("vec_id").as("sid"), col("embedding").as("sv"))
-        val picks = scala.collection.mutable.ArrayBuffer(
-          pool.orderBy(desc("rel"), col("vec_id")).limit(1)
-            .select(lit(1).as("r"), col("vec_id"), col("rel").as("mmr")))
-        for (r <- 2 to 5) {
-          val pick = pool
-            .join(sel.select(col("sid").as("vec_id")), Seq("vec_id"), "left_anti")
-            .crossJoin(broadcast(sel))
-            .groupBy("vec_id", "rel")
-            .agg(max(cosine_similarity(col("embedding"), col("sv"))).as("msim"))
-            .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
-            .orderBy(desc("mmr"), col("vec_id")).limit(1)
-          picks += pick.select(lit(r).as("r"), col("vec_id"), col("mmr"))
-          sel = graft.graph.Algorithms.cut(sel.union(
-            pool.join(pick.select("vec_id"), Seq("vec_id"))
-              .select(col("vec_id").as("sid"), col("embedding").as("sv"))))
-        }
-        picks.reduce(_ union _)
-          .select(col("r"), col("vec_id"), round(col("mmr"), 4).as("mmr"))
-          .orderBy("r")
-      }, {
+      (s, d) => mmrRerank(s, d, 0L, 20, 5), {
         val sb = new StringBuilder
         sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  |q AS (SELECT v FROM e WHERE vec_id = 0),

@@ -522,6 +522,18 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](Nql.parse("GRAPH PPR FROM 'nation:0' ITERATIONS 99"))
   }
 
+  test("MMR statement replays the v18 re-rank") {
+    val got = run("MMR 0 POOL 20 LIMIT 5").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = SparkEntry.queries("v18_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq && got.length == 5)
+    // rank 1 is pure relevance; later picks trade relevance for diversity
+    assert(got.head._3 >= got.last._3)
+    assertThrows[NqlParseException](Nql.parse("MMR 0 POOL 1"))
+    assertThrows[NqlParseException](Nql.parse("MMR 0 LIMIT 50")) // > pool
+  }
+
   test("GRAPH DIAMETER runs the double-sweep heuristic deterministically") {
     val a = run("GRAPH DIAMETER").collect()
     assert(a.length == 1)

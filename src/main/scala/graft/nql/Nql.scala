@@ -72,6 +72,10 @@ final case class GraphPpr(from: String, iterations: Int = 8) extends GraphAlgo
 final case class GraphDiameter() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
+/** `EMBED LIST [IN '<collection>'] [LIMIT n]` — the reference's
+  * ShowEmbeddings surface (`ast.rs` ShowEmbeddings): keys + dimension +
+  * label/collection, deterministic key order. */
+final case class EmbedList(collection: Option[String], limit: Option[Int]) extends Statement
 final case class EntityGet(key: String) extends Statement
 
 // write-path statements (execute against the session's EntityStore)
@@ -81,6 +85,12 @@ final case class EdgeCreate(src: String, dst: String, etype: String) extends Sta
 final case class EdgeDelete(src: String, dst: String, etype: String) extends Statement
 final case class EntityCreate(key: String, props: Map[String, String], embedding: Option[Array[Float]]) extends Statement
 final case class EntityDelete(key: String) extends Statement
+/** `ENTITY UPDATE '<key>' SET k = 'v', ...` — merge-props update of an
+  * existing store entity (reference ENTITY UPDATE, `ast.rs:797-858`,
+  * `tensor_unified/src/lib.rs:475-880`): unnamed props and the embedding
+  * are preserved, named props overwrite. Fails loudly on a missing key
+  * (an update is not an upsert). */
+final case class EntityUpdate(key: String, props: Map[String, String]) extends Statement
 final case class EntityConnect(src: String, dst: String, etype: String) extends Statement
 final case class EmbedStore(key: String, vector: Array[Float],
     collection: Option[String] = None) extends Statement
@@ -109,6 +119,23 @@ final case class EmbedCollectionCreate(name: String, dimension: Int, metric: Met
   * machinery (reference `graph_engine/src/lib.rs:5945-6090`). */
 final case class GraphMatchCount(pattern: CypherParser.MatchStmt) extends Statement
 final case class GraphMatchExists(pattern: CypherParser.MatchStmt) extends Statement
+
+/** `GRAPH COUNT NODES [LABEL 'x']` / `GRAPH COUNT EDGES [TYPE 'x']` —
+  * the reference's CountNodes/CountEdges statement forms (`ast.rs:
+  * 1430-1487`; executor `graph_engine/src/lib.rs:5705-5829`), overlay-
+  * aware (store-created nodes/edges count, tombstoned ones don't). */
+final case class GraphCountNodes(label: Option[String]) extends Statement
+final case class GraphCountEdges(etype: Option[String]) extends Statement
+
+/** `GRAPH AGGREGATE SUM|AVG|MIN|MAX|COUNT '<prop>' NODES [LABEL 'x']
+  * [WHERE ...]` (or `EDGES [TYPE 'x']`) — property aggregation over the
+  * graph (reference AggregateNodeProperty/AggregateEdgeProperty,
+  * `ast.rs:1430-1487`, `graph_engine/src/lib.rs:5705-5829`). Node
+  * properties surface the numeric columns the TPC-H model carries
+  * (`acctbal` on customer/supplier); the edge property `weight` is the
+  * g10 per-etype weighting. */
+final case class GraphAggregate(func: String, prop: String,
+    overEdges: Boolean, filter: Option[String], where: Seq[Cond]) extends Statement
 final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
 
 /** `BLOBS SIMILAR TO '<key>' [LIMIT k]` — embedding search over binary

@@ -386,6 +386,22 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(col("key").as("peripheral_key"),
           col("depth").as("pseudo_diameter"))
 
+    // SHOW EMBEDDINGS analogue: key + dimension + label/collection of
+    // every stored vector (bundled table ∪ store), deterministic order.
+    case EmbedList(collection, limit) =>
+      val bundled = emb.select(col("key"),
+        size(col("embedding")).as("dimension"), col("label").cast("string").as("collection"))
+      val all = store match {
+        case None => bundled
+        case Some(st) =>
+          bundled.union(st.entities.filter(col("embedding").isNotNull)
+            .select(col("key"), size(col("embedding")).as("dimension"),
+              coalesce(element_at(col("props"), "collection"), lit("entity")).as("collection")))
+      }
+      val f = collection.fold(all)(c => all.filter(col("collection") === c))
+      val ordered = f.orderBy("key")
+      limit.fold(ordered)(ordered.limit)
+
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
       else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")
@@ -401,6 +417,22 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case EntityDelete(key) =>
       storeOrFail("ENTITY DELETE").delete(Seq(key))
       status(key, "deleted")
+
+    // Merge-props update (reference ENTITY UPDATE, `tensor_unified/src/
+    // lib.rs:475-880`): the latest row's props/embedding are read (one
+    // bounded 1-key lookup), named props overwrite, everything else is
+    // preserved, and the merged row appends as a new version — the
+    // lakehouse analogue of the reference's in-place field update.
+    case EntityUpdate(key, props) =>
+      val st = storeOrFail("ENTITY UPDATE")
+      val cur = st.entities.filter(col("key") === key).limit(1).collect()
+      if (cur.isEmpty) throw NqlParseException(
+        s"ENTITY UPDATE: entity '$key' does not exist (use ENTITY CREATE)")
+      val row = cur.head
+      val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
+      val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
+      st.put(Seq(graft.unified.EntityStore.EntityRow(key, curProps ++ props, curEmb)))
+      status(key, s"updated:${props.keys.toSeq.sorted.mkString(",")}")
 
     case EntityConnect(src, dst, etype) =>
       storeOrFail("ENTITY CONNECT").connect(src, dst, etype)
@@ -463,6 +495,57 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // motif chain is aggregated, not projected.
     case GraphMatchCount(m) =>
       matchBindings(m).agg(count(lit(1)).as("n_matches"))
+
+    // COUNT NODES / COUNT EDGES statement forms (reference `ast.rs:
+    // 1430-1487`; `graph_engine/src/lib.rs:5705-5829`) — overlay-aware
+    // via allNodes/allEdges, one map-side-combined count.
+    case GraphCountNodes(label) =>
+      label.fold(allNodes)(l => allNodes.filter(col("label") === l))
+        .agg(count(lit(1)).as("n_nodes"))
+
+    case GraphCountEdges(etype) =>
+      etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+        .agg(count(lit(1)).as("n_edges"))
+
+    // Property aggregation over nodes/edges (reference
+    // AggregateNodeProperty / AggregateEdgeProperty). SUM/AVG run on
+    // 1e-2-quantized longs (acctbal carries 2 decimals) so the result is
+    // exact and partition-order independent — the g28 float-sum policy.
+    case GraphAggregate(func, prop, overEdges, filter, where) =>
+      val frame =
+        if (overEdges) {
+          if (prop != "weight") throw NqlParseException(
+            s"unknown edge property '$prop' (available: weight)")
+          filter.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+            .withColumn("value", expr(
+              "CASE etype WHEN 'in_region' THEN 2.0 WHEN 'in_nation' THEN 1.0 ELSE 1.5 END"))
+        } else {
+          if (prop != "acctbal") throw NqlParseException(
+            s"unknown node property '$prop' (available: acctbal)")
+          val c = Tables(spark, sfDir, "customer").select(
+            concat(lit("customer:"), col("c_custkey").cast("string")).as("key"),
+            lit("customer").as("label"), col("c_name").as("name"),
+            col("c_acctbal").cast("double").as("value"))
+          val su = Tables(spark, sfDir, "supplier").select(
+            concat(lit("supplier:"), col("s_suppkey").cast("string")).as("key"),
+            lit("supplier").as("label"), col("s_name").as("name"),
+            col("s_acctbal").cast("double").as("value"))
+          val base = c.union(su)
+          val masked = store.fold(base)(st =>
+            base.join(st.deletedKeys, Seq("key"), "left_anti"))
+          filter.fold(masked)(l => masked.filter(col("label") === l))
+        }
+      val f = where.foldLeft(frame)((df, c) => df.filter(cond(c)))
+      val q = f.withColumn("q", round(col("value") * 100).cast("long"))
+      val aggCol = func match {
+        case "SUM" => sum(col("q")) / 100.0
+        case "AVG" => sum(col("q")) / 100.0 / count(lit(1))
+        case "MIN" => min(col("value"))
+        case "MAX" => max(col("value"))
+        case _     => count(col("value")).cast("double")
+      }
+      q.agg(round(aggCol, 4).as("value"))
+        .select(lit(func.toLowerCase).as("func"), lit(prop).as("prop"), col("value"))
 
     case GraphMatchExists(m) =>
       matchBindings(m).limit(1).agg((count(lit(1)) > 0).as("exists_match"))

@@ -97,7 +97,7 @@ object NqlParser {
       case "NODE"      => p.next(); parseNode(p)
       case "EDGE"      => p.next(); parseEdge(p)
       case "DEGREE"    => p.next(); Degree(p.stringLit())
-      case "GRAPH"     => p.next(); parseGraphAlgo(p)
+      case "GRAPH"     => p.next(); parseGraph(p)
       case "EMBED"     => p.next(); parseEmbed(p)
       case "ENTITY"    => p.next(); parseEntity(p)
       case "FIND"      => p.next(); parseFind(p)
@@ -281,6 +281,11 @@ object NqlParser {
 
   private def parseEmbed(p: P): Statement = p.next().toUpperCase match {
     case "GET" => EmbedGet(p.stringLit())
+    case "LIST" =>
+      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+      if (!p.done) throw NqlParseException("EMBED LIST takes optional IN '<collection>' and LIMIT n")
+      EmbedList(coll, limit)
     case "STORE" =>
       val key = p.stringLit()
       val vec = parseVector(p)
@@ -331,6 +336,18 @@ object NqlParser {
       }
       val emb = if (p.accept("EMBEDDING")) Some(parseVector(p)) else None
       EntityCreate(key, props, emb)
+    case "UPDATE" =>
+      val key = p.stringLit()
+      p.expectKw("SET")
+      var props = Map.empty[String, String]
+      var go = true
+      while (go) {
+        val k = p.next(); p.expectKw("="); val v = p.stringLit()
+        props += (k -> v)
+        go = p.accept(",")
+      }
+      if (!p.done) throw NqlParseException("ENTITY UPDATE takes '<key>' SET k = 'v', ...")
+      EntityUpdate(key, props)
     case k => throw NqlParseException(s"unknown ENTITY op $k")
   }
 
@@ -368,6 +385,41 @@ object NqlParser {
     }
     p.expectKw(")")
     out.result()
+  }
+
+  /** GRAPH COUNT / GRAPH AGGREGATE statement forms (reference
+    * CountNodes/CountEdges/AggregateNodeProperty/AggregateEdgeProperty,
+    * `ast.rs:1430-1487`); anything else is a GRAPH algorithm. */
+  private def parseGraph(p: P): Statement = p.peekUpper match {
+    case Some("COUNT") =>
+      p.next()
+      p.next().toUpperCase match {
+        case "NODES" =>
+          val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
+          if (!p.done) throw NqlParseException("GRAPH COUNT NODES takes only optional LABEL '<x>'")
+          GraphCountNodes(label)
+        case "EDGES" =>
+          val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
+          if (!p.done) throw NqlParseException("GRAPH COUNT EDGES takes only optional TYPE '<x>'")
+          GraphCountEdges(etype)
+        case k => throw NqlParseException(s"GRAPH COUNT expects NODES or EDGES, got $k")
+      }
+    case Some("AGGREGATE") =>
+      p.next()
+      val func = p.next().toUpperCase
+      if (!Set("SUM", "AVG", "MIN", "MAX", "COUNT").contains(func))
+        throw NqlParseException(s"GRAPH AGGREGATE expects SUM/AVG/MIN/MAX/COUNT, got $func")
+      val prop = p.stringLit()
+      val (overEdges, filter) = p.next().toUpperCase match {
+        case "NODES" => (false, if (p.accept("LABEL")) Some(p.stringLit()) else None)
+        case "EDGES" => (true, if (p.accept("TYPE")) Some(p.stringLit()) else None)
+        case k => throw NqlParseException(s"GRAPH AGGREGATE expects NODES or EDGES after the property, got $k")
+      }
+      val where = if (p.accept("WHERE")) parseConds(p) else Nil
+      if (!p.done) throw NqlParseException(
+        "GRAPH AGGREGATE takes <func> '<prop>' NODES|EDGES [LABEL|TYPE '<x>'] [WHERE ...]")
+      GraphAggregate(func, prop, overEdges, filter, where)
+    case _ => parseGraphAlgo(p)
   }
 
   private def parseGraphAlgo(p: P): GraphAlgo = {

@@ -114,6 +114,27 @@ object NqlQueries {
         |WHERE e.vec_id <> 3
         |ORDER BY score DESC, blob_key LIMIT 10""".stripMargin),
 
+    // GRAPH AGGREGATE statement form (reference AggregateNodeProperty,
+    // `ast.rs:1430-1487`, executor `graph_engine/src/lib.rs:5705-5829`):
+    // property aggregation with label + WHERE filter through the front
+    // door. SUM runs on 1e-2-quantized longs so the value is exact and
+    // partition-order independent (the g28 policy), which the oracle
+    // mirrors with an integer sum.
+    "g43_graph_aggregate" -> QDef(
+      (s, d) => Nql.execute(s, d,
+        "GRAPH AGGREGATE SUM 'acctbal' NODES LABEL 'customer' WHERE value > 0"),
+      """SELECT 'sum' AS func, 'acctbal' AS prop,
+        |  round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 4) AS value
+        |FROM customer WHERE c_acctbal > 0""".stripMargin),
+
+    // COUNT NODES / COUNT EDGES statement forms (reference CountNodes/
+    // CountEdges): two front-door counts folded into one gate row.
+    "g44_graph_counts" -> QDef(
+      (s, d) => Nql.execute(s, d, "GRAPH COUNT NODES LABEL 'customer'")
+        .crossJoin(Nql.execute(s, d, "GRAPH COUNT EDGES TYPE 'in_nation'")),
+      """SELECT (SELECT count(*) FROM customer) AS n_nodes,
+        |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_edges""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -131,6 +131,63 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("ENTITY CREATE 'x' SET a = 'b'"))
   }
 
+  test("ENTITY UPDATE merges props and preserves the embedding") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-update-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("ENTITY CREATE 'user:u' SET team = 'ml', site = 'sfo' EMBEDDING (0.6, 0.8)")
+    runS("ENTITY UPDATE 'user:u' SET site = 'nyc', role = 'lead'")
+    val row = runS("ENTITY GET 'user:u'").collect()(0)
+    val props = row.getAs[Map[String, String]]("props")
+    assert(props("team") == "ml")      // unnamed prop preserved
+    assert(props("site") == "nyc")     // named prop overwritten
+    assert(props("role") == "lead")    // new prop added
+    val emb = row.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(emb == Seq(0.6f, 0.8f))     // embedding untouched
+    // an update is not an upsert: missing key fails loudly
+    assertThrows[NqlParseException](runS("ENTITY UPDATE 'user:absent' SET a = 'b'"))
+  }
+
+  test("EMBED LIST surfaces keys, dimensions, and store overlays") {
+    val nEmb = Tables(spark, sf, "embeddings").count()
+    val all = run("EMBED LIST")
+    assert(all.count() == nEmb)
+    assert(all.columns.toSeq == Seq("key", "dimension", "collection"))
+    assert(run("EMBED LIST LIMIT 5").count() == 5)
+    // store-written vectors appear alongside the bundled table
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-embedlist-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("EMBED COLLECTION CREATE 'docs' DIMENSION 2")
+    runS("EMBED STORE 'doc:1' (0.1, 0.2) IN 'docs'")
+    assert(runS("EMBED LIST IN 'docs'").collect().map(_.getString(0)).toSeq == Seq("doc:1"))
+    assert(runS("EMBED LIST").count() == nEmb + 1)
+  }
+
+  test("GRAPH COUNT and GRAPH AGGREGATE statement forms") {
+    val nCust = Tables(spark, sf, "customer").count()
+    val nSupp = Tables(spark, sf, "supplier").count()
+    assert(run("GRAPH COUNT NODES LABEL 'customer'").collect()(0).getLong(0) == nCust)
+    assert(run("GRAPH COUNT EDGES TYPE 'in_nation'").collect()(0).getLong(0) == nCust + nSupp)
+    // MIN over a filtered label matches the relational answer
+    val minBal = Tables(spark, sf, "customer")
+      .agg(org.apache.spark.sql.functions.min("c_acctbal")).collect()(0).getDouble(0)
+    val viaNql = run("GRAPH AGGREGATE MIN 'acctbal' NODES LABEL 'customer'").collect()(0)
+    assert(viaNql.getString(0) == "min" && math.abs(viaNql.getDouble(2) - minBal) < 1e-9)
+    // COUNT over edges with a WHERE on the derived weight
+    val heavy = run("GRAPH AGGREGATE COUNT 'weight' EDGES WHERE value >= 1.5").collect()(0).getDouble(2)
+    assert(heavy > 0)
+    // unknown property fails loudly, listing what exists
+    val err = intercept[NqlParseException](run("GRAPH AGGREGATE SUM 'nope' NODES"))
+    assert(err.getMessage.contains("acctbal"))
+    // a tombstoned node drops out of the count (overlay-aware)
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-gcount-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("NODE DELETE 'customer:0'")
+    assert(runS("GRAPH COUNT NODES LABEL 'customer'").collect()(0).getLong(0) == nCust - 1)
+  }
+
   test("NODE/EDGE CREATE overlay the derived property graph") {
     val store = new graft.unified.EntityStore(spark,
       java.nio.file.Files.createTempDirectory("nql-graph-store").toString)

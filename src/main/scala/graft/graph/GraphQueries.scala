@@ -1054,6 +1054,32 @@ object GraphQueries {
         |   OR EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
         |ORDER BY label""".stripMargin),
 
+    // Bridges (cut edges) from the same shared biconnected labeling: an
+    // edge is a bridge iff it is ALONE in its biconnected component —
+    // the edge analogue of g26's articulation points, completing the
+    // bridge/articulation family (reference biconnected machinery,
+    // `graph_engine/src/algorithms/`). In this topology the bridges are
+    // exactly the customer/supplier leaf edges (nation-region edges ride
+    // the per-region wheels), which the oracle states directly — an
+    // 'other' bucket or a missing leaf would break the hash match.
+    "g45_bridges" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("bicomp")
+        bicompLabels(s, d)
+          .withColumn("comp_edges", count(lit(1)).over(w))
+          .filter(col("comp_edges") === 1)
+          .withColumn("edge_kind",
+            when(col("src").like("customer:%") || col("dst").like("customer:%"), "customer_leaf")
+              .when(col("src").like("supplier:%") || col("dst").like("supplier:%"), "supplier_leaf")
+              .otherwise("other"))
+          .groupBy("edge_kind").agg(count(lit(1)).as("n_bridges"))
+          .orderBy("edge_kind")
+      },
+      """SELECT 'customer_leaf' AS edge_kind, (SELECT count(*) FROM customer) AS n_bridges
+        |UNION ALL
+        |SELECT 'supplier_leaf', (SELECT count(*) FROM supplier)
+        |ORDER BY edge_kind""".stripMargin),
+
     "g24_astar_path" -> QDef(
       (s, d) => {
         val n = Tables(s, d, "nation")

@@ -1504,6 +1504,48 @@ object PipelineQueries {
         |  CAST((sum(ntok) - sum(CASE WHEN keep THEN ntok ELSE 0 END)) * 10000 // sum(ntok) AS BIGINT) AS dup_token_bp
         |FROM k GROUP BY source ORDER BY source""".stripMargin),
 
+    // Fixed-window token chunking census (the pretraining/RAG "context
+    // window" chunker): W=64-token windows at stride S=48, i.e. 16-token
+    // overlap. Chunk i of a doc covers tokens [i·S, i·S+W), so every
+    // chunk is full except possibly the LAST — which gives closed forms
+    // for chunk count and summed chunk tokens, keeping the whole operator
+    // map-side arithmetic + one dictionary-sized per-source agg. No
+    // explode, no per-chunk shuffle: at 100 TB the chunk table itself
+    // would be written by the same map-side expressions.
+    "t21_chunk_census" -> QDef(
+      (s, d) => docs(s, d)
+        .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+        .withColumn("nch", when(col("ntok") <= 64, lit(1L))
+          .otherwise(floor((col("ntok") - lit(64) + lit(47)) / lit(48)).cast("long") + 1L))
+        .withColumn("last_len", least(lit(64L), col("ntok") - (col("nch") - 1) * 48))
+        .withColumn("chunk_toks", (col("nch") - 1) * 64 + col("last_len"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nch").as("n_chunks"),
+          sum(when(col("last_len") < 64, 1L).otherwise(0L)).as("n_partial_chunks"),
+          sum("chunk_toks").as("sum_chunk_tokens"),
+          round(sum("chunk_toks") / sum("ntok"), 4).as("expansion_ratio"))
+        .orderBy("source"),
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, ntok,
+        |    CASE WHEN ntok <= 64 THEN 1 ELSE (ntok - 64 + 47) // 48 + 1 END AS nch
+        |  FROM t),
+        |l AS (
+        |  SELECT source, ntok, nch,
+        |    least(64, ntok - (nch - 1) * 48) AS last_len,
+        |    (nch - 1) * 64 + least(64, ntok - (nch - 1) * 48) AS chunk_toks
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nch) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN last_len < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_partial_chunks,
+        |  CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_tokens,
+        |  round(CAST(sum(chunk_toks) AS DOUBLE) / sum(ntok), 4) AS expansion_ratio
+        |FROM l GROUP BY source ORDER BY source""".stripMargin),
+
     // Count-min-sketch heavy hitters: a fixed 4×1024 counter grid (rows =
     // independent md5-derived hashes) estimates any token's frequency as
     // minⱼ grid[j][hⱼ(token)] — CMS never underestimates, and the grid

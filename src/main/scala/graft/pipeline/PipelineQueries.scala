@@ -668,6 +668,21 @@ object PipelineQueries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin),
 
+    // CDC latest-state per key, batch form: the upsert view an ingestion
+    // pipeline materializes (one row per user = most recent event, ties
+    // by event_id). The streaming twin (EventStreams.latestStateStream)
+    // holds O(1) state per key in mapGroupsWithState and emits refreshed
+    // state per trigger — MemoryStream-driven in EventStreamsSpec. The
+    // raw value column passes through unaggregated, so no rounding is
+    // needed for hash parity.
+    "s07_stream_cdc_latest" -> QDef(
+      (s, d) => graft.streaming.EventStreams.latestStatePerKey(Tables(s, d, "events"))
+        .orderBy("user_id"),
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
     // Deterministic stratified sampling for training-data mixing: keep
     // 50% of English documents and 10% of every other language, decided
     // by an md5-derived hash of the doc id — reproducible on any engine,

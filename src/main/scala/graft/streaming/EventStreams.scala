@@ -247,4 +247,44 @@ object EventStreams {
           }
       }
   }
+
+  /** CDC latest-state per key, batch form: the final upsert view a
+    * latest-wins materialization holds once the stream drains — one row
+    * per user carrying the most recent event (ties broken by event_id,
+    * so the answer is total-order deterministic). One shuffle on the
+    * key; `max_by` over a (ts, event_id) struct keeps the agg partial/
+    * final-splittable, so the map side reduces each partition to one
+    * candidate row per key before the exchange.
+    */
+  def latestStatePerKey(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("st.ts").as("ts"),
+        col("st.event_id").as("event_id"), col("st.event_type").as("event_type"),
+        col("st.value").as("value"))
+
+  case class CdcEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Streaming form of [[latestStatePerKey]]: keyed `mapGroupsWithState`
+    * holds exactly ONE CdcEvent per key (O(1) state — the upsert cell)
+    * and emits the key's refreshed state every trigger (update mode).
+    * The last emission per key after the stream drains equals the batch
+    * form — asserted in EventStreamsSpec. At scale, bound state for
+    * keys that go cold with an event-time timeout that flushes and
+    * drops them (the sessionizeStatefulTimeoutStream pattern).
+    */
+  def latestStateStream(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcEvent, CdcEvent](GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
+          val cand = (it ++ state.getOption.iterator)
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(cand)
+          cand
+      }
+  }
 }

@@ -66,6 +66,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-state converges to the batch upsert view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => EventStreams.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[EventStreams.CdcEvent]
+    val q = EventStreams.latestStateStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out")
+      .start()
+    try {
+      // two batches: the second must REFRESH keys the first already emitted
+      val (first, second) = events.splitAt(events.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+      // last emission per key = the upsert cell's final value
+      val streamed = spark.table("cdc_out")
+        .withColumn("__n", monotonically_increasing_id())
+        .withColumn("__rn", expr(
+          "row_number() OVER (PARTITION BY user_id ORDER BY __n DESC)"))
+        .filter(col("__rn") === 1).drop("__n", "__rn")
+        .orderBy("user_id")
+        .collect().toSeq
+      val batch = EventStreams.latestStatePerKey(Tables(spark, sf, "events"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id").collect().toSeq
+      assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+        "streaming CDC state differs from the batch latest-wins view")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark-bounded dedup emits first-per-key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

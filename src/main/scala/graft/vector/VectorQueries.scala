@@ -516,6 +516,56 @@ object VectorQueries {
         |WHERE k.vec_id <> 0
         |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin),
 
+    // Binary sign quantization + Hamming prefilter — the last rung of the
+    // compression ladder (int8 v14 → 4×, PQ v15 → 16×, sign bits → 32×):
+    // each 64-d float vector packs to ONE 64-bit code (bit i = sign of
+    // dim i), Hamming distance (codegen'd bit_count(xor)) ranks a
+    // candidate set of 50, and only those 50 pay the exact cosine rerank.
+    // At 100 TB the code column is written at ingest and the prefilter
+    // scans 8 bytes/vector instead of 256 — the rerank cost is constant
+    // in the corpus. Candidate cut is total-order deterministic
+    // (hamming, vec_id), so recall is engine-identical and the gate
+    // hashes real ranks.
+    "v19_binary_sign_search" -> QDef(
+      (s, d) => {
+        // sum of distinct power-of-two bits == bitwise OR; the code packs
+        // into TWO 32-bit halves (lo = dims 0-31, hi = 32-63) so neither
+        // engine ever shifts into a BIGINT's sign bit
+        def half(lo: Int): org.apache.spark.sql.Column = expr(
+          s"aggregate(zip_with(slice(embedding, ${lo + 1}, 32), sequence(0, 31), " +
+            "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (acc, b) -> acc + b)")
+        val e = emb(s, d).withColumn("sig_lo", half(0)).withColumn("sig_hi", half(32))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("sig_lo").as("qlo"), col("sig_hi").as("qhi"), col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(sig_lo ^ qlo) + bit_count(sig_hi ^ qhi) AS INT)"))
+          .orderBy(col("hamming"), col("vec_id")).limit(50)
+          .withColumn("score", round(cosine_similarity(col("embedding"), col("qv")), 4))
+          .select("vec_id", "hamming", "score")
+          .orderBy(desc("score"), col("vec_id")).limit(10)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN x > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS sig_lo,
+        |    CAST(sum(CASE WHEN x > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS sig_hi
+        |  FROM u GROUP BY vec_id),
+        |q AS (SELECT s.sig_lo AS qlo, s.sig_hi AS qhi, e.embedding AS qv
+        |      FROM sig s JOIN embeddings e USING (vec_id) WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT s.vec_id,
+        |    CAST(bit_count(xor(s.sig_lo, q.qlo)) + bit_count(xor(s.sig_hi, q.qhi)) AS INT) AS hamming
+        |  FROM sig s, q WHERE s.vec_id <> 0
+        |  ORDER BY hamming, s.vec_id LIMIT 50)
+        |SELECT c.vec_id, c.hamming,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS score
+        |FROM cand c JOIN embeddings e USING (vec_id), q
+        |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin),
+
     // Hard-negative mining for contrastive training (CLIP/DPR-style data
     // prep): for each anchor, the top-5 most-similar embeddings whose
     // label DIFFERS — the near-misses a contrastive loss learns most

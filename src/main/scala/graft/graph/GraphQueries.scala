@@ -1296,6 +1296,88 @@ object GraphQueries {
          |WHERE d.deg >= 2
          |ORDER BY cc DESC, d.key LIMIT 20""".stripMargin),
 
+    // Full k-core decomposition + degeneracy (reference kcore.rs
+    // `kcore_decomposition`/`degeneracy` — g14 gates only the k=2 shell):
+    // peel at k = 1..6, starting each level from the (k-1)-core (the
+    // standard nested-shell recurrence), and a node's core number is the
+    // max k it survives. Two peel rounds per level reach the fixpoint in
+    // this SF-invariant topology (the only removable layer is the
+    // customer/supplier leaves at depth 1 — no cascade chains; the K6
+    // region wheels drop atomically at k=6), mirroring g25's derived
+    // round-count policy. Per level each round is one degree agg on the
+    // alive-induced subgraph — node-keyed shuffles, lineage-cut.
+    "g46_core_decomposition" -> QDef(
+      (s, d) => {
+        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        val nodes = TpchGraph.nodes(s, d).select("key")
+        var alive = nodes
+        val levels = Seq.newBuilder[DataFrame]
+        for (k <- 1 to 6) {
+          for (_ <- 1 to 2) {
+            val deg = und.join(alive.select(col("key").as("src")), Seq("src"))
+              .join(alive.select(col("key").as("dst")), Seq("dst"))
+              .groupBy("src").agg(count(lit(1)).as("deg"))
+            alive = Algorithms.cut(deg.filter(col("deg") >= k).select(col("src").as("key")))
+          }
+          levels += alive.withColumn("core", lit(k))
+        }
+        nodes.withColumn("core", lit(0))
+          .union(levels.result().reduce(_ union _))
+          .groupBy("key").agg(max("core").as("core"))
+          .groupBy("core").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("core")
+      },
+      """SELECT CAST(1 AS INT) AS core,
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_nodes
+        |UNION ALL
+        |SELECT CAST(5 AS INT),
+        |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+        |ORDER BY core""".stripMargin),
+
+    // Global transitivity + average local clustering (reference
+    // `global_clustering_coefficient` / `average_clustering`): the same
+    // wedge/triangle frames as g38, reduced to the two corpus-level
+    // coefficients. Numerators/denominators accumulate as INTEGER sums
+    // (transitivity = Σtri / Σwedge with each triangle counted at its 3
+    // centers); only the final divisions are doubles.
+    "g47_clustering_global" -> QDef(
+      (s, d) => {
+        val e0 = TpchGraph.edges(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+        val und = e0.select(col("u").as("x"), col("v").as("w"))
+          .union(e0.select(col("v").as("x"), col("u").as("w")))
+        val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
+        val wedges = und.select(col("x"), col("w").as("u"))
+          .join(und.select(col("x"), col("w").as("v")), Seq("x"))
+          .filter(col("u") < col("v"))
+        val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
+          .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("key"), "left")
+          .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+          .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
+          .agg(
+            sum("tri").as("sum_tri"), sum("wed").as("sum_wedges"),
+            round(sum("tri") / sum("wed"), 6).as("transitivity"),
+            round(avg(when(col("wed") > 0, col("tri") / col("wed"))), 6).as("avg_clustering"))
+      },
+      s"""WITH $allEdgesSql,
+         |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
+         |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT x AS key, count(*) AS deg FROM u2 GROUP BY x),
+         |tri AS (SELECT a.x AS key, count(*) AS tri
+         |        FROM u2 a JOIN u2 b ON b.x = a.x AND a.w < b.w
+         |        JOIN e0 e ON e.u = a.w AND e.v = b.w
+         |        GROUP BY a.x),
+         |j AS (SELECT d.deg, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+         |             CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wed
+         |      FROM deg d LEFT JOIN tri t ON t.key = d.key)
+         |SELECT CAST(sum(tri) AS BIGINT) AS sum_tri,
+         |  CAST(sum(wed) AS BIGINT) AS sum_wedges,
+         |  round(CAST(sum(tri) AS DOUBLE) / sum(wed), 6) AS transitivity,
+         |  round(avg(CASE WHEN wed > 0 THEN CAST(tri AS DOUBLE) / wed END), 6) AS avg_clustering
+         |FROM j""".stripMargin),
+
     // Degree assortativity (Newman 2002): Pearson correlation of endpoint
     // degrees over the symmetrized edge list. Both orientations are
     // summed, so Σx = Σy and Σx² = Σy² and r reduces to

@@ -82,6 +82,53 @@ object GraphQueries {
       Algorithms.biconnectedComponents(und, roots, 1, 4, climbRounds = 1)
     })
 
+  /** g46 engine (parameterized for the `GRAPH CORES` statement): nested-
+    * shell k-core peeling over any undirected edge/node frame; a node's
+    * core number is the max k it survives. Two peel rounds per level
+    * reach the fixpoint in the SF-invariant TPC-H topology (leaf layer
+    * depth 1, no cascade chains; the K6 wheels drop atomically). */
+  def coreDecomposition(und: DataFrame, nodes: DataFrame, maxK: Int = 6): DataFrame = {
+    var alive = nodes
+    val levels = Seq.newBuilder[DataFrame]
+    for (k <- 1 to maxK) {
+      for (_ <- 1 to 2) {
+        val deg = und.join(alive.select(col("key").as("src")), Seq("src"))
+          .join(alive.select(col("key").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+        alive = Algorithms.cut(deg.filter(col("deg") >= k).select(col("src").as("key")))
+      }
+      levels += alive.withColumn("core", lit(k))
+    }
+    nodes.withColumn("core", lit(0))
+      .union(levels.result().reduce(_ union _))
+      .groupBy("key").agg(max("core").as("core"))
+      .groupBy("core").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("core")
+  }
+
+  /** g47 engine (parameterized for the `GRAPH TRANSITIVITY` statement):
+    * corpus-level transitivity (Σtri/Σwedge, integer sums) and average
+    * local clustering over any canonical (u < v) edge frame. */
+  def clusteringGlobal(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+    val und = e0.select(col("u").as("x"), col("v").as("w"))
+      .union(e0.select(col("v").as("x"), col("u").as("w")))
+    val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("x"), col("w").as("u"))
+      .join(und.select(col("x"), col("w").as("v")), Seq("x"))
+      .filter(col("u") < col("v"))
+    val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
+      .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("key"), "left")
+      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
+      .agg(
+        sum("tri").as("sum_tri"), sum("wed").as("sum_wedges"),
+        round(sum("tri") / sum("wed"), 6).as("transitivity"),
+        round(avg(when(col("wed") > 0, col("tri") / col("wed"))), 6).as("avg_clustering"))
+  }
+
   val defs: Seq[(String, QDef)] = Seq(
 
     "g01_node_degree" -> QDef(
@@ -1307,26 +1354,8 @@ object GraphQueries {
     // round-count policy. Per level each round is one degree agg on the
     // alive-induced subgraph — node-keyed shuffles, lineage-cut.
     "g46_core_decomposition" -> QDef(
-      (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        val nodes = TpchGraph.nodes(s, d).select("key")
-        var alive = nodes
-        val levels = Seq.newBuilder[DataFrame]
-        for (k <- 1 to 6) {
-          for (_ <- 1 to 2) {
-            val deg = und.join(alive.select(col("key").as("src")), Seq("src"))
-              .join(alive.select(col("key").as("dst")), Seq("dst"))
-              .groupBy("src").agg(count(lit(1)).as("deg"))
-            alive = Algorithms.cut(deg.filter(col("deg") >= k).select(col("src").as("key")))
-          }
-          levels += alive.withColumn("core", lit(k))
-        }
-        nodes.withColumn("core", lit(0))
-          .union(levels.result().reduce(_ union _))
-          .groupBy("key").agg(max("core").as("core"))
-          .groupBy("core").agg(count(lit(1)).as("n_nodes"))
-          .orderBy("core")
-      },
+      (s, d) => coreDecomposition(TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst"),
+        TpchGraph.nodes(s, d).select("key")),
       """SELECT CAST(1 AS INT) AS core,
         |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_nodes
         |UNION ALL
@@ -1341,26 +1370,7 @@ object GraphQueries {
     // (transitivity = Σtri / Σwedge with each triangle counted at its 3
     // centers); only the final divisions are doubles.
     "g47_clustering_global" -> QDef(
-      (s, d) => {
-        val e0 = TpchGraph.edges(s, d)
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v"))
-        val und = e0.select(col("u").as("x"), col("v").as("w"))
-          .union(e0.select(col("v").as("x"), col("u").as("w")))
-        val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-        val wedges = und.select(col("x"), col("w").as("u"))
-          .join(und.select(col("x"), col("w").as("v")), Seq("x"))
-          .filter(col("u") < col("v"))
-        val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
-          .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
-        deg.join(tri, Seq("key"), "left")
-          .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
-          .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
-          .agg(
-            sum("tri").as("sum_tri"), sum("wed").as("sum_wedges"),
-            round(sum("tri") / sum("wed"), 6).as("transitivity"),
-            round(avg(when(col("wed") > 0, col("tri") / col("wed"))), 6).as("avg_clustering"))
-      },
+      (s, d) => clusteringGlobal(TpchGraph.edges(s, d)),
       s"""WITH $allEdgesSql,
          |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
          |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),

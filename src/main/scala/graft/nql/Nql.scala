@@ -70,6 +70,12 @@ final case class GraphPpr(from: String, iterations: Int = 8) extends GraphAlgo
   * the second sweep's peripheral node and its distance, within the
   * start node's component. */
 final case class GraphDiameter() extends GraphAlgo
+/** `GRAPH CORES [MAX k]` — full k-core decomposition histogram (max row
+  * = degeneracy; reference kcore.rs `kcore_decomposition`). */
+final case class GraphCores(maxK: Int = 6) extends GraphAlgo
+/** `GRAPH TRANSITIVITY` — global transitivity + average local clustering
+  * (reference `global_clustering_coefficient`/`average_clustering`). */
+final case class GraphTransitivity() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
 /** `EMBED LIST [IN '<collection>'] [LIMIT n]` — the reference's
@@ -195,6 +201,9 @@ final case class BpeTrain(rounds: Int) extends Statement
   * documents token stream (the t19 engine as a statement). */
 final case class HeavyHitters(top: Int = 20) extends Statement
 
+/** `CHUNK WINDOW w STRIDE s` — fixed-window token chunk census over the
+  * documents table (the t21 engine, parameterized). */
+final case class ChunkCensus(window: Int, stride: Int) extends Statement
 /** `MMR <id> [POOL p] [LIMIT k]` — maximal-marginal-relevance
   * diversified re-ranking of vector search results (the v18 engine as a
   * statement: top-p relevance pool for query vector id, k greedy picks

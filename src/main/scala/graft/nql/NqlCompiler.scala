@@ -386,6 +386,17 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(col("key").as("peripheral_key"),
           col("depth").as("pseudo_diameter"))
 
+    // GRAPH CORES [MAX k] — full k-core decomposition (g46 engine),
+    // overlay-aware (store nodes/edges join the peel).
+    case GraphCores(maxK) =>
+      graft.graph.GraphQueries.coreDecomposition(
+        TpchGraph.undirected(allEdges).select("src", "dst"),
+        allNodes.select("key"), maxK)
+
+    // GRAPH TRANSITIVITY — global + average clustering (g47 engine).
+    case GraphTransitivity() =>
+      graft.graph.GraphQueries.clusteringGlobal(allEdges)
+
     // SHOW EMBEDDINGS analogue: key + dimension + label/collection of
     // every stored vector (bundled table ∪ store), deterministic order.
     case EmbedList(collection, limit) =>
@@ -699,6 +710,10 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // MMR <id> [POOL p] [LIMIT k] — diversified re-ranking (v18).
     case MmrRerank(vid, pool, k) =>
       graft.vector.VectorQueries.mmrRerank(spark, sfDir, vid, pool, k)
+
+    // CHUNK WINDOW w STRIDE s — fixed-window chunk census (t21 engine).
+    case ChunkCensus(w, stride) =>
+      graft.pipeline.PipelineQueries.chunkCensus(spark, sfDir, w, stride)
 
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.

@@ -175,6 +175,17 @@ object NqlParser {
           throw NqlParseException(s"HEAVY HITTERS top must be in 1..100, got $k")
         if (!p.done) throw NqlParseException("HEAVY HITTERS takes optional TOP k")
         HeavyHitters(k)
+      case "CHUNK"     =>
+        p.next(); p.expectKw("WINDOW")
+        val w = p.int()
+        p.expectKw("STRIDE")
+        val st = p.int()
+        if (w < 1 || w > 100000)
+          throw NqlParseException(s"CHUNK window must be in 1..100000, got $w")
+        if (st < 1 || st > w)
+          throw NqlParseException(s"CHUNK stride must be in 1..window($w), got $st")
+        if (!p.done) throw NqlParseException("CHUNK takes WINDOW w STRIDE s")
+        ChunkCensus(w, st)
       case "MMR"       =>
         p.next()
         val vid = p.int()
@@ -451,6 +462,12 @@ object NqlParser {
           throw NqlParseException(s"PPR iterations must be in 1..12, got $it")
         GraphPpr(from, it)
       case "DIAMETER" => GraphDiameter()
+      case "CORES" =>
+        val k = if (p.accept("MAX")) p.int() else 6
+        if (k < 1 || k > 16)
+          throw NqlParseException(s"GRAPH CORES max must be in 1..16, got $k")
+        GraphCores(k)
+      case "TRANSITIVITY" => GraphTransitivity()
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

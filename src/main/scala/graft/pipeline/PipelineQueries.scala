@@ -258,6 +258,28 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Fixed-window chunk census engine (t21, parameterized for the
+    * `CHUNK WINDOW w STRIDE s` statement): chunk i of a doc covers
+    * tokens [i·stride, i·stride+w), so only the LAST chunk can be
+    * partial — closed-form map-side arithmetic, one per-source agg. */
+  def chunkCensus(s: SparkSession, d: String, w: Int, stride: Int): DataFrame = {
+    require(w > 0 && stride > 0 && stride <= w,
+      s"chunk census needs 0 < stride <= window, got window=$w stride=$stride")
+    docs(s, d)
+      .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+      .withColumn("nch", when(col("ntok") <= w, lit(1L))
+        .otherwise(floor((col("ntok") - lit(w) + lit(stride - 1)) / lit(stride)).cast("long") + 1L))
+      .withColumn("last_len", least(lit(w.toLong), col("ntok") - (col("nch") - 1) * stride))
+      .withColumn("chunk_toks", (col("nch") - 1) * w + col("last_len"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nch").as("n_chunks"),
+        sum(when(col("last_len") < w, 1L).otherwise(0L)).as("n_partial_chunks"),
+        sum("chunk_toks").as("sum_chunk_tokens"),
+        round(sum("chunk_toks") / sum("ntok"), 4).as("expansion_ratio"))
+      .orderBy("source")
+  }
+
   def cmsHeavyHitters(s: SparkSession, d: String, k: Int): DataFrame = {
     val bucketExpr = cmsBucketExpr
     val toks = docs(s, d)
@@ -1581,19 +1603,7 @@ object PipelineQueries {
     // explode, no per-chunk shuffle: at 100 TB the chunk table itself
     // would be written by the same map-side expressions.
     "t21_chunk_census" -> QDef(
-      (s, d) => docs(s, d)
-        .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
-        .withColumn("nch", when(col("ntok") <= 64, lit(1L))
-          .otherwise(floor((col("ntok") - lit(64) + lit(47)) / lit(48)).cast("long") + 1L))
-        .withColumn("last_len", least(lit(64L), col("ntok") - (col("nch") - 1) * 48))
-        .withColumn("chunk_toks", (col("nch") - 1) * 64 + col("last_len"))
-        .groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum("nch").as("n_chunks"),
-          sum(when(col("last_len") < 64, 1L).otherwise(0L)).as("n_partial_chunks"),
-          sum("chunk_toks").as("sum_chunk_tokens"),
-          round(sum("chunk_toks") / sum("ntok"), 4).as("expansion_ratio"))
-        .orderBy("source"),
+      (s, d) => chunkCensus(s, d, 64, 48),
       """WITH t AS (
         |  SELECT source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok

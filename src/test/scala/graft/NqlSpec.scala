@@ -164,6 +164,27 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("EMBED LIST").count() == nEmb + 1)
   }
 
+  test("GRAPH CORES, GRAPH TRANSITIVITY, and CHUNK statement fronts") {
+    // cores: histogram matches the g46 gate; max row is the degeneracy
+    val cores = run("GRAPH CORES").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val gate = SparkEntry.queries("g46_core_decomposition")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(cores.toSeq == gate.toSeq)
+    assert(cores.map(_._1).max == 5) // the K6 region wheels
+    // transitivity: matches the g47 gate row
+    val t = run("GRAPH TRANSITIVITY").collect()(0)
+    val tg = SparkEntry.queries("g47_clustering_global")(spark, sf).collect()(0)
+    assert(t.toSeq == tg.toSeq)
+    // chunk census: statement equals the parameterized engine; window
+    // large enough that no doc splits -> expansion ratio exactly 1.0
+    val c = run("CHUNK WINDOW 64 STRIDE 48").collect()
+    val cg = SparkEntry.queries("t21_chunk_census")(spark, sf).collect()
+    assert(c.toSeq == cg.toSeq)
+    val whole = run("CHUNK WINDOW 10000 STRIDE 10000").collect()
+    assert(whole.forall(r => r.getDouble(r.fieldIndex("expansion_ratio")) == 1.0))
+    assertThrows[NqlParseException](run("CHUNK WINDOW 10 STRIDE 20"))
+  }
+
   test("GRAPH COUNT and GRAPH AGGREGATE statement forms") {
     val nCust = Tables(spark, sf, "customer").count()
     val nSupp = Tables(spark, sf, "supplier").count()

@@ -588,6 +588,28 @@ object RelationalQueries {
         |      FROM orders) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // percent_rank + cume_dist (the remaining rank-family windows beyond
+    // rank/dense_rank/ntile): distribution position of each nation's
+    // supplier count. Both functions are rational-valued from integer
+    // rank/count inputs, so round(6) is engine-identical; the window
+    // ordering carries a full tiebreak (count, nationkey) to make ranks
+    // total-order deterministic.
+    "q42_window_percent_rank" -> QDef(
+      (s, d) => {
+        val per = t(s, d, "supplier")
+          .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+        val w = Window.orderBy(col("n_supp"), col("nk"))
+        per.withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .orderBy("nk")
+      },
+      """SELECT nk, n_supp,
+        |  round(percent_rank() OVER (ORDER BY n_supp, nk), 6) AS pct_rank,
+        |  round(cume_dist() OVER (ORDER BY n_supp, nk), 6) AS cume
+        |FROM (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) t
+        |ORDER BY nk""".stripMargin),
+
     // RANGE-framed window (value-based frame, not row-based): for each
     // order, how many same-priority orders fall within ±1000 of its
     // price. count() over a RANGE frame is peer-insensitive, so the

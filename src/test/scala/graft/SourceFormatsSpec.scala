@@ -32,4 +32,20 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(fromJson == fromParquet, "json path diverged")
     assert(fromParquet.map(_._2).sum == nation.count())
   }
+
+  test("orc round-trips the full column set losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("fmt-orc").toString
+    val lineitem = Tables(spark, sf, "lineitem")
+    lineitem.write.mode("overwrite").orc(s"$dir/lineitem_orc")
+    val back = spark.read.orc(s"$dir/lineitem_orc")
+    assert(back.schema == lineitem.schema, "orc schema drifted")
+    // same aggregate over both paths — exact integer comparison
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("q"))
+        .orderBy("l_returnflag")
+        .collect().map(_.toSeq).toSeq
+    assert(agg(back) == agg(lineitem), "orc path diverged")
+  }
 }

@@ -349,18 +349,46 @@ object Algorithms {
     * (⌈log₂ iters⌉ rounds) instead of two iters-round propagations —
     * 14 sequential shuffle barriers became 3.
     */
-  def stronglyConnectedComponents(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+  def stronglyConnectedComponents(edges: DataFrame, nodes: DataFrame, iters: Int,
+      trimRounds: Int = 2): DataFrame = {
+    // Trim prephase (the standard SCC reduction): a node with no
+    // in-edges or no out-edges in the surviving subgraph lies on no
+    // cycle, so it is a singleton SCC — peel those to (bounded)
+    // fixpoint FIRST and run the expensive squared closure only over
+    // the cyclic core. On this topology one round drops every
+    // customer/supplier leaf and every region sink, shrinking the
+    // closure's input from corpus-sized to the 25-nation cycle set;
+    // partial trims are still exact (leftover acyclic nodes keep
+    // distinct closure signatures), so trimRounds is a performance
+    // knob, not a correctness one.
+    var e = edges.select("src", "dst")
+    for (i <- 1 to trimRounds) {
+      val hasOut = e.select(col("src").as("key")).distinct()
+      val hasIn = e.select(col("dst").as("key")).distinct()
+      val core = Algorithms.cut(hasOut.join(hasIn, Seq("key")))
+      e = e.join(core.select(col("key").as("src")), Seq("src"), "left_semi")
+        .join(core.select(col("key").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    }
+    e = e.localCheckpoint(false)
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, iters - 1)))
-    val cl = reachClosure(edges, rounds).localCheckpoint(false)
-    val fwd = nodes.select(col("key"), col("key").as("lbl"))
+    val cl = reachClosure(e, rounds).localCheckpoint(false)
+    val coreNodes = e.select(col("src").as("key"))
+      .union(e.select(col("dst").as("key"))).distinct()
+    val fwd = coreNodes.select(col("key"), col("key").as("lbl"))
       .union(cl.select(col("src").as("key"), col("dst").as("lbl")))
       .groupBy("key").agg(min("lbl").as("flbl"))
-    val bwd = nodes.select(col("key"), col("key").as("lbl"))
+    val bwd = coreNodes.select(col("key"), col("key").as("lbl"))
       .union(cl.select(col("dst").as("key"), col("src").as("lbl")))
       .groupBy("key").agg(min("lbl").as("blbl"))
     val sig = fwd.join(bwd, Seq("key"))
     val sccId = sig.groupBy("flbl", "blbl").agg(min("key").as("scc"))
-    sig.join(sccId, Seq("flbl", "blbl")).select("key", "scc")
+    val coreScc = sig.join(sccId, Seq("flbl", "blbl")).select("key", "scc")
+    // trimmed-away nodes are singleton SCCs by construction
+    val singletons = nodes.select("key")
+      .join(coreNodes, Seq("key"), "left_anti")
+      .select(col("key"), col("key").as("scc"))
+    coreScc.union(singletons)
   }
 
   /** Eigenvector centrality: power iteration x ← A·x / max(A·x) over the

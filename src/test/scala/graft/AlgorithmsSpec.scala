@@ -81,6 +81,37 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(settled < settledAll, s"A* kept $settled vs $settledAll without heuristic")
   }
 
+  test("A* euclidean and manhattan heuristics find the Dijkstra cost on a grid") {
+    // Reference astar.rs ships astar_path_euclidean / astar_path_manhattan
+    // as named variants; here the heuristic is a FRAME, so each variant
+    // is just a different h input over node coordinates. 4x4 grid,
+    // unit edges between 4-neighbors; optimal (0,0)->(3,3) cost = 6.
+    def key(x: Int, y: Int) = s"$x:$y"
+    val cells = for { x <- 0 to 3; y <- 0 to 3 } yield (x, y)
+    val edges = (for {
+      (x, y) <- cells
+      (dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+      if x + dx >= 0 && x + dx <= 3 && y + dy >= 0 && y + dy <= 3
+    } yield (key(x, y), key(x + dx, y + dy), 1.0)).toDF("src", "dst", "w")
+    // target (3,0): the grid is then ASYMMETRIC around the optimum (cost
+    // 3 along the bottom edge), so off-path rows y >= 1 have g + h > C*
+    // and become prunable once the bound exists
+    val manhattan = cells.map { case (x, y) =>
+      (key(x, y), (math.abs(3 - x) + y).toDouble) }.toDF("key", "h")
+    val euclidean = cells.map { case (x, y) =>
+      (key(x, y), math.sqrt((3.0 - x) * (3 - x) + y.toDouble * y)) }.toDF("key", "h")
+    val zero = cells.map { case (x, y) => (key(x, y), 0.0) }.toDF("key", "h")
+    val costs = Seq(manhattan, euclidean, zero).map(h =>
+      Algorithms.astar(edges, h, "0:0", "3:0", 6).collect()(0).getDouble(2))
+    assert(costs.forall(_ == 3.0), s"heuristic variants disagree: $costs")
+    // both admissible heuristics prune vs the zero-heuristic Dijkstra
+    // (which keeps every g <= bound node), and manhattan (= the true
+    // grid distance) prunes at least as hard as euclidean
+    val Seq(sm, se, s0) = Seq(manhattan, euclidean, zero).map(h =>
+      Algorithms.astarSettledCount(edges, h, "0:0", "3:0", 6))
+    assert(sm <= se && se < s0, s"expected manhattan <= euclidean < zero, got $sm/$se/$s0")
+  }
+
   test("connectedComponentsChecked fails loudly below the graph diameter") {
     // path a0-a1-...-a9: min-label propagation needs 9 rounds to reach a9
     val g = und((0 until 9).map(i => s"a$i" -> s"a${i + 1}"): _*)

@@ -88,16 +88,29 @@ object GraphQueries {
     * reach the fixpoint in the SF-invariant TPC-H topology (leaf layer
     * depth 1, no cascade chains; the K6 wheels drop atomically). */
   def coreDecomposition(und: DataFrame, nodes: DataFrame, maxK: Int = 6): DataFrame = {
-    var alive = nodes
+    // Cost shape: each round joins the edge frame against the alive set,
+    // and only the SMALL alive frame is lineage-cut (cutting the full
+    // edge frame per round measures slower than the joins it saves). The
+    // edge frame is materialized down to the induced core ONCE, after
+    // the k=2 level strips the leaf layer — every later level then
+    // aggregates the residual core's edges, not the corpus. k=1 runs a
+    // single round: removing degree-0 nodes deletes no edges, so it can
+    // never cascade.
+    var e = und.select("src", "dst")
+    var alive = nodes.select("key")
     val levels = Seq.newBuilder[DataFrame]
     for (k <- 1 to maxK) {
-      for (_ <- 1 to 2) {
-        val deg = und.join(alive.select(col("key").as("src")), Seq("src"))
-          .join(alive.select(col("key").as("dst")), Seq("dst"))
+      for (_ <- 1 to (if (k == 1) 1 else 2)) {
+        val deg = e.join(alive.select(col("key").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("key").as("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("deg"))
         alive = Algorithms.cut(deg.filter(col("deg") >= k).select(col("src").as("key")))
       }
       levels += alive.withColumn("core", lit(k))
+      if (k == 2) e = Algorithms.cut(
+        e.join(alive.select(col("key").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("key").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
     }
     nodes.withColumn("core", lit(0))
       .union(levels.result().reduce(_ union _))

@@ -659,30 +659,33 @@ object Algorithms {
 
   /** Personalized PageRank (random walk with restart; Jeh & Widom): the
     * teleport vector is uniform over `seeds("key")` instead of the whole
-    * node set, so scores rank proximity TO THE SEEDS. Same per-round
-    * shape and lineage policy as [[pageRank]]; nodes outside the seeds'
-    * component stay at exactly 0 (filter on `pr > 0` for non-vacuous
-    * output). No dangling redistribution — callers pass an undirected
-    * (sink-free) edge frame, mirroring the unrolled oracle.
+    * node set, so scores rank proximity TO THE SEEDS. Same lineage
+    * policy as [[pageRank]], but the score frame is SPARSE: only nodes
+    * the walk has touched carry rows (the rest are exactly 0, and both
+    * consumers filter `pr > 0`) — so each round's join/agg is sized by
+    * the seed component, not the whole graph, and the dense per-round
+    * teleport join disappears. Bit-identical to the dense form: the
+    * per-key update is the same two-term double sum (commutative), and
+    * dropped rows only ever contributed +0.0 terms. `nodes` stays in
+    * the signature for call-site symmetry with [[pageRank]]. No
+    * dangling redistribution — callers pass an undirected (sink-free)
+    * edge frame, mirroring the unrolled oracle.
     */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
       iters: Int, damping: Double = 0.85): DataFrame = {
     val ns = seeds.agg(count(lit(1)).as("ns"))
-    val tele = cut(nodes.select("key")
-      .join(seeds.select(col("key")).withColumn("is_s", lit(1)), Seq("key"), "left")
-      .crossJoin(broadcast(ns))
-      .select(col("key"),
-        when(col("is_s") === 1, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("t")))
+    val seedT = cut(seeds.select("key").crossJoin(broadcast(ns))
+      .select(col("key"), (lit(1.0) / col("ns")).as("t")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val contrib = edges.join(deg, "src")
-    var pr = tele.select(col("key"), col("t").as("pr"))
+    var pr = seedT.select(col("key"), col("t").as("pr"))
     for (i <- 1 to iters) {
       val mass = pr.join(contrib, col("key") === col("src"))
         .select(col("dst"), (col("pr") / col("od")).as("m"))
         .groupBy("dst").agg(sum("m").as("mass"))
-      pr = chk(tele.join(mass, col("key") === col("dst"), "left")
-        .select(col("key"),
-          (lit(1 - damping) * col("t") + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")),
+      pr = chk(mass.select(col("dst").as("key"), (lit(damping) * col("mass")).as("pr"))
+        .union(seedT.select(col("key"), (lit(1 - damping) * col("t")).as("pr")))
+        .groupBy("key").agg(sum("pr").as("pr")),
         i, iters)
     }
     pr

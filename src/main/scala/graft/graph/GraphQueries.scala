@@ -664,21 +664,11 @@ object GraphQueries {
     // rounds: each node takes the most frequent neighbor label, ties →
     // lexicographically smallest; deterministic, oracle unrolls the rounds.
     "g15_label_propagation" -> QDef(
-      (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        var labels = TpchGraph.nodes(s, d).select(col("key"), col("key").as("lbl"))
-        for (_ <- 1 to 3) {
-          val counts = und
-            .join(labels.select(col("key").as("dst"), col("lbl")), Seq("dst"))
-            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          val w = Window.partitionBy("src").orderBy(desc("c"), col("lbl"))
-          labels = Algorithms.cut(counts.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("src").as("key"), col("lbl")))
-        }
-        labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
-          .orderBy(desc("n_nodes"), col("lbl")).limit(20)
-      },
+      (s, d) => Algorithms.labelPropagation(
+          TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst"),
+          TpchGraph.nodes(s, d), 3)
+        .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(desc("n_nodes"), col("lbl")).limit(20),
       s"""WITH $nodesSql,
          |$allEdgesSql,
          |l0 AS (SELECT key, key AS lbl FROM nds),
@@ -702,29 +692,12 @@ object GraphQueries {
     // so both engines compute bit-identical doubles and the argmax
     // (and therefore the oracle) is deterministic. 2 sweeps.
     "g21_louvain_communities" -> QDef(
-      (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
-        val nodes = TpchGraph.nodes(s, d).select("key")
-        val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
-        val m2 = und.count().toDouble // = 2m (symmetric closure)
-        var comm = nodes.select(col("key"), col("key").as("comm"))
-        for (_ <- 1 to 2) {
-          val tot = comm.join(deg, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
-          val evc = und
-            .join(comm.select(col("key").as("dst"), col("comm")), Seq("dst"))
-            .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
-          val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
-            .withColumn("gain",
-              col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
-          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("key"), col("comm")))
-        }
-        comm.groupBy("comm").agg(count(lit(1)).as("n_nodes"))
-          .filter(col("n_nodes") >= 2)
-          .orderBy(desc("n_nodes"), col("comm")).limit(30)
-      }, {
+      (s, d) => Algorithms.louvainSweeps(
+          TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst"),
+          TpchGraph.nodes(s, d), 2)
+        .groupBy("comm").agg(count(lit(1)).as("n_nodes"))
+        .filter(col("n_nodes") >= 2)
+        .orderBy(desc("n_nodes"), col("comm")).limit(30), {
         def sweep(prev: String, i: Int): String =
           s"""tot$i AS (SELECT comm, CAST(sum(deg) AS BIGINT) AS tot FROM $prev JOIN deg USING (key) GROUP BY comm),
              |evc$i AS (SELECT u.src AS key, p.comm, count(*) AS evc
@@ -755,17 +728,7 @@ object GraphQueries {
         val und = e.select(col("src"), col("dst"))
           .union(e.select(col("dst").as("src"), col("src").as("dst")))
         val n30 = und.select(col("src").as("key")).distinct()
-        var reach = n30.select(col("key").as("source"), col("key"), lit(0).as("dd"))
-        var frontier = reach
-        for (i <- 1 to 2) {
-          frontier = Algorithms.cut(frontier.join(und, col("key") === col("src"))
-            .select(col("source"), col("dst").as("key"), lit(i).as("dd")))
-          reach = reach.union(frontier)
-        }
-        reach.groupBy("source", "key").agg(min("dd").as("dd"))
-          .groupBy("source").agg(count(lit(1)).as("cnt"), sum("dd").as("sd"))
-          .select(col("source").as("key"),
-            round((col("cnt") - 1) / col("sd"), 6).as("closeness"))
+        Algorithms.closenessBounded(und, n30, 2)
           .orderBy(desc("closeness"), col("key")).limit(30)
       },
       s"""WITH $treeEdgesSql,

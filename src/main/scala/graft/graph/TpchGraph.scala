@@ -391,6 +391,68 @@ object Algorithms {
     coreScc.union(singletons)
   }
 
+  /** Label propagation (the g15 engine, parameterized for the
+    * `GRAPH LABELPROP` statement): `iters` rounds of majority-label
+    * adoption with (count desc, label) tie-break — one neighbor-join +
+    * windowed argmax per round, lineage-cut. Returns (key, lbl). */
+  def labelPropagation(und: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    var labels = nodes.select(col("key"), col("key").as("lbl"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("key").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("c"), col("lbl"))
+      labels = cut(counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("key"), col("lbl")))
+    }
+    labels
+  }
+
+  /** Bounded-depth closeness centrality (the g18 engine, parameterized
+    * for `GRAPH CLOSENESS`): multi-source BFS to `maxDepth`, then
+    * (reached − 1) / Σdist per source. All sources sweep in ONE batched
+    * frame (the g34/g42 multi-source pattern). Returns (key, closeness). */
+  def closenessBounded(und: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    var reach = sources.select(col("key").as("source"), col("key"), lit(0).as("dd"))
+    var frontier = reach
+    for (i <- 1 to maxDepth) {
+      frontier = cut(frontier.join(und, col("key") === col("src"))
+        .select(col("source"), col("dst").as("key"), lit(i).as("dd")))
+      reach = reach.union(frontier)
+    }
+    reach.groupBy("source", "key").agg(min("dd").as("dd"))
+      .groupBy("source").agg(count(lit(1)).as("cnt"), sum("dd").as("sd"))
+      .select(col("source").as("key"),
+        round((col("cnt") - 1) / col("sd"), 6).as("closeness"))
+  }
+
+  /** One-level Louvain sweeps (the g21 engine, parameterized for
+    * `GRAPH LOUVAIN`): each sweep moves every node to the
+    * modularity-argmax neighboring community ((gain desc, comm)
+    * tie-break). Returns (key, comm). */
+  def louvainSweeps(und: DataFrame, nodes: DataFrame, sweeps: Int): DataFrame = {
+    val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
+    val m2 = und.count().toDouble // = 2m (symmetric closure)
+    var comm = nodes.select(col("key"), col("key").as("comm"))
+    for (_ <- 1 to sweeps) {
+      val tot = comm.join(deg, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
+      val evc = und
+        .join(comm.select(col("key").as("dst"), col("comm")), Seq("dst"))
+        .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
+      val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
+        .withColumn("gain",
+          col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("gain"), col("comm"))
+      comm = cut(gains.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("comm")))
+    }
+    comm
+  }
+
   /** Eigenvector centrality: power iteration x ← A·x / max(A·x) over the
     * undirected adjacency, `iters` fixed rounds from x₀ = 1. Max-
     * normalization keeps the scale exact (max is order-insensitive,

@@ -73,6 +73,15 @@ final case class GraphDiameter() extends GraphAlgo
 /** `GRAPH CORES [MAX k]` — full k-core decomposition histogram (max row
   * = degeneracy; reference kcore.rs `kcore_decomposition`). */
 final case class GraphCores(maxK: Int = 6) extends GraphAlgo
+// Statement forms for the remaining reference GraphAlgorithm variants
+// (`ast.rs` BetweennessCentrality / ClosenessCentrality /
+// EigenvectorCentrality / LabelPropagation / LouvainCommunities) — each
+// compiles to the corresponding parameterized engine in Algorithms.
+final case class GraphEigenvector(iterations: Int = 4) extends GraphAlgo
+final case class GraphBetweenness() extends GraphAlgo
+final case class GraphCloseness() extends GraphAlgo
+final case class GraphLabelProp(iterations: Int = 3) extends GraphAlgo
+final case class GraphLouvain(sweeps: Int = 2) extends GraphAlgo
 /** `GRAPH TRANSITIVITY` — global transitivity + average local clustering
   * (reference `global_clustering_coefficient`/`average_clustering`). */
 final case class GraphTransitivity() extends GraphAlgo

@@ -386,6 +386,44 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(col("key").as("peripheral_key"),
           col("depth").as("pseudo_diameter"))
 
+    // Remaining reference GraphAlgorithm statement variants — each runs
+    // its parameterized engine over the overlay-aware frames.
+    case GraphEigenvector(iters) =>
+      Algorithms.eigenvector(TpchGraph.undirected(allEdges), allNodes, iters)
+        .select(col("key"), round(col("x"), 6).as("score"))
+        .orderBy(desc("score"), col("key")).limit(20)
+
+    // Sampled-source Brandes from the hub layer (nation ∪ region) —
+    // the g22 construction without the customer sample.
+    case GraphBetweenness() =>
+      Algorithms.betweennessBrandes(
+          TpchGraph.undirected(allEdges),
+          allNodes.filter(col("label").isin("nation", "region")).select("key"), 2)
+        .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
+        .orderBy(desc("betweenness"), col("key")).limit(20)
+
+    // Bounded-depth closeness over the nation/region tree (the g18 form).
+    case GraphCloseness() =>
+      val e = allEdges.filter(col("etype") === "in_region")
+      val und = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      Algorithms.closenessBounded(und, und.select(col("src").as("key")).distinct(), 2)
+        .orderBy(desc("closeness"), col("key")).limit(30)
+
+    case GraphLabelProp(iters) =>
+      Algorithms.labelPropagation(
+          TpchGraph.undirected(allEdges).select("src", "dst"), allNodes, iters)
+        .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(desc("n_nodes"), col("lbl")).limit(20)
+
+    case GraphLouvain(sweeps) =>
+      Algorithms.louvainSweeps(
+          TpchGraph.undirected(allEdges).select("src", "dst"),
+          allNodes.select("key"), sweeps)
+        .groupBy("comm").agg(count(lit(1)).as("n_nodes"))
+        .filter(col("n_nodes") >= 2)
+        .orderBy(desc("n_nodes"), col("comm")).limit(30)
+
     // GRAPH CORES [MAX k] — full k-core decomposition (g46 engine),
     // overlay-aware (store nodes/edges join the peel).
     case GraphCores(maxK) =>

@@ -468,6 +468,23 @@ object NqlParser {
           throw NqlParseException(s"GRAPH CORES max must be in 1..16, got $k")
         GraphCores(k)
       case "TRANSITIVITY" => GraphTransitivity()
+      case "EIGENVECTOR" =>
+        val it = if (p.accept("ITERATIONS")) p.int() else 4
+        if (it < 1 || it > 8)
+          throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
+        GraphEigenvector(it)
+      case "BETWEENNESS" => GraphBetweenness()
+      case "CLOSENESS" => GraphCloseness()
+      case "LABELPROP" =>
+        val it = if (p.accept("ITERATIONS")) p.int() else 3
+        if (it < 1 || it > 8)
+          throw NqlParseException(s"LABELPROP iterations must be in 1..8, got $it")
+        GraphLabelProp(it)
+      case "LOUVAIN" =>
+        val sw = if (p.accept("SWEEPS")) p.int() else 2
+        if (sw < 1 || sw > 4)
+          throw NqlParseException(s"LOUVAIN sweeps must be in 1..4, got $sw")
+        GraphLouvain(sw)
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }

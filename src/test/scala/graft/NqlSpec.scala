@@ -164,6 +164,30 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("EMBED LIST").count() == nEmb + 1)
   }
 
+  test("centrality/community statement fronts match their gate engines") {
+    // eigenvector: statement equals the g16 gate (same engine + shaping)
+    val ev = run("GRAPH EIGENVECTOR").collect().map(_.toSeq)
+    val evGate = SparkEntry.queries("g16_eigenvector_centrality")(spark, sf).collect().map(_.toSeq)
+    assert(ev.toSeq == evGate.toSeq)
+    // closeness: statement equals the g18 gate (nation/region tree form)
+    val cl = run("GRAPH CLOSENESS").collect().map(_.toSeq)
+    val clGate = SparkEntry.queries("g18_closeness_centrality")(spark, sf).collect().map(_.toSeq)
+    assert(cl.toSeq == clGate.toSeq)
+    // labelprop: statement equals the g15 gate histogram
+    val lp = run("GRAPH LABELPROP ITERATIONS 3").collect().map(_.toSeq)
+    val lpGate = SparkEntry.queries("g15_label_propagation")(spark, sf).collect().map(_.toSeq)
+    assert(lp.toSeq == lpGate.toSeq)
+    // louvain: statement equals the g21 gate census
+    val lv = run("GRAPH LOUVAIN").collect().map(_.toSeq)
+    val lvGate = SparkEntry.queries("g21_louvain_communities")(spark, sf).collect().map(_.toSeq)
+    assert(lv.toSeq == lvGate.toSeq)
+    // betweenness: hub layer ranks regions/nations above leaves and is
+    // non-trivially ordered
+    val bw = run("GRAPH BETWEENNESS").collect()
+    assert(bw.nonEmpty && bw.head.getDouble(1) > 0)
+    assert(bw.head.getString(0).startsWith("region:") || bw.head.getString(0).startsWith("nation:"))
+  }
+
   test("GRAPH CORES, GRAPH TRANSITIVITY, and CHUNK statement fronts") {
     // cores: histogram matches the g46 gate; max row is the degeneracy
     val cores = run("GRAPH CORES").collect().map(r => (r.getInt(0), r.getLong(1)))

@@ -95,6 +95,13 @@ final case class EntityGet(key: String) extends Statement
 
 // write-path statements (execute against the session's EntityStore)
 final case class NodeCreate(key: String, label: String, name: Option[String]) extends Statement
+/** `NODE BATCH CREATE 'k1' LABEL 'l' [NAME 'n'] AND 'k2' ...` — batch
+  * node create (reference CreateNodes, `graph_engine/src/lib.rs:
+  * 8027-8380`): one log append. */
+final case class NodeBatchCreate(items: Seq[(String, String, Option[String])]) extends Statement
+/** `EDGE BATCH CREATE 'a' TO 'b' TYPE 't' AND 'c' TO 'd' ...` — batch
+  * edge create (reference CreateEdges): one log append. */
+final case class EdgeBatchCreate(items: Seq[(String, String, String)]) extends Statement
 final case class NodeDelete(key: String) extends Statement
 final case class EdgeCreate(src: String, dst: String, etype: String) extends Statement
 final case class EdgeDelete(src: String, dst: String, etype: String) extends Statement
@@ -107,6 +114,15 @@ final case class EntityDelete(key: String) extends Statement
   * (an update is not an upsert). */
 final case class EntityUpdate(key: String, props: Map[String, String]) extends Statement
 final case class EntityConnect(src: String, dst: String, etype: String) extends Statement
+/** `EMBED BATCH 'k1' (v, ...), 'k2' (v, ...) [IN '<collection>']` —
+  * batch vector store (reference `EMBED BATCH [...]`, `ast.rs:704-708`):
+  * ONE versioned log append for the whole batch. */
+final case class EmbedBatch(items: Seq[(String, Array[Float])],
+    collection: Option[String]) extends Statement
+/** `ENTITY BATCH CREATE 'k1' [SET k = 'v', ...] AND 'k2' ...` — batch
+  * entity create (reference `ENTITY BATCH CREATE [...]`,
+  * `ast.rs:842-856`): one log append for the whole batch. */
+final case class EntityBatchCreate(items: Seq[(String, Map[String, String])]) extends Statement
 final case class EmbedStore(key: String, vector: Array[Float],
     collection: Option[String] = None) extends Statement
 

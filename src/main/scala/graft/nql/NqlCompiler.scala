@@ -258,6 +258,21 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       storeOrFail("NODE DELETE").delete(Seq(key))
       status(key, "node_deleted")
 
+    // Batch graph DML (reference CreateNodes/CreateEdges,
+    // `graph_engine/src/lib.rs:8027-8380`): one log append per batch.
+    case NodeBatchCreate(items) =>
+      storeOrFail("NODE BATCH CREATE").put(items.map { case (key, label, name) =>
+        graft.unified.EntityStore.EntityRow(
+          key, Map("label" -> label) ++ name.map("name" -> _), None)
+      })
+      spark.createDataFrame(Seq((items.size.toLong, "batch_nodes_created")))
+        .toDF("n_created", "status")
+
+    case EdgeBatchCreate(items) =>
+      storeOrFail("EDGE BATCH CREATE").connectBatch(items)
+      spark.createDataFrame(Seq((items.size.toLong, "batch_edges_created")))
+        .toDF("n_created", "status")
+
     case EdgeCreate(src, dst, etype) =>
       storeOrFail("EDGE CREATE").connect(src, dst, etype)
       status(s"$src->$dst", s"edge_created:$etype")
@@ -501,6 +516,34 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       storeOrFail("EMBED STORE").put(Seq(graft.unified.EntityStore.EntityRow(
         key, collection.map("collection" -> _).toMap, Some(vector))))
       status(key, "stored")
+
+    // Batch vector store — ONE versioned log append for the whole batch
+    // (that is the point of the batch form: n items, one parquet write).
+    // The collection registry check applies to every item before any
+    // write, so a partial batch never lands.
+    case EmbedBatch(items, collection) =>
+      collection.foreach { c =>
+        val (dim, _) = collCfg(c).getOrElse(throw NqlParseException(
+          s"unknown collection '$c' — EMBED COLLECTION CREATE it first"))
+        items.find(_._2.length != dim).foreach { case (k, v) =>
+          throw NqlParseException(
+            s"collection '$c' expects dimension $dim, got ${v.length} for '$k'")
+        }
+      }
+      storeOrFail("EMBED BATCH").put(items.map { case (k, v) =>
+        graft.unified.EntityStore.EntityRow(
+          k, collection.map("collection" -> _).toMap, Some(v))
+      })
+      spark.createDataFrame(Seq((items.size.toLong, "batch_stored")))
+        .toDF("n_stored", "status")
+
+    // Batch entity create — one log append for the whole batch.
+    case EntityBatchCreate(items) =>
+      storeOrFail("ENTITY BATCH CREATE").put(items.map { case (k, props) =>
+        graft.unified.EntityStore.EntityRow(k, props, None)
+      })
+      spark.createDataFrame(Seq((items.size.toLong, "batch_created")))
+        .toDF("n_created", "status")
 
     case EmbedCollectionCreate(name, dim, metric) =>
       NqlCompiler.collections.put((spark, sfDir, name), (dim, metric))

@@ -261,6 +261,20 @@ object NqlParser {
 
   private def parseNode(p: P): Statement = p.next().toUpperCase match {
     case "GET" => NodeGet(p.stringLit())
+    case "BATCH" =>
+      p.expectKw("CREATE")
+      val items = Seq.newBuilder[(String, String, Option[String])]
+      var go = true
+      while (go) {
+        val key = p.stringLit()
+        val label = if (p.accept("LABEL")) p.stringLit() else "node"
+        val name = if (p.accept("NAME")) Some(p.stringLit()) else None
+        items += ((key, label, name))
+        go = p.accept("AND")
+      }
+      if (!p.done) throw NqlParseException(
+        "NODE BATCH CREATE takes 'key' [LABEL 'l'] [NAME 'n'] AND ...")
+      NodeBatchCreate(items.result())
     case "LIST" =>
       val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
@@ -275,6 +289,19 @@ object NqlParser {
   }
 
   private def parseEdge(p: P): Statement = p.next().toUpperCase match {
+    case "BATCH" =>
+      p.expectKw("CREATE")
+      val items = Seq.newBuilder[(String, String, String)]
+      var go = true
+      while (go) {
+        val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
+        val etype = if (p.accept("TYPE")) p.stringLit() else "related"
+        items += ((src, dst, etype))
+        go = p.accept("AND")
+      }
+      if (!p.done) throw NqlParseException(
+        "EDGE BATCH CREATE takes 'a' TO 'b' [TYPE 't'] AND ...")
+      EdgeBatchCreate(items.result())
     case "LIST" =>
       val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
@@ -302,6 +329,20 @@ object NqlParser {
       val vec = parseVector(p)
       val coll = if (p.accept("IN")) Some(p.stringLit()) else None
       EmbedStore(key, vec, coll)
+    case "BATCH" =>
+      val items = Seq.newBuilder[(String, Array[Float])]
+      var go = true
+      while (go) {
+        val k = p.stringLit()
+        items += ((k, parseVector(p)))
+        go = p.accept(",")
+      }
+      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      if (!p.done) throw NqlParseException(
+        "EMBED BATCH takes 'key' (v, ...), 'key' (v, ...) [IN '<collection>']")
+      val out = items.result()
+      if (out.isEmpty) throw NqlParseException("EMBED BATCH needs at least one item")
+      EmbedBatch(out, coll)
     case "BUILD" =>
       p.expectKw("INDEX"); p.expectKw("IVF")
       val clusters = if (p.accept("CLUSTERS")) Some(p.int()) else None
@@ -329,6 +370,27 @@ object NqlParser {
 
   private def parseEntity(p: P): Statement = p.next().toUpperCase match {
     case "GET" => EntityGet(p.stringLit())
+    case "BATCH" =>
+      p.expectKw("CREATE")
+      val items = Seq.newBuilder[(String, Map[String, String])]
+      var go = true
+      while (go) {
+        val key = p.stringLit()
+        var props = Map.empty[String, String]
+        if (p.accept("SET")) {
+          var more = true
+          while (more) {
+            val k = p.next(); p.expectKw("="); val v = p.stringLit()
+            props += (k -> v)
+            more = p.accept(",")
+          }
+        }
+        items += ((key, props))
+        go = p.accept("AND")
+      }
+      if (!p.done) throw NqlParseException(
+        "ENTITY BATCH CREATE takes 'key' [SET k = 'v', ...] AND 'key' ...")
+      EntityBatchCreate(items.result())
     case "DELETE" => EntityDelete(p.stringLit())
     case "CONNECT" =>
       val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()

@@ -39,9 +39,16 @@ final class EntityStore(spark: SparkSession, path: String) {
 
   /** Directed typed edge between entity keys. */
   def connect(src: String, dst: String, etype: String): Unit =
-    spark.createDataFrame(Seq((src, dst, etype, false, nextSeq())))
+    connectBatch(Seq((src, dst, etype)))
+
+  /** Batch edge create: ONE versioned log append for the whole batch
+    * (reference batch graph DML, `graph_engine/src/lib.rs:8027-8380`). */
+  def connectBatch(edges: Seq[(String, String, String)]): Unit = {
+    val s = nextSeq()
+    spark.createDataFrame(edges.map { case (src, dst, et) => (src, dst, et, false, s) })
       .toDF("src", "dst", "etype", "deleted", "seq")
       .write.mode(SaveMode.Append).parquet(edgeDir)
+  }
 
   def disconnect(src: String, dst: String, etype: String): Unit =
     spark.createDataFrame(Seq((src, dst, etype, true, nextSeq())))

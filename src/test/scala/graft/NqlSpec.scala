@@ -131,6 +131,33 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("ENTITY CREATE 'x' SET a = 'b'"))
   }
 
+  test("EMBED BATCH and ENTITY BATCH CREATE land whole batches atomically") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-batch-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("EMBED COLLECTION CREATE 'docs' DIMENSION 2")
+    val r = runS("EMBED BATCH 'b:1' (1.0, 0.0), 'b:2' (0.0, 1.0), 'b:3' (0.7, 0.7) IN 'docs'")
+    assert(r.collect()(0).getLong(0) == 3)
+    assert(runS("EMBED LIST IN 'docs'").count() == 3)
+    // a dimension mismatch anywhere rejects the WHOLE batch before any write
+    assertThrows[NqlParseException](
+      runS("EMBED BATCH 'b:4' (1.0, 0.0), 'b:5' (1.0, 0.0, 0.0) IN 'docs'"))
+    assert(runS("EMBED LIST IN 'docs'").count() == 3)
+    val e = runS("ENTITY BATCH CREATE 'u:1' SET team = 'ml' AND 'u:2' AND 'u:3' SET team = 'infra', site = 'sfo'")
+    assert(e.collect()(0).getLong(0) == 3)
+    assert(runS("ENTITY GET 'u:3'").collect()(0)
+      .getAs[Map[String, String]]("props")("site") == "sfo")
+    // batch writes without a store fail loudly like the single forms
+    assertThrows[NqlParseException](run("ENTITY BATCH CREATE 'x'"))
+    // graph batch DML overlays the derived property graph in one append
+    val n = runS("NODE BATCH CREATE 'city:1' LABEL 'city' NAME 'sf' AND 'city:2' LABEL 'city'")
+    assert(n.collect()(0).getLong(0) == 2)
+    val ed = runS("EDGE BATCH CREATE 'city:1' TO 'city:2' TYPE 'road' AND 'city:2' TO 'city:1' TYPE 'rail'")
+    assert(ed.collect()(0).getLong(0) == 2)
+    assert(runS("NODE LIST LABEL 'city'").count() == 2)
+    assert(runS("NEIGHBORS 'city:1' TYPE 'road'").collect().map(_.getString(0)).toSeq == Seq("city:2"))
+  }
+
   test("ENTITY UPDATE merges props and preserves the embedding") {
     val store = new graft.unified.EntityStore(spark,
       java.nio.file.Files.createTempDirectory("nql-update-store").toString)

@@ -132,6 +132,52 @@ object PipelineQueries {
   private val hashAB: Seq[(Long, Long)] =
     (0 until 16).map(i => (((2654435761L * (i + 1)) % P) | 1L, (40503L * (i + 7) * 9973L) % P))
 
+  /** Banded MinHash signatures (doc_id, band, bh) — the 16-hash / 4×4
+    * LSH banding of d04, memoized + cut per (session, dir) because d04
+    * (pair candidates) and d13 (incremental dedup) consume the SAME
+    * artifact; at 100 TB this is the signature table an ingest pipeline
+    * writes once and probes per batch. */
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    bandsMemo.getOrElseUpdate((s, d), {
+      val withV = shingles(s, d).withColumn("v",
+        expr("CAST(conv(substr(md5(cast(sh as binary)), 1, 7), 16, 10) AS BIGINT)"))
+      val minAggs = hashAB.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * v + $b) % $P")).as(s"mh$i")
+      }
+      val mh = withV.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val bandExprs = (0 until 4).map { b =>
+        val cols = (4 * b until 4 * b + 4).map(i => s"cast(mh$i as string)").mkString(", ")
+        s"md5(cast(concat_ws(',', $cols) as binary)) AS bh$b"
+      }
+      graft.graph.Algorithms.cut(mh.selectExpr("doc_id" +: bandExprs: _*)
+        .selectExpr("doc_id", "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)"))
+    })
+
+  /** DuckDB CTE prelude reproducing [[minhashBands]] exactly; ends with
+    * CTEs `sh` (shingles) and `bands` (doc_id, band, bh). */
+  private lazy val minhashBandsSqlPrelude: String = {
+    val mhCols = hashAB.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * v + $b) % $P) AS mh$i" }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+       |           WHERE len(regexp_split_to_array(text, '\\s+')) >= 3),
+       |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
+       |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |hv AS (SELECT doc_id, sh, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS v FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhCols
+       |       FROM hv GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** Fully map-side MinHash signature: the same 16 linear-permutation
     * min-hashes as d04, built per ROW with array higher-order functions
     * (shingle → md5 → 16 mins) instead of explode + groupBy — zero
@@ -390,56 +436,66 @@ object PipelineQueries {
     // all-pairs stage anywhere, so it scales to web-corpus row counts.
     "d04_neardup_minhash_lsh" -> QDef(
       (s, d) => {
-        val sh = shingles(s, d)
-        val withV = sh.withColumn("v",
-          expr("CAST(conv(substr(md5(cast(sh as binary)), 1, 7), 16, 10) AS BIGINT)"))
-        val minAggs = hashAB.zipWithIndex.map { case ((a, b), i) =>
-          min(expr(s"($a * v + $b) % $P")).as(s"mh$i")
-        }
-        val mh = withV.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-        val bandExprs = (0 until 4).map { b =>
-          val cols = (4 * b until 4 * b + 4).map(i => s"cast(mh$i as string)").mkString(", ")
-          s"md5(cast(concat_ws(',', $cols) as binary)) AS bh$b"
-        }
-        val bands = mh.selectExpr("doc_id" +: bandExprs: _*)
-          .selectExpr("doc_id", "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)")
+        val bands = minhashBands(s, d)
         val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
           .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
           .filter(col("da") < col("db"))
           .select("da", "db").distinct()
-        jaccardOf(cand, sh)
+        jaccardOf(cand, shingles(s, d))
           .filter(col("jaccard") >= 0.6)
           .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("da", "db")
-      }, {
-        val mhCols = hashAB.zipWithIndex
-          .map { case ((a, b), i) => s"min(($a * v + $b) % $P) AS mh$i" }.mkString(",\n        ")
-        val bandSelects = (0 until 4).map { b =>
-          val cols = (4 * b until 4 * b + 4).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM mh"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
-           |           WHERE len(regexp_split_to_array(text, '\\s+')) >= 3),
-           |wrd AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM ws),
-           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-           |       FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-           |                  JOIN wrd c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-           |hv AS (SELECT doc_id, sh, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS v FROM sh),
-           |mh AS (SELECT doc_id,
-           |        $mhCols
-           |       FROM hv GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
-           |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
-           |          GROUP BY c.da, c.db)
-           |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
-           |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-           |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin
-      }),
+      },
+      minhashBandsSqlPrelude + """,
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
+        |          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.sh = y.sh
+        |          GROUP BY c.da, c.db)
+        |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin),
+
+    // Incremental dedup — THE production near-dup pattern at 100 TB:
+    // dedup an incoming batch AGAINST the existing corpus (here src0
+    // plays the corpus, every other source is incoming). A new doc is
+    // flagged iff any of its 4 MinHash band hashes collides with a
+    // corpus band — so the corpus side reduces to its distinct
+    // (band, bh) set (a fraction of corpus cardinality, written once
+    // and reused across ingest batches), and the probe is a band-keyed
+    // semi-join: no pairwise work, no corpus rescan per batch. Shares
+    // the memoized banded-signature artifact with d04.
+    "d13_incremental_dedup" -> QDef(
+      (s, d) => {
+        val bands = minhashBands(s, d)
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        val b2 = bands.join(src, Seq("doc_id"))
+        val corpus = b2.filter(col("source") === "src0")
+          .select("band", "bh").distinct()
+        val flagged = b2.filter(col("source") =!= "src0")
+          .join(corpus, Seq("band", "bh"), "left_semi")
+          .select("doc_id").distinct()
+        src.filter(col("source") =!= "src0")
+          .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_in"),
+            sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_flagged"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      minhashBandsSqlPrelude + """,
+        |corpus AS (SELECT DISTINCT band, bh FROM bands JOIN documents USING (doc_id)
+        |           WHERE source = 'src0'),
+        |flag AS (SELECT DISTINCT b.doc_id FROM bands b
+        |         JOIN documents dd ON dd.doc_id = b.doc_id AND dd.source <> 'src0'
+        |         JOIN corpus c ON b.band = c.band AND b.bh = c.bh)
+        |SELECT d.source, count(*) AS n_in,
+        |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // SimHash: 48-bit signature — one hex parse of md5(word) yields all 48
     // bit votes, aggregated as 48 pivoted sum columns (no 48× row

@@ -186,6 +186,9 @@ final case class AsofJoin(leftType: String, rightType: String, key: String, tsCo
 final case class Sample(table: String, ratePct: Int, keyCol: String) extends Statement
 /** `DEDUP <table> BY <col> KEY <col>`: exact dedup, keep min-key row. */
 final case class Dedup(table: String, byCol: String, keyCol: String) extends Statement
+/** `DEDUP AGAINST '<source>'`: incremental near-dedup of every other
+  * source against that corpus's MinHash band signatures (d13 engine). */
+final case class DedupAgainst(corpusSource: String) extends Statement
 /** `REBALANCE <table> BY <col> BUDGET <pct> KEY <col>`: equal-share
   * budget mix — the d08 mechanism as a statement (each group is
   * downsampled to its share of a pct-of-total budget; groups below

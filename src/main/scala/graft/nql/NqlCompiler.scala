@@ -796,6 +796,11 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case ChunkCensus(w, stride) =>
       graft.pipeline.PipelineQueries.chunkCensus(spark, sfDir, w, stride)
 
+    // DEDUP AGAINST '<source>' — incremental near-dedup of every other
+    // source against that corpus's band signatures (d13 engine).
+    case DedupAgainst(corpusSource) =>
+      graft.pipeline.PipelineQueries.incrementalDedup(spark, sfDir, corpusSource)
+
     // DEDUP: exact hash dedup keeping the min-key row per duplicate group
     // (the d02 mechanism as a statement); one shuffle on the text hash.
     case Dedup(table, byCol, keyCol) =>

@@ -576,8 +576,13 @@ object NqlParser {
     Sample(t, rate, key)
   }
 
-  /** `DEDUP <table> BY <col> KEY <col>` */
-  private def parseDedup(p: P): Dedup = {
+  /** `DEDUP <table> BY <col> KEY <col>` or `DEDUP AGAINST '<source>'` */
+  private def parseDedup(p: P): Statement = {
+    if (p.accept("AGAINST")) {
+      val src = p.stringLit()
+      if (!p.done) throw NqlParseException("DEDUP AGAINST takes only the corpus source")
+      return DedupAgainst(src)
+    }
     val t = p.next()
     p.expectKw("BY"); val by = p.next()
     p.expectKw("KEY"); val key = p.next()

@@ -178,6 +178,27 @@ object PipelineQueries {
        |  $bandSelects)""".stripMargin
   }
 
+  /** d13 engine (parameterized for the `DEDUP AGAINST '<source>'`
+    * statement): flag docs outside `corpusSource` whose MinHash band
+    * hashes collide with the corpus's distinct (band, bh) set. */
+  def incrementalDedup(s: SparkSession, d: String, corpusSource: String): DataFrame = {
+    val bands = minhashBands(s, d)
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val b2 = bands.join(src, Seq("doc_id"))
+    val corpus = b2.filter(col("source") === corpusSource)
+      .select("band", "bh").distinct()
+    val flagged = b2.filter(col("source") =!= corpusSource)
+      .join(corpus, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct()
+    src.filter(col("source") =!= corpusSource)
+      .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Fully map-side MinHash signature: the same 16 linear-permutation
     * min-hashes as d04, built per ROW with array higher-order functions
     * (shingle → md5 → 16 mins) instead of explode + groupBy — zero
@@ -467,23 +488,7 @@ object PipelineQueries {
     // semi-join: no pairwise work, no corpus rescan per batch. Shares
     // the memoized banded-signature artifact with d04.
     "d13_incremental_dedup" -> QDef(
-      (s, d) => {
-        val bands = minhashBands(s, d)
-        val src = docs(s, d).select(col("doc_id"), col("source"))
-        val b2 = bands.join(src, Seq("doc_id"))
-        val corpus = b2.filter(col("source") === "src0")
-          .select("band", "bh").distinct()
-        val flagged = b2.filter(col("source") =!= "src0")
-          .join(corpus, Seq("band", "bh"), "left_semi")
-          .select("doc_id").distinct()
-        src.filter(col("source") =!= "src0")
-          .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
-          .groupBy("source").agg(
-            count(lit(1)).as("n_in"),
-            sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_flagged"),
-            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
-          .orderBy("source")
-      },
+      (s, d) => incrementalDedup(s, d, "src0"),
       minhashBandsSqlPrelude + """,
         |corpus AS (SELECT DISTINCT band, bh FROM bands JOIN documents USING (doc_id)
         |           WHERE source = 'src0'),

@@ -215,6 +215,16 @@ class NqlSpec extends AnyFunSuite {
     assert(bw.head.getString(0).startsWith("region:") || bw.head.getString(0).startsWith("nation:"))
   }
 
+  test("DEDUP AGAINST matches the d13 gate and re-parameterizes") {
+    val got = run("DEDUP AGAINST 'src0'").collect().map(_.toSeq)
+    val gate = SparkEntry.queries("d13_incremental_dedup")(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq == gate.toSeq)
+    // a different corpus source excludes itself from the incoming census
+    val alt = run("DEDUP AGAINST 'src1'").collect()
+    assert(alt.nonEmpty && !alt.map(_.getString(0)).contains("src1"))
+    assertThrows[NqlParseException](run("DEDUP AGAINST 'src0' EXTRA"))
+  }
+
   test("GRAPH CORES, GRAPH TRANSITIVITY, and CHUNK statement fronts") {
     // cores: histogram matches the g46 gate; max row is the degeneracy
     val cores = run("GRAPH CORES").collect().map(r => (r.getInt(0), r.getLong(1)))

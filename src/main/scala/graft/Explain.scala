@@ -10,7 +10,8 @@ object Explain {
   val defaultSet = Seq(
     "q01_agg_pricing_summary", "q02_filter_project_sort", "q13_join_multiway",
     "v01_similar_topk_cosine", "d04_neardup_minhash_lsh", "q21_window_topk_per_group",
-    "q33_asof_join", "q34_range_join", "t07_tfidf_keywords", "g25_biconnected")
+    "q33_asof_join", "q34_range_join", "t07_tfidf_keywords", "g25_biconnected",
+    "d13_incremental_dedup", "t21_chunk_census", "v19_binary_sign_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -486,23 +486,31 @@ object Algorithms {
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst")
     val keys = nodes.select(col("key"))
+    // SPARSE score frames: a node with zero auth (no in-edges from
+    // hub-carrying nodes) or zero hub contributes only +0.0 terms to the
+    // next half-round's sums, and x + 0.0 == x for the nonnegative
+    // scores here — so dropping zero rows from the LOOP is bit-identical
+    // to the dense recurrence (max-normalization sees the same nonzero
+    // population). The dense view is reconstructed ONCE at the end.
     var h = keys.select(col("key"), lit(1.0).as("hub"))
-    var a = keys.select(col("key"), lit(1.0).as("auth"))
+    var a: DataFrame = null
     for (i <- 1 to iters) {
       val a0 = h.join(e, col("key") === col("src"))
         .groupBy(col("dst").as("key")).agg(sum("hub").as("a0"))
       val am = a0.agg(max("a0").as("am"))
-      a = chk(keys.join(a0, Seq("key"), "left").crossJoin(am)
-        .select(col("key"), (coalesce(col("a0"), lit(0.0)) / col("am")).as("auth")),
+      a = chk(a0.crossJoin(am)
+        .select(col("key"), (col("a0") / col("am")).as("auth")),
         i, iters, 3)
       val h0 = a.join(e, col("key") === col("dst"))
         .groupBy(col("src").as("key")).agg(sum("auth").as("h0"))
       val hm = h0.agg(max("h0").as("hm"))
-      h = chk(keys.join(h0, Seq("key"), "left").crossJoin(hm)
-        .select(col("key"), (coalesce(col("h0"), lit(0.0)) / col("hm")).as("hub")),
+      h = chk(h0.crossJoin(hm)
+        .select(col("key"), (col("h0") / col("hm")).as("hub")),
         i, iters, 3)
     }
-    h.join(a, Seq("key"))
+    keys.join(h, Seq("key"), "left").join(a, Seq("key"), "left")
+      .select(col("key"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Sampled Brandes betweenness (reference Brandes `lib.rs:7058-7220`,

@@ -516,6 +516,76 @@ object VectorQueries {
         |WHERE k.vec_id <> 0
         |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin),
 
+    // IVF + PQ combined (the FAISS IVFADC shape — the production ANN
+    // layout at 100 TB): the coarse quantizer prunes to the 2 nearest
+    // cells (v08/v10's probe), and only vectors IN those cells pay the
+    // ADC table-lookup scoring over their 4×16-dim PQ codes (v15's
+    // quantized-long LUT — codes and cells are both written at ingest,
+    // so a query reads 2 cells' worth of 4-byte codes, never raw
+    // vectors). Deterministic end to end: rounded sub-centroids feed
+    // both the probe and the codebook, every sum is a quantized long,
+    // and all ties break on (value, id).
+    "v20_ivf_pq_search" -> QDef(
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val flat = e.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        val cent = flat.groupBy(col("label").as("cl"), col("i"))
+          .agg(round(avg("x"), 6).as("cx"))
+        val cellCent = cent.groupBy(col("cl"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+        val q = qv(s, d, 0)
+        val probed = cellCent.crossJoin(broadcast(q))
+          .select(col("cl"),
+            cosine_similarity(col("centroid").cast("array<float>"), col("qv")).as("cs"))
+          .orderBy(desc("cs"), col("cl")).limit(2)
+          .select(col("cl").as("probe_cl"))
+        val dists = flat.drop("label")
+          .join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("cl"), expr("CAST(i DIV 16 AS INT)").as("m"))
+          .agg(sum(expr("CAST(round((x - cx) * (x - cx) * 1e9) AS BIGINT)")).as("dq"))
+        val codes = dists.withColumn("rn",
+            row_number().over(Window.partitionBy("vec_id", "m").orderBy(col("dq"), col("cl"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cl").as("code"))
+        val lut = flat.filter(col("vec_id") === 0).drop("label")
+          .join(broadcast(cent), Seq("i"))
+          .groupBy(col("cl").as("lcl"), expr("CAST(i DIV 16 AS INT)").as("lm"))
+          .agg(sum(expr("CAST(round(x * cx * 1e9) AS BIGINT)")).as("lq"))
+        val inProbed = e.join(broadcast(probed), col("label") === col("probe_cl"))
+          .select("vec_id")
+        codes.join(inProbed, Seq("vec_id"), "left_semi")
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(lut), col("m") === col("lm") && col("code") === col("lcl"))
+          .groupBy("vec_id")
+          .agg(round(sum("lq") / 1e9, 4).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(8)
+      },
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |flat AS (SELECT vec_id, label, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
+        |cent AS (SELECT label AS cl, i, round(avg(x), 6) AS cx FROM flat GROUP BY 1, 2),
+        |cellcent AS (SELECT cl, list(cx ORDER BY i) AS centroid FROM cent GROUP BY cl),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cl FROM cellcent, q
+        |           ORDER BY list_cosine_similarity(CAST(centroid AS FLOAT[])::DOUBLE[], q.embedding::DOUBLE[]) DESC, cl
+        |           LIMIT 2),
+        |dists AS (SELECT f.vec_id, c.cl, CAST(f.i // 16 AS INT) AS m,
+        |                 sum(CAST(round((f.x - c.cx) * (f.x - c.cx) * 1e9) AS BIGINT)) AS dq
+        |          FROM flat f JOIN cent c ON f.i = c.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, cl AS code FROM (
+        |            SELECT vec_id, m, cl,
+        |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dq, cl) AS rn
+        |            FROM dists) WHERE rn = 1),
+        |lut AS (SELECT c.cl, CAST(f.i // 16 AS INT) AS m,
+        |               sum(CAST(round(f.x * c.cx * 1e9) AS BIGINT)) AS lq
+        |        FROM flat f JOIN cent c ON f.i = c.i WHERE f.vec_id = 0 GROUP BY 1, 2)
+        |SELECT k.vec_id, round(sum(l.lq) / 1e9, 4) AS adc_score
+        |FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cl
+        |JOIN e ON e.vec_id = k.vec_id
+        |WHERE k.vec_id <> 0 AND e.label IN (SELECT cl FROM probed)
+        |GROUP BY 1 ORDER BY adc_score DESC, k.vec_id LIMIT 8""".stripMargin),
+
     // Binary sign quantization + Hamming prefilter — the last rung of the
     // compression ladder (int8 v14 → 4×, PQ v15 → 16×, sign bits → 32×):
     // each 64-d float vector packs to ONE 64-bit code (bit i = sign of

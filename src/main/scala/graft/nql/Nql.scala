@@ -29,6 +29,13 @@ final case class Similar(
     usingIndex: Option[Int] = None, // Some(nprobe): route through the built IVF index
     collection: Option[String] = None) extends Statement
 
+/** `SIMILAR RANGE '<key>' THRESHOLD <pct> [METRIC m]` — range search:
+  * every vector whose (4-dp rounded) similarity clears pct/100, no k
+  * cut. The result set is threshold-bounded, the top-k family's
+  * complement (cosine/dot: score >= τ; euclidean: distance <= τ). */
+final case class SimilarRange(key: String, thresholdPct: Int,
+    metric: Metric = Metric.Cosine) extends Statement
+
 /** SIMILAR by literal query vector (reference `ast.rs:713-747` allows a
   * key OR an inline vector). */
 final case class SimilarVector(

@@ -159,6 +159,26 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         case None => storeOrFail("SIMILAR").similar(key, limit)
       }
 
+    // Range search: threshold-bounded instead of k-bounded — one scan,
+    // codegen'd similarity, the filter prunes before any ordering (no
+    // TakeOrdered heap needed; the sort is output-sized).
+    case SimilarRange(key, pct, metric) =>
+      val tau = pct / 100.0
+      val scoreCol = metric match {
+        case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))
+        case Metric.Euclidean => l2_distance(col("embedding"), col("qv"))
+        case Metric.Dot => dot_product(col("embedding"), col("qv"))
+      }
+      val scored = emb.filter(col("key") =!= key)
+        .crossJoin(broadcast(embOf(key)))
+        .select(col("key"), round(scoreCol, 4).as("score"))
+      metric match {
+        case Metric.Euclidean =>
+          scored.filter(col("score") <= tau).orderBy(asc("score"), col("key"))
+        case _ =>
+          scored.filter(col("score") >= tau).orderBy(desc("score"), col("key"))
+      }
+
     case SimilarVector(vec, metric, limit, where) =>
       val scoreCol = metric match {
         case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))

@@ -203,6 +203,18 @@ object NqlParser {
 
   private def parseSimilar(p: P): Statement = {
     if (p.peekUpper.contains("VECTOR")) { p.next(); return parseSimilarVector(p) }
+    if (p.peekUpper.contains("RANGE")) {
+      p.next()
+      val key = p.stringLit()
+      p.expectKw("THRESHOLD")
+      val pct = p.int()
+      if (pct < 1 || pct > 100)
+        throw NqlParseException(s"SIMILAR RANGE threshold must be in 1..100, got $pct")
+      val m = if (p.accept("METRIC")) parseMetric(p) else Metric.Cosine
+      if (!p.done) throw NqlParseException(
+        "SIMILAR RANGE takes '<key>' THRESHOLD <pct> [METRIC m]")
+      return SimilarRange(key, pct, m)
+    }
     val key = p.stringLit()
     var s = Similar(key)
     var continue = true

@@ -135,6 +135,18 @@ object NqlQueries {
       """SELECT (SELECT count(*) FROM customer) AS n_nodes,
         |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_edges""".stripMargin),
 
+    // Range search statement (threshold-bounded similarity — the top-k
+    // family's complement): every vector at rounded cosine >= 0.30 to (non-empty at every SF:
+    // 4/3/13 rows at sf0.001/0.01/0.1), through the NQL front door.
+    "v21_range_search" -> QDef(
+      (s, d) => Nql.execute(s, d, "SIMILAR RANGE 'vec:0' THRESHOLD 30"),
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT 'vec:' || CAST(e.vec_id AS VARCHAR) AS key,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |  AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.30
+        |ORDER BY score DESC, key""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

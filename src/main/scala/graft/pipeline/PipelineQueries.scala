@@ -137,21 +137,31 @@ object PipelineQueries {
     * (pair candidates) and d13 (incremental dedup) consume the SAME
     * artifact; at 100 TB this is the signature table an ingest pipeline
     * writes once and probes per batch. */
-  private val bandsMemo =
+  /** Per-doc 16-hash MinHash signature table (doc_id, mh0..mh15) —
+    * memoized + cut; [[minhashBands]] and the d14 estimator audit both
+    * derive from it. */
+  private val sigsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    bandsMemo.getOrElseUpdate((s, d), {
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    sigsMemo.getOrElseUpdate((s, d), {
       val withV = shingles(s, d).withColumn("v",
         expr("CAST(conv(substr(md5(cast(sh as binary)), 1, 7), 16, 10) AS BIGINT)"))
       val minAggs = hashAB.zipWithIndex.map { case ((a, b), i) =>
         min(expr(s"($a * v + $b) % $P")).as(s"mh$i")
       }
-      val mh = withV.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      graft.graph.Algorithms.cut(
+        withV.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
+    })
+
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    bandsMemo.getOrElseUpdate((s, d), {
       val bandExprs = (0 until 4).map { b =>
         val cols = (4 * b until 4 * b + 4).map(i => s"cast(mh$i as string)").mkString(", ")
         s"md5(cast(concat_ws(',', $cols) as binary)) AS bh$b"
       }
-      graft.graph.Algorithms.cut(mh.selectExpr("doc_id" +: bandExprs: _*)
+      graft.graph.Algorithms.cut(minhashSigs(s, d).selectExpr("doc_id" +: bandExprs: _*)
         .selectExpr("doc_id", "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)"))
     })
 
@@ -477,6 +487,57 @@ object PipelineQueries {
         |SELECT da, db, round(c / (x.n + y.n - c), 4) AS jaccard
         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE c / (x.n + y.n - c) >= 0.6 ORDER BY da, db""".stripMargin),
+
+    // MinHash ESTIMATOR AUDIT — the verification op a pipeline ships
+    // with its sketch: for every banded candidate pair at exact shingle
+    // Jaccard >= 0.6 (d04's output set), the 16-hash signature-agreement
+    // estimate sits beside the exact value. Both columns are
+    // deterministic md5-derived numbers, so the gate hashes REAL
+    // estimator error, not an approx_ok proxy — and a broken hash
+    // family (est wildly off exact) fails the round. Reuses the
+    // memoized signature/band/shingle artifacts; the only new work is
+    // one 16-column comparison per surviving pair.
+    "d14_minhash_estimator_audit" -> QDef(
+      (s, d) => {
+        val bands = minhashBands(s, d)
+        val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
+          .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        val exact = jaccardOf(cand, shingles(s, d)).filter(col("jaccard") >= 0.6)
+        val sigs = minhashSigs(s, d)
+        val matchExpr = (0 until 16)
+          .map(i => s"IF(a_mh$i = b_mh$i, 1, 0)").mkString(" + ")
+        val aSig = sigs.select(col("doc_id").as("da") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+        val bSig = sigs.select(col("doc_id").as("db") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+        exact.join(aSig, Seq("da")).join(bSig, Seq("db"))
+          .withColumn("est", expr(s"CAST($matchExpr AS DOUBLE) / 16"))
+          .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"),
+            round(col("est"), 4).as("est"),
+            round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
+          .orderBy("da", "db")
+      },
+      minhashBandsSqlPrelude + {
+        val matchExpr = (0 until 16)
+          .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s""",
+          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c
+          |          JOIN sh p ON p.doc_id = c.da JOIN sh r ON r.doc_id = c.db AND p.sh = r.sh
+          |          GROUP BY c.da, c.db),
+          |ex AS (SELECT da, db, c / (x.n + y.n - c) AS jaccard
+          |       FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+          |       WHERE c / (x.n + y.n - c) >= 0.6)
+          |SELECT e.da, e.db, round(e.jaccard, 4) AS jaccard,
+          |  round(CAST($matchExpr AS DOUBLE) / 16, 4) AS est,
+          |  round(abs(CAST($matchExpr AS DOUBLE) / 16 - e.jaccard), 4) AS abs_err
+          |FROM ex e JOIN mh x ON x.doc_id = e.da JOIN mh y ON y.doc_id = e.db
+          |ORDER BY e.da, e.db""".stripMargin
+      }),
 
     // Incremental dedup — THE production near-dup pattern at 100 TB:
     // dedup an incoming batch AGAINST the existing corpus (here src0

@@ -516,6 +516,63 @@ object VectorQueries {
         |WHERE k.vec_id <> 0
         |GROUP BY 1 ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin),
 
+    // IVF recall curve — the evaluation artifact every ANN deployment
+    // ships: recall@10 of the probed search vs the exact top-10, for
+    // nprobe = 1..3. Here the cells are deterministic (v08's per-label
+    // mean centroids) so the curve is EXACT on both engines and the
+    // gate hashes real recall numbers; at scale the same query runs
+    // against sampled ground truth. Monotone in nprobe by construction.
+    "v22_ivf_recall_curve" -> QDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val q = qv(s, d, 0)
+        val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
+        val exact = scored.orderBy(desc("score"), col("vec_id")).limit(10)
+          .select("vec_id")
+        val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("centroid"))
+        val ranked = cent.crossJoin(broadcast(q))
+          .select(col("label"),
+            cosine_similarity(col("centroid").cast("array<float>"), col("qv")).as("cs"))
+          .withColumn("rn", row_number().over(Window.orderBy(desc("cs"), col("label"))))
+        val branches = (1 to 3).map { np =>
+          val probed = ranked.filter(col("rn") <= np).select("label")
+          val approx = scored.join(broadcast(probed), Seq("label"))
+            .orderBy(desc("score"), col("vec_id")).limit(10)
+            .select("vec_id")
+          approx.join(exact, Seq("vec_id"))
+            .agg((count(lit(1)).cast("double") / 10).as("recall_at_10"))
+            .select(lit(np).as("n_probe"), col("recall_at_10"))
+        }
+        branches.reduce(_ union _).orderBy("n_probe")
+      }, {
+        val recCtes = (1 to 3).map { np =>
+          s"""rec$np AS (SELECT $np AS n_probe, CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+             |  FROM (SELECT s.vec_id FROM scored s JOIN ranked r ON s.label = r.label AND r.rn <= $np
+             |        ORDER BY s.score DESC, s.vec_id LIMIT 10) a
+             |  JOIN exact USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+           |scored AS (SELECT e.vec_id, e.label,
+           |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+           |  FROM embeddings e, q WHERE e.vec_id <> 0),
+           |exact AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10),
+           |flat AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings),
+           |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+           |         FROM (SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i) GROUP BY label),
+           |ranked AS (SELECT label, row_number() OVER (
+           |    ORDER BY list_cosine_similarity(CAST(centroid AS FLOAT[])::DOUBLE[], q.embedding::DOUBLE[]) DESC, label) AS rn
+           |  FROM cent, q),
+           |$recCtes
+           |SELECT n_probe, recall_at_10 FROM (
+           |  SELECT * FROM rec1 UNION ALL SELECT * FROM rec2 UNION ALL SELECT * FROM rec3) t
+           |ORDER BY n_probe""".stripMargin
+      }),
+
     // IVF + PQ combined (the FAISS IVFADC shape — the production ANN
     // layout at 100 TB): the coarse quantizer prunes to the 2 nearest
     // cells (v08/v10's probe), and only vectors IN those cells pay the

@@ -855,6 +855,30 @@ object PipelineQueries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name, event_type ORDER BY n_name, event_type""".stripMargin),
 
+    // Stream-stream LEFT OUTER interval join, batch form: every purchase
+    // keeps a row, with its trailing-hour same-user click count (0 when
+    // none — the null-row path the inner join s04 never exercises). The
+    // streaming twin (EventStreams.purchaseClickLeftStream) emits those
+    // null rows only once the watermark proves no match can still
+    // arrive — MemoryStream-driven in EventStreamsSpec.
+    "s08_stream_left_interval_join" -> QDef(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        graft.streaming.EventStreams.purchaseClickLeft(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"))
+          .groupBy(col("p_id").as("event_id"))
+          .agg(sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id,
+        |  CAST(coalesce(sum(CASE WHEN c.event_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+
     // CDC latest-state per key, batch form: the upsert view an ingestion
     // pipeline materializes (one row per user = most recent event, ties
     // by event_id). The streaming twin (EventStreams.latestStateStream)

@@ -115,6 +115,27 @@ object EventStreams {
     purchaseClickJoin(purchases.withWatermark("ts", "10 minutes"),
       clicks.withWatermark("ts", "10 minutes"))
 
+  /** LEFT OUTER interval join: every purchase row survives, trailing-hour
+    * same-user clicks attach or stay null. On streams this is the shape
+    * whose null rows can only emit once the watermark proves no matching
+    * click can still arrive — the capability the inner join (s04) never
+    * exercises; [[purchaseClickLeftStream]] runs it with the required
+    * two-sided watermark + event-time range condition. */
+  def purchaseClickLeft(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
+  /** Watermarked streaming form of [[purchaseClickLeft]] (append mode;
+    * unmatched purchases emit with null click columns when the watermark
+    * passes their join window). */
+  def purchaseClickLeftStream(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchaseClickLeft(purchases.withWatermark("ts", "10 minutes"),
+      clicks.withWatermark("ts", "10 minutes"))
+
   /** Stream-static enrichment join: events (the unbounded side) joined to
     * the customer→nation dimension (static side, explicitly broadcast) —
     * the canonical "enrich a 100 TB event stream with a small dim table"

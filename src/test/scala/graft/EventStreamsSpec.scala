@@ -153,6 +153,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.purchaseClickLeftStream(
+        memP.toDF().toDF("event_id", "user_id", "ts"),
+        memC.toDF().toDF("event_id", "user_id", "ts"))
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lojoin_out")
+      .start()
+    try {
+      // purchase 1 has a click; purchase 2 has NONE — its null row may
+      // only emit once the watermark proves no click can still arrive
+      memP.addData(Seq((1L, 10L, at(60)), (2L, 20L, at(61))))
+      memC.addData(Seq((100L, 10L, at(30))))
+      q.processAllAvailable()
+      val early = spark.table("lojoin_out").collect()
+      assert(early.forall(r => !r.isNullAt(1)),
+        "null row emitted before the watermark closed the join window")
+      // advance both watermarks far past purchase 2's window
+      memP.addData(Seq((3L, 30L, at(600))))
+      memC.addData(Seq((101L, 30L, at(600))))
+      q.processAllAvailable()
+      // one more no-op batch lets the new watermark flush pending state
+      memP.addData(Seq((4L, 40L, at(601))))
+      memC.addData(Seq((102L, 40L, at(601))))
+      q.processAllAvailable()
+      val rows = spark.table("lojoin_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows(1L) == 100L, "matched purchase lost its click")
+      assert(rows(2L) == -1L, "unmatched purchase never emitted its null row")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -161,8 +161,17 @@ object GraphQueries {
       val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
       val pd = sp.groupBy("l_partkey").agg(count(lit(1)).as("pdeg"))
       val spc = sp.join(pd.filter(col("pdeg") <= 200).select("l_partkey"), Seq("l_partkey"))
-      val pairs = spc.select(col("l_suppkey").as("sa"), col("l_partkey"))
-        .join(spc.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
+      // The self-join sits near the AQE broadcast threshold (~10 MB of
+      // narrow rows) and measured BIMODAL — broadcast ≈ 8 s, sort-merge
+      // ≈ 14 s, flipping run to run. Pin the shuffle-hash strategy on a
+      // single materialized frame instead: both sides share one
+      // partitioning on l_partkey, deterministic, and — unlike a
+      // broadcast of a corpus-derived frame — the same plan survives a
+      // 100× corpus.
+      val spcM = Algorithms.cut(spc)
+      val pairs = spcM.select(col("l_suppkey").as("sa"), col("l_partkey"))
+        .hint("shuffle_hash")
+        .join(spcM.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
         .filter(col("sa") < col("sb"))
       val agg = pairs.join(pd, Seq("l_partkey"))
         .groupBy("sa", "sb")

@@ -1740,6 +1740,34 @@ object PipelineQueries {
         |  CAST((sum(ntok) - sum(CASE WHEN keep THEN ntok ELSE 0 END)) * 10000 // sum(ntok) AS BIGINT) AS dup_token_bp
         |FROM k GROUP BY source ORDER BY source""".stripMargin),
 
+    // Data-mixture card — the per-(source, language) token accounting
+    // every pretraining run documents before setting mixture weights:
+    // doc/token counts plus each cell's share of the corpus in integer
+    // basis points (exact, order-independent). One map-side token count
+    // + one dictionary-keyed agg; the corpus total folds in as a 1-row
+    // broadcast.
+    "t23_mixture_card" -> QDef(
+      (s, d) => {
+        val t = docs(s, d)
+          .withColumn("ntok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+        val cells = t.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val tot = cells.agg(sum("n_tokens").as("tot"))
+        cells.crossJoin(broadcast(tot))
+          .withColumn("token_share_bp", expr("n_tokens * 10000 div tot"))
+          .drop("tot")
+          .orderBy("source", "lang")
+      },
+      """WITH t AS (SELECT source, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |cells AS (SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM cells) AS BIGINT) AS token_share_bp
+        |FROM cells ORDER BY source, lang""".stripMargin),
+
     // Fixed-window token chunking census (the pretraining/RAG "context
     // window" chunker): W=64-token windows at stride S=48, i.e. 16-token
     // overlap. Chunk i of a doc covers tokens [i·S, i·S+W), so every

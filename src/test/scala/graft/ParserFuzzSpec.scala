@@ -63,7 +63,14 @@ class ParserFuzzSpec extends AnyFunSuite {
       "CHUNK WINDOW 64 STRIDE 48",
       "TRAVERSE FROM 'nation:0' DEPTH 3 TYPE 'in_nation' LABEL 'nation'",
       "MATCH (n:nation)-[:in_region]->(r:region) RETURN n.name ORDER BY n.name LIMIT 3",
-      "GRAPH MATCH COUNT (a:customer)-[:in_nation]->(n:nation)")
+      "GRAPH MATCH COUNT (a:customer)-[:in_nation]->(n:nation)",
+      "SIMILAR RANGE 'vec:0' THRESHOLD 30 METRIC COSINE",
+      "DEDUP AGAINST 'src0'",
+      "GRAPH LOUVAIN SWEEPS 2",
+      "GRAPH EIGENVECTOR ITERATIONS 4",
+      "GRAPH CORES MAX 6",
+      "ENTITY UPDATE 'k' SET a = 'b', c = 'd'",
+      "EMBED LIST IN 'docs' LIMIT 5")
     for (q <- valid; cut <- 1 until q.length) mustParseOrReject(q.take(cut))
     // and the full forms must parse
     valid.foreach(q => NqlParser.parse(q))

@@ -75,6 +75,13 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale must not break the JSON
     val fmt3 = (v: Double) => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(line(shortKey, fmt3))                  // compact, parsed by the driver
+    // The capture window keeps only a ~2 KB stdout tail: with 170+ queries
+    // the per-query dict alone exceeds that, truncating the line's head
+    // (including the "metric":"total" key). So the FINAL line is a total-only
+    // JSON guaranteed to fit the tail whole, whatever the query count.
+    val total = results.map { case (_, v) => if (v < 0) FailPenaltySec else v }.sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

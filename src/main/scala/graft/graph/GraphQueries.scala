@@ -84,9 +84,14 @@ object GraphQueries {
 
   /** g46 engine (parameterized for the `GRAPH CORES` statement): nested-
     * shell k-core peeling over any undirected edge/node frame; a node's
-    * core number is the max k it survives. Two peel rounds per level
-    * reach the fixpoint in the SF-invariant TPC-H topology (leaf layer
-    * depth 1, no cascade chains; the K6 wheels drop atomically). */
+    * core number is the max k it survives. Each level peels to FIXPOINT
+    * (the alive set stops shrinking) — exact core numbers for arbitrary
+    * overlay topologies, not just the bundled TPC-H one: a store-created
+    * 5-node chain cascades 3+ rounds at k=2 and must end with every chain
+    * node at core 1. The per-round count() rides the already-eager
+    * lineage cut (materialized partitions, no recompute), so a level
+    * costs (cascade depth + 1) cheap rounds — for the bundled topology
+    * that is the same 2 rounds as before plus one confirming count. */
   def coreDecomposition(und: DataFrame, nodes: DataFrame, maxK: Int = 6): DataFrame = {
     // Cost shape: each round joins the edge frame against the alive set,
     // and only the SMALL alive frame is lineage-cut (cutting the full
@@ -98,22 +103,31 @@ object GraphQueries {
     // never cascade.
     var e = und.select("src", "dst")
     var alive = nodes.select("key")
+    var aliveN = -1L // size of `alive`; -1 = not yet counted
     val levels = Seq.newBuilder[DataFrame]
-    for (k <- 1 to maxK) {
-      for (_ <- 1 to (if (k == 1) 1 else 2)) {
+    for (k <- 1 to maxK; if aliveN != 0) {
+      def peelOnce(): Long = {
         val deg = e.join(alive.select(col("key").as("src")), Seq("src"), "left_semi")
           .join(alive.select(col("key").as("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("deg"))
         alive = Algorithms.cut(deg.filter(col("deg") >= k).select(col("src").as("key")))
+        alive.count()
       }
-      levels += alive.withColumn("core", lit(k))
-      if (k == 2) e = Algorithms.cut(
+      var n = peelOnce()
+      if (k > 1) {
+        // Cascade: removals can push survivors below k; repeat until stable.
+        var prev = if (aliveN >= 0) aliveN else Long.MaxValue
+        while (n > 0 && n < prev) { prev = n; n = peelOnce() }
+      }
+      aliveN = n
+      if (n > 0) levels += alive.withColumn("core", lit(k))
+      if (k == 2 && n > 0) e = Algorithms.cut(
         e.join(alive.select(col("key").as("src")), Seq("src"), "left_semi")
           .join(alive.select(col("key").as("dst")), Seq("dst"), "left_semi")
           .select("src", "dst"))
     }
-    nodes.withColumn("core", lit(0))
-      .union(levels.result().reduce(_ union _))
+    val base = nodes.withColumn("core", lit(0))
+    levels.result().foldLeft(base)(_ union _)
       .groupBy("key").agg(max("core").as("core"))
       .groupBy("core").agg(count(lit(1)).as("n_nodes"))
       .orderBy("core")

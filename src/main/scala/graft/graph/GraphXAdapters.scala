@@ -73,6 +73,22 @@ object GraphXAdapters {
       .toDF("key", "scc")
   }
 
+  /** Label propagation via GraphX's Pregel implementation →
+    * (key, community-key). Cross-validates the windowed-argmax loop in
+    * [[Algorithms.labelPropagation]] with an independent implementation
+    * (different tie-break rule, same converged partition on fixtures
+    * where the majority vote is unambiguous). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val g = toGraphX(nodes, edges)
+    val lp = org.apache.spark.graphx.lib.LabelPropagation.run(g, iters).vertices
+    val byId = g.vertices
+    lp.join(byId).map { case (_, (commId, key)) => (commId, key) }
+      .join(byId)
+      .map { case (_, (key, commKey)) => (key, commKey) }
+      .toDF("key", "community")
+  }
+
   /** Triangle counts via GraphX → (key, n_triangles). */
   def triangleCount(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._

@@ -431,8 +431,13 @@ object Algorithms {
   /** One-level Louvain sweeps (the g21 engine, parameterized for
     * `GRAPH LOUVAIN`): each sweep moves every node to the
     * modularity-argmax neighboring community ((gain desc, comm)
-    * tie-break). Returns (key, comm). */
-  def louvainSweeps(und: DataFrame, nodes: DataFrame, sweeps: Int): DataFrame = {
+    * tie-break). Returns (key, comm).
+    *
+    * `resolution` is the reference's CommunityConfig resolution γ
+    * (`graph_engine/src/lib.rs:7442`): gain = evc − γ·deg·tot/2m, so
+    * γ > 1 favors smaller communities, γ < 1 larger ones. */
+  def louvainSweeps(und: DataFrame, nodes: DataFrame, sweeps: Int,
+      resolution: Double = 1.0): DataFrame = {
     val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
     val m2 = und.count().toDouble // = 2m (symmetric closure)
     var comm = nodes.select(col("key"), col("key").as("comm"))
@@ -443,7 +448,7 @@ object Algorithms {
         .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
       val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
         .withColumn("gain",
-          col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
+          col("evc") - lit(resolution) * (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("key").orderBy(desc("gain"), col("comm"))
       comm = cut(gains.withColumn("rn", row_number().over(w))
@@ -484,6 +489,9 @@ object Algorithms {
     * and both joins reuse it.
     */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    // `a` below is assigned inside the loop; iters < 1 would leave it null
+    // and NPE at the final join — fail loudly at the boundary instead.
+    require(iters >= 1, s"HITS requires iters >= 1, got $iters")
     val e = edges.select("src", "dst")
     val keys = nodes.select(col("key"))
     // SPARSE score frames: a node with zero auth (no in-edges from
@@ -710,12 +718,22 @@ object Algorithms {
   /** PageRank, `iters` fixed iterations, damping 0.85, init 1.0, no
     * dangling-mass redistribution (sinks absorb; matches the unrolled
     * oracle). Returns (key, pr).
-    */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    *
+    * `tolerance` > 0 adds the reference's convergence stop
+    * (`ast.rs:1267-1279` PageRank{damping, tolerance, …}): the loop ends
+    * early once max|Δpr| < tolerance. The check is one small agg over the
+    * node-sized frame per round — statement-path convenience; the
+    * oracle-gated queries keep tolerance = 0 so their unrolled step count
+    * stays exact. */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, damping: Double = 0.85,
+      tolerance: Double = 0.0): DataFrame = {
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val contrib = edges.join(outDeg, "src")
     var pr = nodes.select(col("key"), lit(1.0).as("pr"))
-    for (i <- 1 to iters) {
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
+      val prev = pr
       val mass = pr.join(contrib, col("key") === col("src"))
         .select(col("dst"), (col("pr") / col("od")).as("m"))
         .groupBy("dst").agg(sum("m").as("mass"))
@@ -723,6 +741,12 @@ object Algorithms {
         .join(mass, col("key") === col("dst"), "left")
         .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")),
         i, iters)
+      if (tolerance > 0) {
+        val d = pr.join(prev.select(col("key"), col("pr").as("prv")), Seq("key"))
+          .agg(max(abs(col("pr") - col("prv"))).as("d")).collect()(0).getDouble(0)
+        converged = d < tolerance
+      }
+      i += 1
     }
     pr
   }

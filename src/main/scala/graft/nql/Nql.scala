@@ -10,6 +10,20 @@ trait Statement // extension point: CypherParser adds MatchStmt
 /** Any statement Catalyst can parse natively (SELECT/WITH/SHOW/...). */
 final case class SqlPassthrough(sql: String) extends Statement
 
+/** `UPDATE <table> SET col = <expr>[, ...] [WHERE <pred>]` — executable
+  * relational update (reference `relational_engine/src/lib.rs:3842`;
+  * router `query_router/src/lib.rs:1974`). Catalyst cannot UPDATE a plain
+  * parquet table, so this routes to [[graft.relational.TableDml]]'s
+  * copy-on-write rewrite instead of SQL passthrough. SET values and the
+  * predicate are full SQL expression strings. */
+final case class SqlUpdate(table: String, sets: Seq[(String, String)],
+    where: Option[String]) extends Statement
+
+/** `DELETE FROM <table> [WHERE <pred>]` — executable relational delete
+  * (reference `relational_engine/src/lib.rs:3954` delete_rows; router
+  * `query_router/src/lib.rs:1975`), same copy-on-write path. */
+final case class SqlDelete(table: String, where: Option[String]) extends Statement
+
 sealed trait Metric
 object Metric {
   case object Cosine extends Metric
@@ -59,7 +73,11 @@ final case class EdgeList(etype: Option[String], limit: Option[Int]) extends Sta
 final case class Degree(key: String) extends Statement
 
 sealed trait GraphAlgo extends Statement
-final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe") extends GraphAlgo
+/** `GRAPH PAGERANK [ITERATIONS n] [DAMPING d] [TOLERANCE t] [ENGINE e]`
+  * — damping/tolerance mirror the reference PageRank statement params
+  * (`ast.rs:1267-1279`); tolerance > 0 enables early convergence stop. */
+final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe",
+    damping: Double = 0.85, tolerance: Double = 0.0) extends GraphAlgo
 final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
 final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
 final case class GraphBiconnected() extends GraphAlgo
@@ -85,10 +103,17 @@ final case class GraphCores(maxK: Int = 6) extends GraphAlgo
 // EigenvectorCentrality / LabelPropagation / LouvainCommunities) — each
 // compiles to the corresponding parameterized engine in Algorithms.
 final case class GraphEigenvector(iterations: Int = 4) extends GraphAlgo
-final case class GraphBetweenness() extends GraphAlgo
+/** `GRAPH BETWEENNESS [SAMPLE pct]` — pct mirrors the reference's
+  * sampling_ratio (`graph_engine/src/lib.rs:7058-7130`): sources are a
+  * deterministic hash-sample of ⌈n·pct/100⌉ nodes and scores scale by
+  * n/|sample| (the standard pivot estimator). Without SAMPLE, the
+  * statement keeps its exact nation/region-source form. */
+final case class GraphBetweenness(samplePct: Option[Int] = None) extends GraphAlgo
 final case class GraphCloseness() extends GraphAlgo
 final case class GraphLabelProp(iterations: Int = 3) extends GraphAlgo
-final case class GraphLouvain(sweeps: Int = 2) extends GraphAlgo
+/** `GRAPH LOUVAIN [SWEEPS n] [RESOLUTION r]` — r is the reference
+  * CommunityConfig resolution γ (`graph_engine/src/lib.rs:7442`). */
+final case class GraphLouvain(sweeps: Int = 2, resolution: Double = 1.0) extends GraphAlgo
 /** `GRAPH TRANSITIVITY` — global transitivity + average local clustering
   * (reference `global_clustering_coefficient`/`average_clustering`). */
 final case class GraphTransitivity() extends GraphAlgo
@@ -174,7 +199,32 @@ final case class GraphCountEdges(etype: Option[String]) extends Statement
   * g10 per-etype weighting. */
 final case class GraphAggregate(func: String, prop: String,
     overEdges: Boolean, filter: Option[String], where: Seq[Cond]) extends Statement
-final case class Find(target: String, where: Seq[Cond], limit: Option[Int]) extends Statement
+/** `FIND ROWS [FROM] <table> [WHERE …] [RETURN cols] [LIMIT n]` —
+  * relational arm of the unified FIND statement (reference
+  * `ast.rs:768-793` FindPattern::Rows; router `lib.rs:5453-5509`). */
+final case class Find(target: String, where: Seq[Cond], limit: Option[Int],
+    ret: Seq[String] = Nil) extends Statement
+
+/** `FIND NODES ['<label>'|label] [WHERE …] [RETURN cols] [LIMIT n]` —
+  * graph-node arm (reference FindPattern::Nodes, `ast.rs:769-773`;
+  * NODE/NODES/VERTEX all accepted, like the reference token aliases).
+  * Overlay-aware: store-created nodes appear, tombstoned ones don't. */
+final case class FindNodes(label: Option[String], where: Seq[Cond],
+    ret: Seq[String], limit: Option[Int]) extends Statement
+
+/** `FIND EDGES ['<type>'|type] [WHERE …] [RETURN cols] [LIMIT n]` —
+  * edge arm (reference FindPattern::Edges, `ast.rs:774-778`). */
+final case class FindEdges(etype: Option[String], where: Seq[Cond],
+    ret: Seq[String], limit: Option[Int]) extends Statement
+
+/** `FIND PATH [FROM '<key>'] [VIA '<etype>'] [TO '<key>'] [LIMIT n]` —
+  * path arm (reference FindPattern::Path {from, edge, to},
+  * `ast.rs:784-792`; executor `tensor_unified/src/lib.rs:1154-1240`):
+  * FROM+TO = BFS shortest path hop list; FROM only = outgoing
+  * connections (VIA-filtered); TO only = incoming. FROM or TO required,
+  * like the reference's "Path query requires 'from' or 'to'". */
+final case class FindPath(from: Option[String], via: Option[String],
+    to: Option[String], limit: Option[Int]) extends Statement
 
 /** `BLOBS SIMILAR TO '<key>' [LIMIT k]` — embedding search over binary
   * artifacts (reference BLOB store `ast.rs:1127-1167`, parser
@@ -246,3 +296,9 @@ final case class ChunkCensus(window: Int, stride: Int) extends Statement
 final case class MmrRerank(vecId: Long, pool: Int = 20, limit: Int = 5) extends Statement
 
 final case class NqlParseException(msg: String) extends RuntimeException(msg)
+
+/** Runtime failure of a well-formed statement (missing entity, dimension
+  * clash discovered against live data, …) — distinct from
+  * [[NqlParseException]] so callers can tell "fix the statement text"
+  * apart from "fix the data / retry". */
+final case class NqlExecException(msg: String) extends RuntimeException(msg)

@@ -101,6 +101,47 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
   }
 
+  /** FIND PATH FROM+TO executor: level-synchronous BFS over the
+    * undirected closure of `edges`, tracking a deterministic min-key
+    * parent per node, then backtracking `to → from` into an ordered
+    * (hop, key) list. The BFS is the same keyed-shuffle-per-round shape
+    * as every other iterative loop here; the backtrack does ≤ maxDepth+1
+    * one-row lookups against the MATERIALIZED tree frame — bounded by
+    * the depth cap, never by data size. Unreachable targets return an
+    * empty frame (reference returns zero path items). */
+  private def findPathBfs(edges: DataFrame, from: String, to: String,
+      maxDepth: Int = 6): DataFrame = {
+    import spark.implicits._
+    val und = TpchGraph.undirected(edges).select("src", "dst")
+    var tree = Algorithms.cut(
+      Seq((from, from, 0)).toDF("key", "parent", "depth"))
+    var found = from == to
+    var i = 1
+    var frontierAlive = true
+    while (!found && frontierAlive && i <= maxDepth) {
+      val frontier = tree.filter(col("depth") === i - 1).select(col("key").as("src"))
+      val nxt = und.join(frontier, Seq("src"))
+        .join(tree.select(col("key").as("dst")), Seq("dst"), "left_anti")
+        .groupBy("dst").agg(min("src").as("parent"))
+        .select(col("dst").as("key"), col("parent"), lit(i).as("depth"))
+      tree = Algorithms.cut(tree.union(nxt))
+      found = tree.filter(col("key") === to).limit(1).count() > 0
+      frontierAlive = tree.filter(col("depth") === i).limit(1).count() > 0
+      i += 1
+    }
+    if (!found) return Seq.empty[(Int, String)].toDF("hop", "key")
+    val path = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    var cur = to
+    var continueBack = true
+    while (continueBack) {
+      val row = tree.filter(col("key") === cur).collect()(0)
+      val depth = row.getAs[Int]("depth")
+      path.prepend((depth, cur))
+      if (depth == 0) continueBack = false else cur = row.getAs[String]("parent")
+    }
+    path.toSeq.toDF("hop", "key").orderBy("hop")
+  }
+
   /** Biconnected labeling of the (overlay-aware) property graph, rooted
     * at the region hubs — backs GRAPH BICONNECTED / GRAPH ARTICULATION. */
   private def biconnectedEdges(): DataFrame = {
@@ -113,6 +154,12 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case SqlPassthrough(sql) =>
       registerViews()
       spark.sql(sql)
+
+    // Executable DML (reference router `query_router/src/lib.rs:1974-1975`).
+    // No registerViews() here: DML targets catalog tables, and registering
+    // the read-only sf views would shadow a same-named catalog table.
+    case st: SqlUpdate => graft.relational.TableDml.update(spark, st)
+    case st: SqlDelete => graft.relational.TableDml.delete(spark, st)
 
     // Graph nodes have no embedding anywhere — reject loudly instead of
     // silently returning an empty frame (or hijacking the entity store).
@@ -311,12 +358,16 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .filter(col("src") === key)
         .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
 
-    case GraphPageRank(iters, engine) =>
+    case GraphPageRank(iters, engine, damping, tolerance) =>
+      if (engine == "graphx" && (damping != 0.85 || tolerance != 0.0))
+        throw NqlParseException(
+          "ENGINE 'graphx' does not take DAMPING/TOLERANCE — use the dataframe engine")
       val pr =
         if (engine == "graphx")
           GraphXAdapters.pageRank(TpchGraph.nodes(spark, sfDir), TpchGraph.treeEdges(spark, sfDir), iters)
         else
-          Algorithms.pageRank(TpchGraph.treeEdges(spark, sfDir), TpchGraph.nodes(spark, sfDir), iters)
+          Algorithms.pageRank(TpchGraph.treeEdges(spark, sfDir), TpchGraph.nodes(spark, sfDir),
+            iters, damping, tolerance)
       pr.select(col("key"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), col("key"))
 
@@ -430,12 +481,29 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // Sampled-source Brandes from the hub layer (nation ∪ region) —
     // the g22 construction without the customer sample.
-    case GraphBetweenness() =>
-      Algorithms.betweennessBrandes(
-          TpchGraph.undirected(allEdges),
-          allNodes.filter(col("label").isin("nation", "region")).select("key"), 2)
-        .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
-        .orderBy(desc("betweenness"), col("key")).limit(20)
+    case GraphBetweenness(samplePct) =>
+      samplePct match {
+        case None =>
+          Algorithms.betweennessBrandes(
+              TpchGraph.undirected(allEdges),
+              allNodes.filter(col("label").isin("nation", "region")).select("key"), 2)
+            .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
+            .orderBy(desc("betweenness"), col("key")).limit(20)
+        case Some(pct) =>
+          // Reference sampling_ratio semantics (`graph_engine/src/lib.rs:
+          // 7058-7130`): sources = deterministic hash-sample of
+          // ⌈n·pct/100⌉ nodes, scores scaled by n/|sample| (pivot
+          // estimator). md5 ordering = same coordination-free sampling
+          // rule as the SAMPLE statement.
+          val n = allNodes.count()
+          val k = math.ceil(n * pct / 100.0).toLong
+          val sources = Algorithms.cut(allNodes.select("key")
+            .orderBy(md5(col("key")), col("key")).limit(k.toInt))
+          val scale = n.toDouble / k
+          Algorithms.betweennessBrandes(TpchGraph.undirected(allEdges), sources, 2)
+            .select(col("key"), round(col("betweenness") * scale, 6).as("betweenness"))
+            .orderBy(desc("betweenness"), col("key")).limit(20)
+      }
 
     // Bounded-depth closeness over the nation/region tree (the g18 form).
     case GraphCloseness() =>
@@ -451,10 +519,10 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
         .orderBy(desc("n_nodes"), col("lbl")).limit(20)
 
-    case GraphLouvain(sweeps) =>
+    case GraphLouvain(sweeps, resolution) =>
       Algorithms.louvainSweeps(
           TpchGraph.undirected(allEdges).select("src", "dst"),
-          allNodes.select("key"), sweeps)
+          allNodes.select("key"), sweeps, resolution)
         .groupBy("comm").agg(count(lit(1)).as("n_nodes"))
         .filter(col("n_nodes") >= 2)
         .orderBy(desc("n_nodes"), col("comm")).limit(30)
@@ -507,10 +575,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // bounded 1-key lookup), named props overwrite, everything else is
     // preserved, and the merged row appends as a new version — the
     // lakehouse analogue of the reference's in-place field update.
+    // Concurrency note: the read-merge-append is NOT atomic — a writer
+    // landing between the lookup and the put() is overwritten by this
+    // statement's stale merge (last-writer-wins at statement granularity,
+    // the standard append-log semantics; reference single-threaded engine
+    // has no sharper guarantee either).
     case EntityUpdate(key, props) =>
       val st = storeOrFail("ENTITY UPDATE")
       val cur = st.entities.filter(col("key") === key).limit(1).collect()
-      if (cur.isEmpty) throw NqlParseException(
+      if (cur.isEmpty) throw NqlExecException(
         s"ENTITY UPDATE: entity '$key' does not exist (use ENTITY CREATE)")
       val row = cur.head
       val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
@@ -533,8 +606,17 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         if (vector.length != dim) throw NqlParseException(
           s"collection '$c' expects dimension $dim, got ${vector.length}")
       }
-      storeOrFail("EMBED STORE").put(Seq(graft.unified.EntityStore.EntityRow(
-        key, collection.map("collection" -> _).toMap, Some(vector))))
+      // The reference's vector and graph engines are orthogonal: storing
+      // an embedding must not clobber node/entity props living under the
+      // same key (knowledge-base sample: NODE CREATE then EMBED STORE).
+      // Merge: existing props preserved, collection tag overlaid,
+      // embedding replaced. One bounded 1-key lookup per statement.
+      val st = storeOrFail("EMBED STORE")
+      val existing = st.entities.filter(col("key") === key).limit(1).collect()
+        .headOption.flatMap(r => Option(r.getAs[Map[String, String]]("props")))
+        .getOrElse(Map.empty[String, String])
+      st.put(Seq(graft.unified.EntityStore.EntityRow(
+        key, existing ++ collection.map("collection" -> _).toMap, Some(vector))))
       status(key, "stored")
 
     // Batch vector store — ONE versioned log append for the whole batch
@@ -550,9 +632,18 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
             s"collection '$c' expects dimension $dim, got ${v.length} for '$k'")
         }
       }
-      storeOrFail("EMBED BATCH").put(items.map { case (k, v) =>
+      // Same props-preserving merge as EMBED STORE, batched: ONE bounded
+      // lookup for all keys (the item list is statement-literal-sized).
+      val stb = storeOrFail("EMBED BATCH")
+      val itemKeys = items.map(_._1)
+      val existingProps = stb.entities.filter(col("key").isin(itemKeys: _*))
+        .select("key", "props").collect()
+        .map(r => r.getString(0) -> Option(r.getAs[Map[String, String]]("props"))
+          .getOrElse(Map.empty[String, String])).toMap
+      stb.put(items.map { case (k, v) =>
         graft.unified.EntityStore.EntityRow(
-          k, collection.map("collection" -> _).toMap, Some(v))
+          k, existingProps.getOrElse(k, Map.empty) ++ collection.map("collection" -> _).toMap,
+          Some(v))
       })
       spark.createDataFrame(Seq((items.size.toLong, "batch_stored")))
         .toDF("n_stored", "status")
@@ -670,7 +761,11 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case r: CypherParser.CypherCreateRel =>
       val op = if (r.merge) "MERGE" else "CREATE"
       val st = storeOrFail(op)
-      // one existence scan covers both endpoints
+      // One existence scan covers both endpoints. BOUNDEDNESS GUARANTEE:
+      // `keys` is always statement-literal-sized (exactly the two endpoint
+      // keys written in the CREATE/MERGE text), so the isin-filtered
+      // collect below returns ≤ 2 rows regardless of store size — this is
+      // a keyed point lookup, not a scan-collect.
       val endpoints = Seq(r.from, r.to)
       val keys = endpoints.map(_.props("key"))
       val existing = allNodes.filter(col("key").isin(keys: _*))
@@ -708,11 +803,46 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           round(cosine_similarity(col("embedding"), col("qv")), 4).as("score"))
         .orderBy(desc("score"), col("blob_key")).limit(limit)
 
-    case Find(target, where, limit) =>
+    case Find(target, where, limit, ret) =>
       val base = Tables(spark, sfDir, target)
       val f = where.foldLeft(base)((df, c) => df.filter(cond(c)))
       val ordered = f.orderBy(f.columns.head)
-      limit.fold(ordered)(ordered.limit)
+      val lim = limit.fold(ordered)(ordered.limit)
+      if (ret.nonEmpty) lim.select(ret.map(col): _*) else lim
+
+    // FIND NODES/EDGES (reference FindPattern::Nodes/Edges, router
+    // `query_router/src/lib.rs:5470-5487`): overlay-aware scans with the
+    // same WHERE/RETURN/LIMIT tail as FIND ROWS. Deterministic key order
+    // before LIMIT so pagination is stable.
+    case FindNodes(label, where, ret, limit) =>
+      val n0 = label.fold(allNodes)(l => allNodes.filter(col("label") === l))
+      val f = where.foldLeft(n0)((df, c) => df.filter(cond(c)))
+      val lim = limit.fold(f.orderBy("key"))(f.orderBy("key").limit)
+      if (ret.nonEmpty) lim.select(ret.map(col): _*) else lim
+
+    case FindEdges(etype, where, ret, limit) =>
+      val e0 = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+      val f = where.foldLeft(e0)((df, c) => df.filter(cond(c)))
+      val ordered = f.orderBy("src", "dst", "etype")
+      val lim = limit.fold(ordered)(ordered.limit)
+      if (ret.nonEmpty) lim.select(ret.map(col): _*) else lim
+
+    // FIND PATH (reference `tensor_unified/src/lib.rs:1154-1240`):
+    // FROM+TO = BFS shortest path as a hop list; FROM only = outgoing
+    // connections; TO only = incoming (reference default limit 100).
+    case FindPath(fromOpt, via, toOpt, limit) =>
+      val e0 = via.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+      (fromOpt, toOpt) match {
+        case (Some(from), Some(to)) => findPathBfs(e0, from, to)
+        case (Some(from), None) =>
+          e0.filter(col("src") === from).select("src", "dst", "etype")
+            .orderBy("dst", "etype").limit(limit.getOrElse(100))
+        case (None, Some(to)) =>
+          e0.filter(col("dst") === to).select("src", "dst", "etype")
+            .orderBy("src", "etype").limit(limit.getOrElse(100))
+        case (None, None) =>
+          throw NqlParseException("FIND PATH requires FROM and/or TO") // parser rejects already
+      }
 
     // ASOF: the q33 union+window plan, parameterized — one shuffle on the
     // key, a single window pass, no range-exploding join (the form that

@@ -57,6 +57,13 @@ object NqlParser {
           throw NqlParseException(s"expected an integer, got $t")
       }
     }
+    def num(): Double = {
+      val t = next()
+      try t.toDouble catch {
+        case _: NumberFormatException =>
+          throw NqlParseException(s"expected a number, got $t")
+      }
+    }
     def done: Boolean = i >= ts.length
   }
 
@@ -71,6 +78,10 @@ object NqlParser {
     val afterFirst = trimmed.drop(firstWord.length).trim
     if ((firstWord == "CREATE" || firstWord == "MERGE") && afterFirst.startsWith("("))
       return CypherParser.parseWrite(trimmed, merge = firstWord == "MERGE")
+    // UPDATE/DELETE execute via TableDml's copy-on-write path — Catalyst
+    // can parse but not execute them against plain parquet tables.
+    if (firstWord == "UPDATE" || firstWord == "DELETE")
+      return graft.relational.TableDml.parse(trimmed)
     if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
     if (firstWord == "MATCH") return CypherParser.parse(trimmed)
     // GRAPH MATCH COUNT/EXISTS <cypher pattern>: the pattern tail uses the
@@ -517,8 +528,27 @@ object NqlParser {
     } else "dataframe"
     algo match {
       case "PAGERANK" =>
-        val it = if (p.accept("ITERATIONS")) p.int() else 10
-        GraphPageRank(it, engine())
+        // ITERATIONS/DAMPING/TOLERANCE/ENGINE in any order (reference
+        // PageRank params, `ast.rs:1267-1279`)
+        var s = GraphPageRank()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("ITERATIONS") => p.next(); s = s.copy(iterations = p.int())
+            case Some("DAMPING") =>
+              p.next(); val d = p.num()
+              if (d <= 0.0 || d >= 1.0)
+                throw NqlParseException(s"DAMPING must be in (0, 1), got $d")
+              s = s.copy(damping = d)
+            case Some("TOLERANCE") =>
+              p.next(); val t = p.num()
+              if (t < 0.0) throw NqlParseException(s"TOLERANCE must be >= 0, got $t")
+              s = s.copy(tolerance = t)
+            case Some("ENGINE") => s = s.copy(engine = engine())
+            case _ => continue = false
+          }
+        }
+        s
       case "COMPONENTS" => GraphComponents(engine())
       case "TRIANGLES" => GraphTriangles(engine())
       case "BICONNECTED" => GraphBiconnected()
@@ -547,7 +577,14 @@ object NqlParser {
         if (it < 1 || it > 8)
           throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
         GraphEigenvector(it)
-      case "BETWEENNESS" => GraphBetweenness()
+      case "BETWEENNESS" =>
+        val pct = if (p.accept("SAMPLE")) {
+          val v = p.int()
+          if (v < 1 || v > 100)
+            throw NqlParseException(s"BETWEENNESS SAMPLE must be in 1..100, got $v")
+          Some(v)
+        } else None
+        GraphBetweenness(pct)
       case "CLOSENESS" => GraphCloseness()
       case "LABELPROP" =>
         val it = if (p.accept("ITERATIONS")) p.int() else 3
@@ -558,17 +595,78 @@ object NqlParser {
         val sw = if (p.accept("SWEEPS")) p.int() else 2
         if (sw < 1 || sw > 4)
           throw NqlParseException(s"LOUVAIN sweeps must be in 1..4, got $sw")
-        GraphLouvain(sw)
+        val res = if (p.accept("RESOLUTION")) {
+          val r = p.num()
+          if (r <= 0.0 || r > 10.0)
+            throw NqlParseException(s"LOUVAIN RESOLUTION must be in (0, 10], got $r")
+          r
+        } else 1.0
+        GraphLouvain(sw, res)
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }
 
-  private def parseFind(p: P): Find = {
-    p.expectKw("ROWS")
-    val target = p.next()
-    val conds = if (p.accept("WHERE")) parseConds(p) else Nil
-    val limit = if (p.accept("LIMIT")) Some(p.int()) else None
-    Find(target, conds, limit)
+  /** `FIND NODES|EDGES|ROWS|PATH …` (reference FindStmt, `ast.rs:753-793`;
+    * grammar `parser.rs:1925-1992`): pattern, optional WHERE conds,
+    * optional RETURN projection, optional LIMIT. */
+  private def parseFind(p: P): Statement = {
+    // label/type operand: bare ident (reference style) or quoted string
+    def nameOperand(): String = {
+      val t = p.next()
+      if (t.startsWith("'")) t.substring(1, t.length - 1) else t
+    }
+    def maybeName(): Option[String] =
+      if (!p.done && !Set("WHERE", "RETURN", "LIMIT").contains(p.peekUpper.get))
+        Some(nameOperand())
+      else None
+    def retItems(): Seq[String] =
+      if (p.accept("RETURN")) {
+        val out = Seq.newBuilder[String]
+        out += p.next()
+        while (p.accept(",")) out += p.next()
+        out.result()
+      } else Nil
+    p.peekUpper match {
+      case Some("NODE") | Some("NODES") | Some("VERTEX") =>
+        p.next()
+        val label = maybeName()
+        val conds = if (p.accept("WHERE")) parseConds(p) else Nil
+        val ret = retItems()
+        val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+        if (!p.done) throw NqlParseException(
+          "FIND NODES takes [label] [WHERE ...] [RETURN cols] [LIMIT n]")
+        FindNodes(label, conds, ret, limit)
+      case Some("EDGE") | Some("EDGES") =>
+        p.next()
+        val etype = maybeName()
+        val conds = if (p.accept("WHERE")) parseConds(p) else Nil
+        val ret = retItems()
+        val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+        if (!p.done) throw NqlParseException(
+          "FIND EDGES takes [type] [WHERE ...] [RETURN cols] [LIMIT n]")
+        FindEdges(etype, conds, ret, limit)
+      case Some("PATH") =>
+        p.next()
+        val from = if (p.accept("FROM")) Some(p.stringLit()) else None
+        val via = if (p.accept("VIA")) Some(p.stringLit()) else None
+        val to = if (p.accept("TO")) Some(p.stringLit()) else None
+        val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+        if (from.isEmpty && to.isEmpty)
+          throw NqlParseException("FIND PATH requires FROM and/or TO")
+        if (!p.done) throw NqlParseException(
+          "FIND PATH takes [FROM 'key'] [VIA 'etype'] [TO 'key'] [LIMIT n]")
+        FindPath(from, via, to, limit)
+      case Some("ROWS") =>
+        p.next()
+        p.accept("FROM") // reference writes FIND ROWS FROM t; bare t also accepted
+        val target = p.next()
+        val conds = if (p.accept("WHERE")) parseConds(p) else Nil
+        val ret = retItems()
+        val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+        Find(target, conds, limit, ret)
+      case other => throw NqlParseException(
+        s"FIND expects NODES, EDGES, ROWS or PATH, got ${other.getOrElse("<end>")}")
+    }
   }
 
   /** `ASOF '<leftType>' TO '<rightType>' ON <key> AT <ts>` */

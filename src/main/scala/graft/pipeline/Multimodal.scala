@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * real decoder would amortize library init per partition and stream
   * batches without collecting.
   *
-  * The decode itself is STUBBED (no media libraries in-container) with
-  * deterministic byte arithmetic — which makes even this path
-  * oracle-checkable — but the plumbing is real: typed input/output
-  * schemas, per-partition iteration, explicit repartition for decode
-  * parallelism.
+  * Decode is REAL for the formats the JDK ships codecs for (PNG / BMP /
+  * JPEG / GIF via `javax.imageio` — see [[decode]]); every other payload
+  * falls back to a deterministic byte-arithmetic STUB — which keeps the
+  * text-backed oracle path checkable — and the plumbing is real either
+  * way: typed input/output schemas, per-partition iteration, explicit
+  * repartition for decode parallelism. Audio/video codecs remain
+  * stubbed (none in the JDK, no external deps in-container).
   */
 object Multimodal {
 
@@ -39,15 +41,59 @@ object Multimodal {
       features = (1 to 8).map(j => ((headSum * j + at(j)) % 97).toDouble).toArray)
   }
 
+  /** Magic-byte sniff for the container formats the JDK ships codecs
+    * for — cheap reject before any ImageIO reader lookup, so text-corpus
+    * payloads never pay decode overhead. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 'B' && b(1) == 'M') ||                                       // BMP
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||                       // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))                          // GIF
+
+  /** REAL decode for PNG/BMP/JPEG/GIF via `javax.imageio` (in the JDK —
+    * no external codec needed): width/height from the decoded raster and
+    * an 8-bin luminance histogram as the feature vector, all
+    * deterministic. Non-image payloads fall back to [[decodeStub]], so
+    * the text-backed m02 oracle path is byte-identical to before.
+    */
+  def decode(m: MediaIn): MediaOut = {
+    val img =
+      if (!looksLikeImage(m.payload)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+      catch { case _: Exception => None }
+    img match {
+      case Some(im) =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            hist(lum / 32) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        MediaOut(m.doc_id, m.payload.length, w, h, 1, hist)
+      case None => decodeStub(m)
+    }
+  }
+
   /** The batch pipeline: repartition for decode parallelism, then one
     * decoder instance per partition (`mapPartitions`), typed end to end.
+    * Image payloads take the real `javax.imageio` path; anything else
+    * keeps the deterministic stub.
     */
   def decodeAll(media: Dataset[MediaIn], parallelism: Int): Dataset[MediaOut] = {
     import media.sparkSession.implicits._
     media.repartition(parallelism)
       .mapPartitions { it =>
-        // per-partition init of a (stub) decoder would go here
-        it.map(decodeStub)
+        // per-partition decoder init would go here (ImageIO is static)
+        it.map(decode)
       }
   }
 

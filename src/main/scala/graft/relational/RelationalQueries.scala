@@ -648,6 +648,40 @@ object RelationalQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    // Executable relational DML end-to-end (reference update
+    // `relational_engine/src/lib.rs:3842` / delete_rows `lib.rs:3954`):
+    // copy the read-only sf customer table into a writable catalog table,
+    // run UPDATE then DELETE through the NQL front door (TableDml's
+    // copy-on-write rewrite), and aggregate the survivors. The oracle
+    // replays the same DML as a pure SELECT (update = CASE projection,
+    // delete = survivor predicate over the POST-update values — order
+    // matters and is preserved). `IS NOT TRUE` mirrors SQL DELETE's 3VL:
+    // a NULL predicate row is not deleted.
+    "q43_update_delete" -> QDef(
+      (s, d) => {
+        val tbl = "cust_dml_" + java.util.UUID.randomUUID().toString.take(8)
+        t(s, d, "customer").write.saveAsTable(tbl)
+        try {
+          graft.nql.Nql.execute(s, d,
+            s"UPDATE $tbl SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'BUILDING'")
+          graft.nql.Nql.execute(s, d, s"DELETE FROM $tbl WHERE c_acctbal < 0.0")
+          // localCheckpoint materializes the survivors BEFORE the table is
+          // dropped — the returned frame must outlive the temp table.
+          s.table(tbl)
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+            .orderBy("c_mktsegment")
+            .localCheckpoint()
+        } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      },
+      """WITH upd AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_cust, round(sum(bal), 2) AS total_bal
+        |FROM upd WHERE (bal < 0.0) IS NOT TRUE
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 }

@@ -31,7 +31,13 @@ final class EntityStore(spark: SparkSession, path: String) {
 
   private def append(rows: Seq[(String, Map[String, String], Option[Array[Float]], Boolean)]): Unit = {
     val s = nextSeq()
-    val data = rows.map { case (k, p, e, del) => (k, p, e.orNull, del, s) }
+    // All rows in one batch share a seq, so duplicate keys inside a batch
+    // would tie in the latest-wins window and survive nondeterministically.
+    // Dedupe last-wins here (batch order = statement order) so the row the
+    // user wrote last is the one that wins, deterministically.
+    val lastWins = rows.zipWithIndex
+      .groupBy(_._1._1).values.map(_.maxBy(_._2)._1).toSeq
+    val data = lastWins.map { case (k, p, e, del) => (k, p, e.orNull, del, s) }
     spark.createDataFrame(data)
       .toDF("key", "props", "embedding", "deleted", "seq")
       .write.mode(SaveMode.Append).parquet(entityDir)
@@ -45,7 +51,10 @@ final class EntityStore(spark: SparkSession, path: String) {
     * (reference batch graph DML, `graph_engine/src/lib.rs:8027-8380`). */
   def connectBatch(edges: Seq[(String, String, String)]): Unit = {
     val s = nextSeq()
-    spark.createDataFrame(edges.map { case (src, dst, et) => (src, dst, et, false, s) })
+    // Same-batch duplicate edge identities: last occurrence wins (see append).
+    val lastWins = edges.zipWithIndex
+      .groupBy(_._1).values.map(_.maxBy(_._2)._1).toSeq
+    spark.createDataFrame(lastWins.map { case (src, dst, et) => (src, dst, et, false, s) })
       .toDF("src", "dst", "etype", "deleted", "seq")
       .write.mode(SaveMode.Append).parquet(edgeDir)
   }

@@ -158,6 +158,25 @@ object UnifiedQueries {
         |  coalesce(CAST(round(1e6 / (60 + rt), 0) AS BIGINT), 0)
         |    + coalesce(CAST(round(1e6 / (60 + rv), 0) AS BIGINT), 0) AS rrf_ppm
         |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
-        |ORDER BY rrf_ppm DESC, id LIMIT 10""".stripMargin)
+        |ORDER BY rrf_ppm DESC, id LIMIT 10""".stripMargin),
+
+    // FIND PATH statement end-to-end (reference FindPattern::Path,
+    // `neumann_parser/src/ast.rs:784-792`; executor
+    // `tensor_unified/src/lib.rs:1154-1240`): shortest path customer →
+    // its region, which the TPC-H topology makes unique (customer has one
+    // tree edge to its nation; the region sits one hop above) — so the
+    // oracle can reconstruct the exact hop list from the base tables.
+    "u06_find_path" -> QDef(
+      (s, d) => graft.nql.Nql.execute(s, d,
+        "FIND PATH FROM 'customer:7' TO 'region:2'"),
+      """SELECT 0 AS hop, 'customer:7' AS key
+        |UNION ALL
+        |SELECT 1, 'nation:' || CAST(c_nationkey AS VARCHAR)
+        |FROM customer WHERE c_custkey = 7
+        |UNION ALL
+        |SELECT 2, 'region:' || CAST(n_regionkey AS VARCHAR)
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey = 7
+        |ORDER BY hop""".stripMargin)
   )
 }

@@ -31,4 +31,37 @@ class DdlDmlSpec extends AnyFunSuite {
     nql("DROP TABLE graft_users")
     assert(!spark.catalog.tableExists("graft_users"))
   }
+
+  test("UPDATE / DELETE execute via copy-on-write rewrite") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    def nql(q: String) = Nql.execute(spark, sf, q)
+
+    nql(s"CREATE TABLE graft_dml (name STRING, age INT, team STRING) USING parquet LOCATION '$loc/t'")
+    nql("INSERT INTO graft_dml VALUES ('alice', 34, 'ml'), ('bob', 28, 'infra'), ('carol', 41, 'ml'), ('dan', 19, NULL)")
+
+    // UPDATE: expression RHS evaluated against the OLD row, WHERE-scoped
+    val u = nql("UPDATE graft_dml SET age = age + 1 WHERE team = 'ml'").collect()(0)
+    assert(u.getAs[String]("operation") == "update" && u.getAs[Long]("rows_affected") == 2)
+    assert(nql("SELECT age FROM graft_dml WHERE name = 'alice'").collect()(0).getInt(0) == 35)
+    assert(nql("SELECT age FROM graft_dml WHERE name = 'bob'").collect()(0).getInt(0) == 28)
+
+    // multi-column SET all read old values: swap semantics
+    nql("UPDATE graft_dml SET name = team, team = name WHERE name = 'bob'")
+    assert(nql("SELECT team FROM graft_dml WHERE name = 'infra'").collect()(0).getString(0) == "bob")
+
+    // DELETE: NULL predicate rows survive (3VL, like SQL DELETE)
+    val dl = nql("DELETE FROM graft_dml WHERE team = 'ml'").collect()(0)
+    assert(dl.getAs[Long]("rows_affected") == 2)
+    assert(nql("SELECT name FROM graft_dml ORDER BY name").collect().map(_.getString(0)).toSeq
+      == Seq("dan", "infra"))
+
+    // unconditional DELETE empties the table, schema preserved
+    nql("DELETE FROM graft_dml")
+    assert(nql("SELECT count(*) AS n FROM graft_dml").collect()(0).getLong(0) == 0)
+    nql("DROP TABLE graft_dml")
+
+    // DML against the read-only sf views fails loudly with CTAS guidance
+    val ex = intercept[graft.nql.NqlExecException](nql("DELETE FROM lineitem WHERE l_orderkey = 1"))
+    assert(ex.getMessage.contains("CREATE TABLE"))
+  }
 }

@@ -192,6 +192,84 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval joins drop rows arriving beyond the watermark (s04/s08 chaos margin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+
+    // ---- inner interval join (the s04 engine) ----
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.purchaseClickJoinStream(
+        memP.toDF().toDF("event_id", "user_id", "ts"),
+        memC.toDF().toDF("event_id", "user_id", "ts"))
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory").queryName("late_join_out")
+      .start()
+    try {
+      // an in-time pair, then advance both watermarks ~9 hours
+      memP.addData(Seq((1L, 10L, at(60))))
+      memC.addData(Seq((100L, 10L, at(59))))
+      q.processAllAvailable()
+      memP.addData(Seq((2L, 99L, at(600))))
+      memC.addData(Seq((200L, 99L, at(600))))
+      q.processAllAvailable()
+      // a click that WOULD match purchase 1, arriving far beyond the
+      // watermark (now ≈ t+590): must be dropped, not joined
+      memC.addData(Seq((101L, 10L, at(58))))
+      q.processAllAvailable()
+      val streamed = spark.table("late_join_out").orderBy("p_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(!streamed.contains((1L, 101L)), "too-late click joined after the watermark")
+      // stream result == batch twin over the ON-TIME rows only
+      val pB = Seq((1L, 10L, at(60)), (2L, 99L, at(600))).toDF("event_id", "user_id", "ts")
+      val cOnTime = Seq((100L, 10L, at(59)), (200L, 99L, at(600))).toDF("event_id", "user_id", "ts")
+      val batchOnTime = EventStreams.purchaseClickJoin(pB, cOnTime)
+        .select("p_id", "c_id").orderBy("p_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed == batchOnTime)
+      // …while the batch twin WITH the late row does contain the pair —
+      // i.e. only the watermark excluded it, not the join predicate
+      val cAll = cOnTime.union(Seq((101L, 10L, at(58))).toDF("event_id", "user_id", "ts"))
+      val batchAll = EventStreams.purchaseClickJoin(pB, cAll)
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchAll.contains((1L, 101L)))
+    } finally q.stop()
+
+    // ---- left-outer interval join (the s08 engine): a late click must
+    // not retro-fill a null row the watermark already emitted ----
+    val memP2 = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC2 = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q2 = EventStreams.purchaseClickLeftStream(
+        memP2.toDF().toDF("event_id", "user_id", "ts"),
+        memC2.toDF().toDF("event_id", "user_id", "ts"))
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory").queryName("late_lojoin_out")
+      .start()
+    try {
+      memP2.addData(Seq((1L, 10L, at(60)))) // will have NO in-time click
+      memC2.addData(Seq((100L, 77L, at(60)))) // other user, advances watermark
+      q2.processAllAvailable()
+      // advance watermarks so purchase 1's null row flushes
+      memP2.addData(Seq((2L, 99L, at(600)))); memC2.addData(Seq((200L, 99L, at(600))))
+      q2.processAllAvailable()
+      memP2.addData(Seq((3L, 98L, at(601)))); memC2.addData(Seq((201L, 98L, at(601))))
+      q2.processAllAvailable()
+      val before = spark.table("late_lojoin_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(before.contains((1L, -1L)), "unmatched purchase never emitted its null row")
+      // too-late matching click: dropped; the emitted rows for p1 stay
+      // exactly the one null row
+      memC2.addData(Seq((102L, 10L, at(59))))
+      q2.processAllAvailable()
+      val after = spark.table("late_lojoin_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(after.filter(_._1 == 1L) == Seq((1L, -1L)),
+        s"late click changed purchase 1's emission: ${after.filter(_._1 == 1L)}")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

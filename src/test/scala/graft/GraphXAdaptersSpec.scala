@@ -52,6 +52,24 @@ class GraphXAdaptersSpec extends AnyFunSuite {
     assert(gxGroups.count(_.size == 5) == 5)
   }
 
+  test("GraphX label propagation groups the nation cliques like the DF impl") {
+    val clique = TpchGraph.sameRegionEdges(spark, sf)
+    val nationNodes = nodes.filter(col("label") === "nation")
+    val df = Algorithms.labelPropagation(
+        TpchGraph.undirected(clique), nationNodes.select("key"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val gx = GraphXAdapters.labelPropagation(nationNodes, clique, 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gx.keySet == df.keySet)
+    // same partition into communities (label/representative may differ —
+    // the two impls use different tie-break rules, but each 5-clique's
+    // majority vote converges to one community either way)
+    val gxGroups = gx.groupBy(_._2).values.map(_.keySet).toSet
+    val dfGroups = df.groupBy(_._2).values.map(_.keySet).toSet
+    assert(dfGroups.size == 5)
+    assert(gxGroups == dfGroups, s"gx=$gxGroups df=$dfGroups")
+  }
+
   test("GraphX static PageRank ranks hubs like the DF impl") {
     val tree = TpchGraph.treeEdges(spark, sf)
     val gx = GraphXAdapters.pageRank(nodes, tree, 10)

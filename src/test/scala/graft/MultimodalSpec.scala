@@ -15,6 +15,39 @@ class MultimodalSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "payload").as[Multimodal.MediaIn]
   }
 
+  test("decode: a real PNG payload is decoded by javax.imageio, not the stub") {
+    // a 20x10 image: left half black, right half white
+    val im = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      im.setRGB(x, y, if (x < 10) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png = bos.toByteArray
+
+    val out = Multimodal.decodeAll(media(7L -> png), parallelism = 2).collect()
+    assert(out.length == 1)
+    val d = out(0)
+    // real raster dimensions, not the stub's byte arithmetic
+    assert(d.width == 20 && d.height == 10 && d.n_frames == 1)
+    assert(d.n_bytes == png.length)
+    // luminance histogram: 100 black pixels in bin 0, 100 white in bin 7
+    assert(d.features(0) == 100.0 && d.features(7) == 100.0)
+    assert(d.features.sum == 200.0)
+
+    // BMP goes through the real path too
+    val bmpBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "bmp", bmpBos)
+    val bmp = Multimodal.decodeAll(media(8L -> bmpBos.toByteArray), 1).collect()(0)
+    assert(bmp.width == 20 && bmp.height == 10)
+
+    // non-image payloads keep the deterministic stub (the m02 oracle path)
+    val text = "hello multimodal".getBytes("UTF-8")
+    val stub = Multimodal.decodeAll(media(9L -> text), 1).collect()(0)
+    val expect = Multimodal.decodeStub(Multimodal.MediaIn(9L, text))
+    assert(stub.width == expect.width && stub.height == expect.height &&
+      stub.n_frames == expect.n_frames && stub.features.toSeq == expect.features.toSeq)
+  }
+
   test("sampleFrames: payload shorter than one frame emits no rows") {
     val out = Multimodal.sampleFrames(media(1L -> Array.fill(63)('a'.toByte)),
       frameBytes = 64, stride = 2).collect()

@@ -102,6 +102,73 @@ class NqlSpec extends AnyFunSuite {
     assert(f.count() == 20)
   }
 
+  test("FIND NODES / EDGES / PATH statement forms round-trip") {
+    // nodes: label filter (bare ident and quoted), WHERE, RETURN, LIMIT
+    val regions = run("FIND NODES region")
+    assert(regions.count() == 5 && regions.columns.toSeq == Seq("key", "label", "name"))
+    assert(run("FIND NODES 'region' RETURN key LIMIT 3").columns.toSeq == Seq("key"))
+    assert(run("FIND VERTEX region").count() == 5) // reference VERTEX alias
+    assert(run("FIND NODES LIMIT 10").count() == 10)
+    val w = run("FIND NODES nation WHERE name = 'NATION_3' RETURN key, name").collect()
+    assert(w.length == 1 && w(0).getString(0) == "nation:3")
+    // edges: type filter, WHERE, RETURN
+    assert(run("FIND EDGES in_region").count() == 25)
+    val e = run("FIND EDGES 'in_region' WHERE dst = 'region:0' RETURN src")
+    assert(e.count() == 5 && e.columns.toSeq == Seq("src"))
+    // rows: reference FROM form + RETURN projection
+    val f = run("FIND ROWS FROM orders WHERE o_orderpriority = '1-URGENT' RETURN o_orderkey LIMIT 5")
+    assert(f.count() == 5 && f.columns.toSeq == Seq("o_orderkey"))
+    // path FROM+TO: the unique customer → nation → region chain
+    val p = run("FIND PATH FROM 'customer:7' TO 'region:2'").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(p == Seq((0, "customer:7"), (1, "nation:17"), (2, "region:2")))
+    // from == to → single hop-0 row; VIA can make the target unreachable
+    assert(run("FIND PATH FROM 'nation:0' TO 'nation:0'").count() == 1)
+    assert(run("FIND PATH FROM 'customer:7' VIA 'same_region' TO 'region:2'").count() == 0)
+    // FROM only = outgoing connections; TO only = incoming
+    val out = run("FIND PATH FROM 'nation:17'")
+    assert(out.filter(col("etype") === "in_region").count() == 1)
+    assert(run("FIND PATH TO 'region:2' LIMIT 3").count() == 3)
+    // FROM or TO is required (reference: "Path query requires 'from' or 'to'")
+    assertThrows[NqlParseException](run("FIND PATH LIMIT 3"))
+  }
+
+  test("PAGERANK DAMPING/TOLERANCE, LOUVAIN RESOLUTION, BETWEENNESS SAMPLE reach the engines") {
+    def scores(q: String) = run(q).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // damping changes the stationary scores
+    val base = scores("GRAPH PAGERANK ITERATIONS 5")
+    val damped = scores("GRAPH PAGERANK ITERATIONS 5 DAMPING 0.5")
+    assert(base.toMap.apply("region:0") != damped.toMap.apply("region:0"))
+    // a huge tolerance converges after round 1 → identical to ITERATIONS 1
+    assert(scores("GRAPH PAGERANK ITERATIONS 8 TOLERANCE 1000.0")
+      == scores("GRAPH PAGERANK ITERATIONS 1"))
+    // graphx engine rejects the new knobs loudly
+    assertThrows[NqlParseException](run("GRAPH PAGERANK DAMPING 0.5 ENGINE 'graphx'"))
+
+    // LOUVAIN RESOLUTION γ flips the argmax on a weighted fixture: x has
+    // 2 edges into high-degree a (evc 2, tot 12) and 1 into low-degree b
+    // (evc 1, tot 1); crossover at γ = 26/33 ≈ 0.79 — γ=0.5 picks a,
+    // γ=2 picks b.
+    import spark.implicits._
+    val hub = (1 to 10).map(i => ("a", s"h$i"))
+    val dir = Seq(("x", "a"), ("x", "a"), ("x", "b")) ++ hub
+    val und = dir.toDF("src", "dst")
+      .union(dir.map(_.swap).toDF("src", "dst"))
+    val nodes = (Seq("x", "a", "b") ++ (1 to 10).map(i => s"h$i")).toDF("key")
+    def commOfX(res: Double) =
+      graft.graph.Algorithms.louvainSweeps(und, nodes, 1, res)
+        .filter(col("key") === "x").collect()(0).getString(1)
+    assert(commOfX(0.5) == "a" && commOfX(2.0) == "b")
+    // statement front parses and executes
+    assert(run("GRAPH LOUVAIN SWEEPS 1 RESOLUTION 2.0").count() >= 0)
+
+    // BETWEENNESS SAMPLE: different deterministic source sets → different
+    // scores; SAMPLE 100 covers every node (scale 1)
+    val s100 = scores("GRAPH BETWEENNESS SAMPLE 100")
+    val s10 = scores("GRAPH BETWEENNESS SAMPLE 10")
+    assert(s100.nonEmpty && s10.nonEmpty && s100 != s10)
+  }
+
   test("Cypher MATCH chain, property map, var-length, reverse arrow") {
     val chain = run("MATCH (n:nation)-[:in_region]->(r:region {name: 'ASIA'}) RETURN n.name ORDER BY n.name")
     assert(chain.count() == 5)
@@ -171,8 +238,13 @@ class NqlSpec extends AnyFunSuite {
     assert(props("role") == "lead")    // new prop added
     val emb = row.getAs[scala.collection.Seq[Float]]("embedding")
     assert(emb == Seq(0.6f, 0.8f))     // embedding untouched
-    // an update is not an upsert: missing key fails loudly
-    assertThrows[NqlParseException](runS("ENTITY UPDATE 'user:absent' SET a = 'b'"))
+    // an update is not an upsert: missing key fails loudly — and as a
+    // RUNTIME error (the statement is well-formed), not a parse error
+    assertThrows[NqlExecException](runS("ENTITY UPDATE 'user:absent' SET a = 'b'"))
+    // duplicate keys inside one batch resolve deterministically last-wins
+    runS("EMBED BATCH 'user:dup' (1.0, 0.0), 'user:dup' (0.0, 1.0)")
+    val dup = runS("EMBED GET 'user:dup'").collect()(0)
+    assert(dup.getAs[scala.collection.Seq[Float]]("embedding") == Seq(0.0f, 1.0f))
   }
 
   test("EMBED LIST surfaces keys, dimensions, and store overlays") {

@@ -70,7 +70,16 @@ class ParserFuzzSpec extends AnyFunSuite {
       "GRAPH EIGENVECTOR ITERATIONS 4",
       "GRAPH CORES MAX 6",
       "ENTITY UPDATE 'k' SET a = 'b', c = 'd'",
-      "EMBED LIST IN 'docs' LIMIT 5")
+      "EMBED LIST IN 'docs' LIMIT 5",
+      "FIND NODES 'nation' WHERE name = 'x' RETURN key, name LIMIT 5",
+      "FIND EDGES in_region WHERE dst = 'region:0' RETURN src LIMIT 5",
+      "FIND PATH FROM 'customer:7' VIA 'in_nation' TO 'region:2' LIMIT 5",
+      "FIND ROWS FROM orders WHERE o_totalprice > 10.0 RETURN o_orderkey LIMIT 5",
+      "GRAPH PAGERANK ITERATIONS 5 DAMPING 0.5 TOLERANCE 0.001",
+      "GRAPH LOUVAIN SWEEPS 2 RESOLUTION 2.0",
+      "GRAPH BETWEENNESS SAMPLE 25",
+      "UPDATE t SET a = a + 1, b = 'x' WHERE c < 2",
+      "DELETE FROM t WHERE a = 1")
     for (q <- valid; cut <- 1 until q.length) mustParseOrReject(q.take(cut))
     // and the full forms must parse
     valid.foreach(q => NqlParser.parse(q))

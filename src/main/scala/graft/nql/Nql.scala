@@ -58,11 +58,16 @@ final case class SimilarVector(
     limit: Int = 10,
     where: Seq[Cond] = Nil) extends Statement
 
+/** `NEIGHBORS '<key>' [OUTGOING|INCOMING|BOTH] [TYPE 't'] [LIMIT n]` —
+  * direction mirrors the reference NeighborsStmt
+  * (`parser.rs:1702-1744`; its default is OUTGOING, ours stays BOTH —
+  * the superset — for statement-compatibility with earlier rounds). */
 final case class Neighbors(
     key: String,
     bySimilarityTo: Option[String] = None,
     etype: Option[String] = None,
-    limit: Option[Int] = None) extends Statement
+    limit: Option[Int] = None,
+    direction: String = "both") extends Statement
 
 final case class PathShortest(from: String, to: String, maxDepth: Int = 6) extends Statement
 final case class PathWeighted(from: String, to: String, maxHops: Int = 6) extends Statement
@@ -73,11 +78,15 @@ final case class EdgeList(etype: Option[String], limit: Option[Int]) extends Sta
 final case class Degree(key: String) extends Statement
 
 sealed trait GraphAlgo extends Statement
-/** `GRAPH PAGERANK [ITERATIONS n] [DAMPING d] [TOLERANCE t] [ENGINE e]`
-  * — damping/tolerance mirror the reference PageRank statement params
-  * (`ast.rs:1267-1279`); tolerance > 0 enables early convergence stop. */
+/** `GRAPH PAGERANK [ITERATIONS n] [DAMPING d] [TOLERANCE t]
+  * [OUTGOING|INCOMING|BOTH] [EDGE TYPE 't'] [ENGINE e]` — the full
+  * reference PageRank parameter surface (`ast.rs:1267-1279`, grammar
+  * `parser.rs:2361-2405`); tolerance > 0 enables early convergence
+  * stop; direction/edge-type switch the walked edge set (None/None =
+  * the round-1 tree-edge default, unchanged). */
 final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe",
-    damping: Double = 0.85, tolerance: Double = 0.0) extends GraphAlgo
+    damping: Double = 0.85, tolerance: Double = 0.0,
+    etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
 final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
 final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
 final case class GraphBiconnected() extends GraphAlgo
@@ -103,13 +112,20 @@ final case class GraphCores(maxK: Int = 6) extends GraphAlgo
 // EigenvectorCentrality / LabelPropagation / LouvainCommunities) — each
 // compiles to the corresponding parameterized engine in Algorithms.
 final case class GraphEigenvector(iterations: Int = 4) extends GraphAlgo
-/** `GRAPH BETWEENNESS [SAMPLE pct]` — pct mirrors the reference's
-  * sampling_ratio (`graph_engine/src/lib.rs:7058-7130`): sources are a
-  * deterministic hash-sample of ⌈n·pct/100⌉ nodes and scores scale by
-  * n/|sample| (the standard pivot estimator). Without SAMPLE, the
-  * statement keeps its exact nation/region-source form. */
-final case class GraphBetweenness(samplePct: Option[Int] = None) extends GraphAlgo
-final case class GraphCloseness() extends GraphAlgo
+/** `GRAPH BETWEENNESS [SAMPLE|SAMPLING pct] [OUTGOING|INCOMING|BOTH]
+  * [EDGE TYPE 't']` — pct mirrors the reference's sampling_ratio
+  * (`graph_engine/src/lib.rs:7058-7130`): sources are a deterministic
+  * hash-sample of ⌈n·pct/100⌉ nodes and scores scale by n/|sample| (the
+  * standard pivot estimator). Without SAMPLE, the statement keeps its
+  * exact nation/region-source form; direction/edge-type switch the
+  * traversed edge set (grammar `parser.rs:2407-2440`). */
+final case class GraphBetweenness(samplePct: Option[Int] = None,
+    etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
+/** `GRAPH CLOSENESS [OUTGOING|INCOMING|BOTH] [EDGE TYPE 't']` —
+  * direction/edge-type per the reference grammar (`parser.rs:2442+`);
+  * defaults keep the g18 nation/region-tree form. */
+final case class GraphCloseness(etype: Option[String] = None,
+    direction: Option[String] = None) extends GraphAlgo
 final case class GraphLabelProp(iterations: Int = 3) extends GraphAlgo
 /** `GRAPH LOUVAIN [SWEEPS n] [RESOLUTION r]` — r is the reference
   * CommunityConfig resolution γ (`graph_engine/src/lib.rs:7442`). */
@@ -119,6 +135,41 @@ final case class GraphLouvain(sweeps: Int = 2, resolution: Double = 1.0) extends
 final case class GraphTransitivity() extends GraphAlgo
 
 final case class EmbedGet(key: String) extends Statement
+/** `EMBED DELETE '<key>'` — remove the stored vector (reference
+  * EmbedOp::Delete, `parser.rs:1792-1794`). Props-preserving: the
+  * reference's vector and graph engines are orthogonal, so deleting an
+  * embedding must not delete the node/entity living under the same key —
+  * the entity row survives with `embedding = NULL`; a props-less row
+  * tombstones entirely. Bundled `vec:*` driver data is read-only and
+  * rejected loudly. */
+final case class EmbedDelete(key: String) extends Statement
+/** `COUNT EMBEDDINGS` (reference `parser.rs:1550-1562`): bundled +
+  * store vectors, one count row. */
+final case class CountEmbeddings() extends Statement
+/** `SHOW VECTOR INDEX` (reference ShowVectorIndex, `parser.rs:1497`):
+  * the session ANN index's cell census, or a no-index status row. */
+final case class ShowVectorIndex() extends Statement
+/** `DESCRIBE NODE <label>` / `DESCRIBE EDGE <type>` (reference
+  * DescribeTarget::Node/Edge, `parser.rs:1527-1548`): property census —
+  * (property, n_present) over the overlay-aware frame. */
+final case class DescribeNode(label: String) extends Statement
+final case class DescribeEdge(etype: String) extends Statement
+
+/** `CONSTRAINT CREATE <name> ON NODE [label]|EDGE [type] PROPERTY <p>
+  * UNIQUE|EXISTS|TYPE <t>` + DROP/LIST/GET/CHECK (reference
+  * GraphConstraintStmt, `parser.rs:2701-2800`;
+  * `graph_engine/src/lib.rs:7613-7700` enforces on write). Here
+  * constraints REGISTER declaratively and `CONSTRAINT CHECK <name>`
+  * runs the validate-on-scan job from [[graft.unified.Constraints]],
+  * returning the violating rows (empty = holds) — the lakehouse audit
+  * form of the same contract (SURVEY §2.1 decision). */
+final case class ConstraintCreate(name: String, onEdges: Boolean,
+    filter: Option[String], property: String, ctype: String,
+    typeName: Option[String]) extends Statement
+final case class ConstraintDrop(name: String) extends Statement
+final case class ConstraintList() extends Statement
+final case class ConstraintGet(name: String) extends Statement
+final case class ConstraintCheck(name: String) extends Statement
 /** `EMBED LIST [IN '<collection>'] [LIMIT n]` — the reference's
   * ShowEmbeddings surface (`ast.rs` ShowEmbeddings): keys + dimension +
   * label/collection, deterministic key order. */

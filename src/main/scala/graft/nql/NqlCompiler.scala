@@ -275,7 +275,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       }
       ranked.limit(limit)
 
-    case Neighbors(key, Some(simTo), _, limit) =>
+    case Neighbors(key, Some(simTo), _, limit, _) =>
       val nb = emb.crossJoin(broadcast(labelOf(key)))
         .filter(col("label") === col("elabel") && col("key") =!= key)
       nb.crossJoin(broadcast(embOf(simTo)))
@@ -283,16 +283,28 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .orderBy(desc("score"), col("key"))
         .limit(limit.getOrElse(10))
 
-    case Neighbors(key, None, etype, limit) if !isGraphKey(key) && store.isDefined =>
-      val nb = storeOrFail("NEIGHBORS").neighbors(key)
+    case Neighbors(key, None, etype, limit, dir) if !isGraphKey(key) && store.isDefined =>
+      val st = storeOrFail("NEIGHBORS")
+      val e = st.edges
+      val nb = dir match {
+        case "out" => e.filter(col("src") === key).select(col("dst").as("key"), col("etype"))
+        case "in" => e.filter(col("dst") === key).select(col("src").as("key"), col("etype"))
+        case _ => st.neighbors(key)
+      }
       val filtered = etype.fold(nb)(t => nb.filter(col("etype") === t)).orderBy("key")
       limit.fold(filtered)(filtered.limit)
 
-    case Neighbors(key, None, etype, limit) =>
-      val e = TpchGraph.undirected(allEdges)
-        .filter(col("src") === key)
+    case Neighbors(key, None, etype, limit, dir) =>
+      val e = dir match {
+        case "out" => allEdges.filter(col("src") === key)
+          .select(col("dst").as("neighbor"), col("etype"))
+        case "in" => allEdges.filter(col("dst") === key)
+          .select(col("src").as("neighbor"), col("etype"))
+        case _ => TpchGraph.undirected(allEdges).filter(col("src") === key)
+          .select(col("dst").as("neighbor"), col("etype"))
+      }
       val filtered = etype.fold(e)(t => e.filter(col("etype") === t))
-      val out = filtered.select(col("dst").as("neighbor"), col("etype")).orderBy("neighbor")
+      val out = filtered.orderBy("neighbor")
       limit.fold(out)(out.limit)
 
     case PathShortest(from, to, maxDepth) =>
@@ -358,16 +370,31 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .filter(col("src") === key)
         .groupBy(col("src").as("key")).agg(count(lit(1)).as("degree"))
 
-    case GraphPageRank(iters, engine, damping, tolerance) =>
-      if (engine == "graphx" && (damping != 0.85 || tolerance != 0.0))
+    case GraphPageRank(iters, engine, damping, tolerance, etype, direction) =>
+      if (engine == "graphx" && (damping != 0.85 || tolerance != 0.0 ||
+          etype.nonEmpty || direction.nonEmpty))
         throw NqlParseException(
-          "ENGINE 'graphx' does not take DAMPING/TOLERANCE — use the dataframe engine")
+          "ENGINE 'graphx' does not take DAMPING/TOLERANCE/EDGE TYPE/direction — use the dataframe engine")
+      // default (no TYPE/direction) keeps the round-1 tree-edge walk;
+      // parameterized forms walk the overlay edge set filtered/oriented
+      // per the reference's edge_type + Direction (`ast.rs:1267-1279`)
+      val prEdges = (etype, direction) match {
+        case (None, None) => TpchGraph.treeEdges(spark, sfDir)
+        case _ =>
+          val f = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+          direction.getOrElse("out") match {
+            case "out" => f
+            case "in" => f.select(col("dst").as("src"), col("src").as("dst"), col("etype"))
+            case _ => TpchGraph.undirected(f)
+          }
+      }
+      val prNodes =
+        if (etype.isEmpty && direction.isEmpty) TpchGraph.nodes(spark, sfDir) else allNodes
       val pr =
         if (engine == "graphx")
           GraphXAdapters.pageRank(TpchGraph.nodes(spark, sfDir), TpchGraph.treeEdges(spark, sfDir), iters)
         else
-          Algorithms.pageRank(TpchGraph.treeEdges(spark, sfDir), TpchGraph.nodes(spark, sfDir),
-            iters, damping, tolerance)
+          Algorithms.pageRank(prEdges, prNodes, iters, damping, tolerance)
       pr.select(col("key"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), col("key"))
 
@@ -481,11 +508,21 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // Sampled-source Brandes from the hub layer (nation ∪ region) —
     // the g22 construction without the customer sample.
-    case GraphBetweenness(samplePct) =>
+    case GraphBetweenness(samplePct, etype, direction) =>
+      // traversed edge set: default = undirected overlay closure; with
+      // EDGE TYPE / direction, the reference's filtered/oriented form
+      val bwEdges = {
+        val f = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+        direction.getOrElse("both") match {
+          case "out" => f
+          case "in" => f.select(col("dst").as("src"), col("src").as("dst"), col("etype"))
+          case _ => TpchGraph.undirected(f)
+        }
+      }
       samplePct match {
         case None =>
           Algorithms.betweennessBrandes(
-              TpchGraph.undirected(allEdges),
+              bwEdges,
               allNodes.filter(col("label").isin("nation", "region")).select("key"), 2)
             .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
             .orderBy(desc("betweenness"), col("key")).limit(20)
@@ -500,17 +537,24 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           val sources = Algorithms.cut(allNodes.select("key")
             .orderBy(md5(col("key")), col("key")).limit(k.toInt))
           val scale = n.toDouble / k
-          Algorithms.betweennessBrandes(TpchGraph.undirected(allEdges), sources, 2)
+          Algorithms.betweennessBrandes(bwEdges, sources, 2)
             .select(col("key"), round(col("betweenness") * scale, 6).as("betweenness"))
             .orderBy(desc("betweenness"), col("key")).limit(20)
       }
 
     // Bounded-depth closeness over the nation/region tree (the g18 form).
-    case GraphCloseness() =>
-      val e = allEdges.filter(col("etype") === "in_region")
-      val und = e.select(col("src"), col("dst"))
-        .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      Algorithms.closenessBounded(und, und.select(col("src").as("key")).distinct(), 2)
+    case GraphCloseness(etype, direction) =>
+      // default keeps the g18 nation/region in_region-tree form; EDGE
+      // TYPE / direction select the reference's filtered/oriented set
+      val e = allEdges.filter(col("etype") === etype.getOrElse("in_region"))
+      val walked = direction.getOrElse("both") match {
+        case "out" => e.select("src", "dst")
+        case "in" => e.select(col("dst").as("src"), col("src").as("dst"))
+        case _ => e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      Algorithms.closenessBounded(walked,
+          walked.select(col("src").as("key")).distinct(), 2)
         .orderBy(desc("closeness"), col("key")).limit(30)
 
     case GraphLabelProp(iters) =>
@@ -557,6 +601,147 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case EmbedGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "embedding")
       else storeOrFail("EMBED GET").entities.filter(col("key") === key).select("key", "embedding")
+
+    // EMBED DELETE (reference EmbedOp::Delete, `parser.rs:1792-1794`) —
+    // props-preserving, mirroring EMBED STORE's merge: the vector goes,
+    // the entity/node under the same key stays (vector and graph engines
+    // are orthogonal in the reference). A props-less row tombstones.
+    case EmbedDelete(key) =>
+      if (isVecKey(key)) throw NqlExecException(
+        "EMBED DELETE: bundled 'vec:*' embeddings are read-only driver data")
+      val st = storeOrFail("EMBED DELETE")
+      val cur = st.entities.filter(col("key") === key).limit(1).collect()
+      if (cur.isEmpty || cur.head.isNullAt(cur.head.fieldIndex("embedding")))
+        throw NqlExecException(s"EMBED DELETE: no embedding stored under '$key'")
+      val props = Option(cur.head.getAs[Map[String, String]]("props"))
+        .getOrElse(Map.empty[String, String])
+      if (props.nonEmpty)
+        st.put(Seq(graft.unified.EntityStore.EntityRow(key, props, None)))
+      else st.delete(Seq(key))
+      status(key, "embedding_deleted")
+
+    // COUNT EMBEDDINGS (reference `parser.rs:1550-1562`): bundled +
+    // store vectors in one count.
+    case CountEmbeddings() =>
+      val bundled = emb.select("key")
+      val stored = store.map(_.entities.filter(col("embedding").isNotNull).select("key"))
+        .getOrElse(bundled.limit(0))
+      bundled.union(stored).agg(count(lit(1)).as("n_embeddings"))
+
+    // SHOW VECTOR INDEX (reference ShowVectorIndex, `parser.rs:1497`):
+    // per-cell census of the session ANN index, or a no-index row.
+    case ShowVectorIndex() =>
+      NqlCompiler.ivfIndexes.get((spark, sfDir)) match {
+        case Some(idx) =>
+          idx.assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors")).orderBy("cell")
+        case None => status("ivf", "no_index_built")
+      }
+
+    // DESCRIBE NODE <label> / DESCRIBE EDGE <type> (reference
+    // DescribeTarget::Node/Edge, `parser.rs:1527-1548`): property census
+    // over the overlay-aware frame — fixed schema columns plus any
+    // store-entity props carried by that label.
+    case DescribeNode(label) =>
+      val n = allNodes.filter(col("label") === label)
+      val base = n.agg(count("key").as("key"), count("label").as("label"),
+          count("name").as("name"))
+        .selectExpr("stack(3, 'key', key, 'label', label, 'name', name) AS (property, n_present)")
+      val storeProps = store.map(_.entities
+          .filter(coalesce(element_at(col("props"), "label"), lit("entity")) === label)
+          .select(explode(map_keys(col("props"))).as("property"))
+          .filter(!col("property").isin("label", "name"))
+          .groupBy("property").agg(count(lit(1)).as("n_present")))
+        .getOrElse(base.limit(0))
+      base.union(storeProps).orderBy("property")
+
+    case DescribeEdge(etype) =>
+      allEdges.filter(col("etype") === etype)
+        .agg(count("src").as("src"), count("dst").as("dst"), count("etype").as("etype"))
+        .selectExpr("stack(3, 'src', src, 'dst', dst, 'etype', etype) AS (property, n_present)")
+        .orderBy("property")
+
+    // CONSTRAINT statements (reference `parser.rs:2701-2800`, enforced
+    // on write at `graph_engine/src/lib.rs:7613-7700`): CREATE registers
+    // the declaration; CHECK runs the validate-on-scan job (SURVEY §2.1
+    // decision) and returns the VIOLATING rows — empty result = holds.
+    case c @ ConstraintCreate(name, _, _, _, ctype, typeName) =>
+      if (ctype == "type") {
+        val allowed = Set("int", "bigint", "double", "float", "date",
+          "timestamp", "boolean", "string")
+        val t = typeName.map(_.toLowerCase).getOrElse("")
+        if (!allowed.contains(t)) throw NqlParseException(
+          s"CONSTRAINT TYPE expects one of ${allowed.toSeq.sorted.mkString("/")}, got '${typeName.getOrElse("")}'")
+      }
+      NqlCompiler.constraintDefs.put((spark, sfDir, name), c)
+      status(name, s"constraint_created:$ctype")
+
+    case ConstraintDrop(name) =>
+      if (NqlCompiler.constraintDefs.remove((spark, sfDir, name)).isEmpty)
+        throw NqlExecException(s"CONSTRAINT DROP: no constraint named '$name'")
+      status(name, "constraint_dropped")
+
+    case ConstraintList() =>
+      import spark.implicits._
+      NqlCompiler.constraintDefs.collect {
+        case ((s, d, _), c) if s == spark && d == sfDir =>
+          (c.name, if (c.onEdges) "edge" else "node", c.filter.getOrElse(""),
+            c.property, c.ctype + c.typeName.fold("")(":" + _))
+      }.toSeq.sortBy(_._1)
+        .toDF("name", "target", "filter", "property", "constraint")
+
+    case ConstraintGet(name) =>
+      import spark.implicits._
+      val c = NqlCompiler.constraintDefs.getOrElse((spark, sfDir, name),
+        throw NqlExecException(s"CONSTRAINT GET: no constraint named '$name'"))
+      Seq((c.name, if (c.onEdges) "edge" else "node", c.filter.getOrElse(""),
+        c.property, c.ctype + c.typeName.fold("")(":" + _)))
+        .toDF("name", "target", "filter", "property", "constraint")
+
+    case ConstraintCheck(name) =>
+      val c = NqlCompiler.constraintDefs.getOrElse((spark, sfDir, name),
+        throw NqlExecException(s"CONSTRAINT CHECK: no constraint named '$name' (CONSTRAINT CREATE it first)"))
+      if (c.onEdges) {
+        val e = c.filter.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+        if (!e.columns.contains(c.property)) throw NqlExecException(
+          s"CONSTRAINT CHECK: edges carry no property '${c.property}'")
+        c.ctype match {
+          case "unique" =>
+            graft.unified.Constraints.uniqueViolations(e, Seq(c.property))
+              .orderBy("src", "dst", "etype")
+          case "exists" => e.filter(col(c.property).isNull).orderBy("src", "dst")
+          case _ => e.filter(col(c.property).isNotNull &&
+              expr(s"try_cast(${c.property} AS ${c.typeName.get})").isNull)
+            .orderBy("src", "dst")
+        }
+      } else {
+        // node property resolution: fixed schema columns from the
+        // overlay node view; anything else from the store's props map
+        val base = c.filter.fold(allNodes)(l => allNodes.filter(col("label") === l))
+        val withV =
+          if (Seq("key", "label", "name").contains(c.property))
+            base.withColumn("__v", col(c.property))
+          else store match {
+            case Some(st) => base.join(
+              st.entities.select(col("key"),
+                element_at(col("props"), c.property).as("__v")), Seq("key"), "left")
+            case None => base.withColumn("__v", lit(null).cast("string"))
+          }
+        c.ctype match {
+          case "unique" =>
+            graft.unified.Constraints.uniqueViolations(
+                withV.filter(col("__v").isNotNull), Seq("__v"))
+              .select(col("key"), col("label"), col("__v").as(c.property),
+                col("n_occurrences"))
+              .orderBy("key")
+          case "exists" =>
+            withV.filter(col("__v").isNull).select("key", "label", "name").orderBy("key")
+          case _ =>
+            withV.filter(col("__v").isNotNull &&
+                expr(s"try_cast(__v AS ${c.typeName.get})").isNull)
+              .select(col("key"), col("label"), col("__v").as(c.property))
+              .orderBy("key")
+        }
+      }
 
     case EntityGet(key) =>
       if (isVecKey(key) || store.isEmpty) emb.filter(col("key") === key).select("key", "label", "embedding")
@@ -1174,6 +1359,10 @@ object NqlCompiler {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfState]
   private[nql] val collections =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (Int, Metric)]
+  /** Registered graph constraints (CONSTRAINT CREATE … → CHECK), keyed
+    * by (session, data dir, constraint name) like [[collections]]. */
+  private[nql] val constraintDefs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ConstraintCreate]
 
   /** Tombstone batch size for MATCH ... DELETE streaming. */
   private[nql] val DeleteBatchSize = 10000

@@ -82,6 +82,35 @@ object NqlParser {
     // can parse but not execute them against plain parquet tables.
     if (firstWord == "UPDATE" || firstWord == "DELETE")
       return graft.relational.TableDml.parse(trimmed)
+    // SHOW EMBEDDINGS / SHOW VECTOR INDEX and DESCRIBE NODE/EDGE are
+    // reference statements Catalyst cannot resolve — intercept them
+    // before SQL passthrough; every other SHOW/DESCRIBE stays Catalyst's.
+    if (firstWord == "SHOW" || firstWord == "DESCRIBE" || firstWord == "DESC") {
+      val second = afterFirst.takeWhile(!_.isWhitespace).toUpperCase
+      (firstWord, second) match {
+        case ("SHOW", "EMBEDDINGS") =>
+          val p = new P(tokenize(trimmed)); p.next(); p.next()
+          val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+          if (!p.done) throw NqlParseException("SHOW EMBEDDINGS takes only LIMIT n")
+          return EmbedList(None, limit)
+        case ("SHOW", "VECTOR") =>
+          val p = new P(tokenize(trimmed)); p.next(); p.next()
+          p.expectKw("INDEX")
+          if (!p.done) throw NqlParseException("SHOW VECTOR INDEX takes no arguments")
+          return ShowVectorIndex()
+        case (_, "NODE") if firstWord != "SHOW" =>
+          val p = new P(tokenize(trimmed)); p.next(); p.next()
+          val label = { val t = p.next(); if (t.startsWith("'")) t.substring(1, t.length - 1) else t }
+          if (!p.done) throw NqlParseException("DESCRIBE NODE takes one label")
+          return DescribeNode(label)
+        case (_, "EDGE") if firstWord != "SHOW" =>
+          val p = new P(tokenize(trimmed)); p.next(); p.next()
+          val et = { val t = p.next(); if (t.startsWith("'")) t.substring(1, t.length - 1) else t }
+          if (!p.done) throw NqlParseException("DESCRIBE EDGE takes one type")
+          return DescribeEdge(et)
+        case _ => return SqlPassthrough(trimmed)
+      }
+    }
     if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
     if (firstWord == "MATCH") return CypherParser.parse(trimmed)
     // GRAPH MATCH COUNT/EXISTS <cypher pattern>: the pattern tail uses the
@@ -112,6 +141,11 @@ object NqlParser {
       case "EMBED"     => p.next(); parseEmbed(p)
       case "ENTITY"    => p.next(); parseEntity(p)
       case "FIND"      => p.next(); parseFind(p)
+      case "COUNT"     =>
+        p.next(); p.expectKw("EMBEDDINGS")
+        if (!p.done) throw NqlParseException("COUNT EMBEDDINGS takes no arguments")
+        CountEmbeddings()
+      case "CONSTRAINT" => p.next(); parseConstraint(p)
       case "ASOF"      => p.next(); parseAsof(p)
       case "SAMPLE"    => p.next(); parseSample(p)
       case "DEDUP"     => p.next(); parseDedup(p)
@@ -255,6 +289,10 @@ object NqlParser {
   private def parseNeighbors(p: P): Neighbors = {
     val key = p.stringLit()
     var n = Neighbors(key)
+    // reference direction keywords (parser.rs:1707-1715); default BOTH
+    if (p.accept("OUTGOING")) n = n.copy(direction = "out")
+    else if (p.accept("INCOMING")) n = n.copy(direction = "in")
+    else if (p.accept("BOTH")) n = n.copy(direction = "both")
     var continue = true
     while (continue && !p.done) {
       p.peekUpper match {
@@ -342,6 +380,10 @@ object NqlParser {
 
   private def parseEmbed(p: P): Statement = p.next().toUpperCase match {
     case "GET" => EmbedGet(p.stringLit())
+    case "DELETE" =>
+      val key = p.stringLit()
+      if (!p.done) throw NqlParseException("EMBED DELETE takes only the key")
+      EmbedDelete(key)
     case "LIST" =>
       val coll = if (p.accept("IN")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
@@ -528,8 +570,9 @@ object NqlParser {
     } else "dataframe"
     algo match {
       case "PAGERANK" =>
-        // ITERATIONS/DAMPING/TOLERANCE/ENGINE in any order (reference
-        // PageRank params, `ast.rs:1267-1279`)
+        // ITERATIONS/DAMPING/TOLERANCE/direction/EDGE TYPE/ENGINE in any
+        // order (reference PageRank params, `ast.rs:1267-1279`, grammar
+        // `parser.rs:2361-2405`)
         var s = GraphPageRank()
         var continue = true
         while (continue && !p.done) {
@@ -544,6 +587,11 @@ object NqlParser {
               p.next(); val t = p.num()
               if (t < 0.0) throw NqlParseException(s"TOLERANCE must be >= 0, got $t")
               s = s.copy(tolerance = t)
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
             case Some("ENGINE") => s = s.copy(engine = engine())
             case _ => continue = false
           }
@@ -578,14 +626,40 @@ object NqlParser {
           throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
         GraphEigenvector(it)
       case "BETWEENNESS" =>
-        val pct = if (p.accept("SAMPLE")) {
-          val v = p.int()
-          if (v < 1 || v > 100)
-            throw NqlParseException(s"BETWEENNESS SAMPLE must be in 1..100, got $v")
-          Some(v)
-        } else None
-        GraphBetweenness(pct)
-      case "CLOSENESS" => GraphCloseness()
+        p.accept("CENTRALITY") // reference writes BETWEENNESS CENTRALITY
+        var s = GraphBetweenness()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("SAMPLE") | Some("SAMPLING") =>
+              p.next(); val v = p.int()
+              if (v < 1 || v > 100)
+                throw NqlParseException(s"BETWEENNESS SAMPLE must be in 1..100, got $v")
+              s = s.copy(samplePct = Some(v))
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+            case _ => continue = false
+          }
+        }
+        s
+      case "CLOSENESS" =>
+        p.accept("CENTRALITY")
+        var s = GraphCloseness()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+            case _ => continue = false
+          }
+        }
+        s
       case "LABELPROP" =>
         val it = if (p.accept("ITERATIONS")) p.int() else 3
         if (it < 1 || it > 8)
@@ -703,6 +777,47 @@ object NqlParser {
     * reference executes (`query_router/src/lib.rs:5769-5820`: binary
     * compares joined by AND; richer predicates go through SQL passthrough).
     */
+  /** `CONSTRAINT CREATE <name> ON NODE [label]|EDGE [type] PROPERTY <p>
+    * UNIQUE|EXISTS|TYPE <t>` / DROP / LIST / GET / CHECK (reference
+    * grammar `parser.rs:2701-2800`; CHECK is our validate-on-scan
+    * extension — see [[ConstraintCheck]]). */
+  private def parseConstraint(p: P): Statement = {
+    def nameTok(): String = {
+      val t = p.next()
+      if (t.startsWith("'")) t.substring(1, t.length - 1) else t
+    }
+    p.next().toUpperCase match {
+      case "CREATE" =>
+        val name = nameTok()
+        p.expectKw("ON")
+        val onEdges = p.next().toUpperCase match {
+          case "NODE" => false
+          case "EDGE" => true
+          case k => throw NqlParseException(s"CONSTRAINT CREATE expects ON NODE or ON EDGE, got $k")
+        }
+        val filter = if (!p.peekUpper.contains("PROPERTY")) Some(nameTok()) else None
+        p.expectKw("PROPERTY")
+        val prop = nameTok()
+        val (ctype, typeName) = p.next().toUpperCase match {
+          case "UNIQUE" => ("unique", None)
+          case "EXISTS" => ("exists", None)
+          case "TYPE" => ("type", Some(nameTok()))
+          case k => throw NqlParseException(s"expected UNIQUE, EXISTS, or TYPE, got $k")
+        }
+        if (!p.done) throw NqlParseException(
+          "CONSTRAINT CREATE takes <name> ON NODE [label]|EDGE [type] PROPERTY <p> UNIQUE|EXISTS|TYPE <t>")
+        ConstraintCreate(name, onEdges, filter, prop, ctype, typeName)
+      case "DROP" => ConstraintDrop(nameTok())
+      case "LIST" =>
+        if (!p.done) throw NqlParseException("CONSTRAINT LIST takes no arguments")
+        ConstraintList()
+      case "GET" => ConstraintGet(nameTok())
+      case "CHECK" => ConstraintCheck(nameTok())
+      case k => throw NqlParseException(
+        s"CONSTRAINT expects CREATE, DROP, LIST, GET, or CHECK, got $k")
+    }
+  }
+
   private def parseConds(p: P): Seq[Cond] = {
     val out = Seq.newBuilder[Cond]
     var continue = true

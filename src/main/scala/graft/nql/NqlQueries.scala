@@ -147,6 +147,39 @@ object NqlQueries {
         |  AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.30
         |ORDER BY score DESC, key""".stripMargin),
 
+    // COUNT EMBEDDINGS statement (reference `parser.rs:1550-1562`)
+    // through the front door — one count over the bundled vectors.
+    "v23_count_embeddings" -> QDef(
+      (s, d) => Nql.execute(s, d, "COUNT EMBEDDINGS"),
+      "SELECT count(*) AS n_embeddings FROM embeddings"),
+
+    // DESCRIBE NODE statement (reference DescribeTarget::Node,
+    // `parser.rs:1527-1548`): property census of the nation label —
+    // fixed-schema columns, every one present on all 25 nations.
+    "g48_describe_node" -> QDef(
+      (s, d) => Nql.execute(s, d, "DESCRIBE NODE nation"),
+      """SELECT property, n_present FROM (
+        |  SELECT 'key' AS property, count(*) AS n_present FROM nation
+        |  UNION ALL SELECT 'label', count(*) FROM nation
+        |  UNION ALL SELECT 'name', count(*) FROM nation) t
+        |ORDER BY property""".stripMargin),
+
+    // NEIGHBORS with the reference's direction keyword: OUTGOING from a
+    // nation crosses exactly its region edge plus the higher-keyed
+    // same-region clique peers (stored src < dst).
+    "g49_neighbors_outgoing" -> QDef(
+      (s, d) => Nql.execute(s, d, "NEIGHBORS 'nation:3' OUTGOING"),
+      """SELECT neighbor, etype FROM (
+        |  SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS neighbor,
+        |         'in_region' AS etype
+        |  FROM nation WHERE n_nationkey = 3
+        |  UNION ALL
+        |  SELECT 'nation:' || CAST(b.n_nationkey AS VARCHAR), 'same_region'
+        |  FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        |   AND a.n_nationkey < b.n_nationkey
+        |  WHERE a.n_nationkey = 3) t
+        |ORDER BY neighbor""".stripMargin),
+
     // Reversed-arrow direction + WHERE on a bound variable.
     "c03_cypher_reverse_where" -> QDef(
       (s, d) => Nql.execute(s, d,

@@ -169,6 +169,123 @@ class NqlSpec extends AnyFunSuite {
     assert(s100.nonEmpty && s10.nonEmpty && s100 != s10)
   }
 
+  test("SHOW/COUNT EMBEDDINGS, SHOW VECTOR INDEX, EMBED DELETE") {
+    val nEmb = Tables(spark, sf, "embeddings").count()
+    assert(run("SHOW EMBEDDINGS").count() == nEmb)
+    assert(run("SHOW EMBEDDINGS LIMIT 5").count() == 5)
+    assert(run("COUNT EMBEDDINGS").collect()(0).getLong(0) == nEmb)
+    // bundled driver data is read-only
+    assertThrows[NqlExecException](
+      Nql.execute(spark, sf,
+        new graft.unified.EntityStore(spark,
+          java.nio.file.Files.createTempDirectory("nql-emb-ro").toString),
+        "EMBED DELETE 'vec:0'"))
+
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-embdel-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // a node that later gains a vector: EMBED DELETE removes ONLY the
+    // vector (props-preserving, like EMBED STORE's merge)
+    runS("NODE CREATE 'p:1' LABEL 'place' NAME 'Point One'")
+    runS("EMBED STORE 'p:1' (0.5, 0.5)")
+    assert(runS("COUNT EMBEDDINGS").collect()(0).getLong(0) == nEmb + 1)
+    runS("EMBED DELETE 'p:1'")
+    assert(runS("COUNT EMBEDDINGS").collect()(0).getLong(0) == nEmb)
+    assert(runS("NODE GET 'p:1'").count() == 1) // node survives
+    // a props-less vector key tombstones entirely
+    runS("EMBED STORE 'v:1' (1.0, 0.0)")
+    runS("EMBED DELETE 'v:1'")
+    assert(runS("ENTITY GET 'v:1'").count() == 0)
+    // deleting a missing embedding fails loudly as a runtime error
+    assertThrows[NqlExecException](runS("EMBED DELETE 'absent'"))
+
+    // SHOW VECTOR INDEX: status row when absent, cell census after a
+    // build. The index registry is session-scoped and another spec (or
+    // the v11 gate) may have built one — DROP first so the no-index
+    // branch is deterministic in any suite order.
+    run("EMBED DROP INDEX")
+    val none = run("SHOW VECTOR INDEX").collect()(0)
+    assert(none.getString(1) == "no_index_built")
+    run("EMBED BUILD INDEX IVF")
+    val cells = run("SHOW VECTOR INDEX").collect()
+    assert(cells.length > 1 && cells.map(_.getLong(1)).sum == nEmb)
+    run("EMBED DROP INDEX")
+  }
+
+  test("NEIGHBORS direction variants (reference OUTGOING/INCOMING/BOTH)") {
+    val out = run("NEIGHBORS 'nation:0' OUTGOING").collect().map(_.getString(0))
+    // out-edges of nation:0: its region + the 4 higher-keyed clique peers
+    assert(out.length == 5 && out.contains("region:0"))
+    val in = run("NEIGHBORS 'nation:0' INCOMING").collect().map(_.getString(0))
+    // in-edges: that nation's customers/suppliers only
+    assert(in.nonEmpty && in.forall(k =>
+      k.startsWith("customer:") || k.startsWith("supplier:")))
+    val both = run("NEIGHBORS 'nation:0' BOTH").count()
+    assert(both == out.length + in.length)
+    // BOTH is the default (round-1 compatibility)
+    assert(run("NEIGHBORS 'nation:0'").count() == both)
+  }
+
+  test("DESCRIBE NODE / DESCRIBE EDGE property census") {
+    val d = run("DESCRIBE NODE region").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("key", "label", "name"))
+    assert(d.forall(_.getLong(1) == 5))
+    val e = run("DESCRIBE EDGE in_region").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(e == Seq(("dst", 25L), ("etype", 25L), ("src", 25L)))
+    // DESCRIBE <table> still reaches Catalyst untouched
+    assert(run("DESCRIBE lineitem").count() > 0)
+  }
+
+  test("CONSTRAINT CREATE/LIST/GET/CHECK/DROP validate-on-scan") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-constraint-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("NODE CREATE 'a1' LABEL 'proj' NAME 'dup'")
+    runS("NODE CREATE 'a2' LABEL 'proj' NAME 'dup'")
+    runS("NODE CREATE 'a3' LABEL 'proj' NAME 'solo'")
+    runS("ENTITY CREATE 'e1' SET age = 'abc', label = 'person'")
+    runS("ENTITY CREATE 'e2' SET age = '31', label = 'person'")
+
+    // UNIQUE: the two 'dup'-named proj nodes violate, 'solo' doesn't
+    runS("CONSTRAINT CREATE uniq_name ON NODE proj PROPERTY name UNIQUE")
+    val uv = runS("CONSTRAINT CHECK uniq_name").collect()
+    assert(uv.map(_.getString(0)).toSeq == Seq("a1", "a2"))
+    // EXISTS on a store prop: proj nodes carry no 'team'
+    runS("CONSTRAINT CREATE team_req ON NODE proj PROPERTY team EXISTS")
+    assert(runS("CONSTRAINT CHECK team_req").count() == 3)
+    // TYPE: 'abc' fails try_cast to int, '31' passes
+    runS("CONSTRAINT CREATE age_int ON NODE person PROPERTY age TYPE int")
+    val tv = runS("CONSTRAINT CHECK age_int").collect()
+    assert(tv.map(_.getString(0)).toSeq == Seq("e1"))
+    // edge constraint: every edge has an etype → holds
+    runS("CONSTRAINT CREATE et_req ON EDGE PROPERTY etype EXISTS")
+    assert(runS("CONSTRAINT CHECK et_req").count() == 0)
+
+    assert(runS("CONSTRAINT LIST").count() == 4)
+    assert(runS("CONSTRAINT GET uniq_name").collect()(0).getString(4) == "unique")
+    runS("CONSTRAINT DROP uniq_name")
+    assertThrows[NqlExecException](runS("CONSTRAINT CHECK uniq_name"))
+    assertThrows[NqlExecException](runS("CONSTRAINT DROP uniq_name"))
+    // unknown TYPE target rejected at CREATE
+    assertThrows[NqlParseException](
+      runS("CONSTRAINT CREATE bad ON NODE PROPERTY x TYPE blob"))
+    Seq("team_req", "age_int", "et_req").foreach(n => runS(s"CONSTRAINT DROP $n"))
+  }
+
+  test("centrality statements take direction and EDGE TYPE") {
+    // walking only customer/supplier→nation edges concentrates rank on
+    // nations; the INCOMING (reversed) walk pushes it back to the leaves
+    val fwd = run("GRAPH PAGERANK ITERATIONS 3 EDGE TYPE 'in_nation'").collect()
+    assert(fwd.head.getString(0).startsWith("nation:"))
+    val rev = run("GRAPH PAGERANK ITERATIONS 3 EDGE TYPE 'in_nation' INCOMING").collect()
+    assert(!rev.head.getString(0).startsWith("nation:"))
+    // CLOSENESS/BETWEENNESS parameterized forms execute (CENTRALITY
+    // keyword accepted, per the reference grammar)
+    assert(run("GRAPH CLOSENESS CENTRALITY EDGE TYPE 'in_nation'").count() > 0)
+    assert(run("GRAPH BETWEENNESS CENTRALITY EDGE TYPE 'same_region' BOTH").count() > 0)
+  }
+
   test("Cypher MATCH chain, property map, var-length, reverse arrow") {
     val chain = run("MATCH (n:nation)-[:in_region]->(r:region {name: 'ASIA'}) RETURN n.name ORDER BY n.name")
     assert(chain.count() == 5)

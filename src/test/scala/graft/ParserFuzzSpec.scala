@@ -79,7 +79,20 @@ class ParserFuzzSpec extends AnyFunSuite {
       "GRAPH LOUVAIN SWEEPS 2 RESOLUTION 2.0",
       "GRAPH BETWEENNESS SAMPLE 25",
       "UPDATE t SET a = a + 1, b = 'x' WHERE c < 2",
-      "DELETE FROM t WHERE a = 1")
+      "DELETE FROM t WHERE a = 1",
+      "SHOW EMBEDDINGS LIMIT 5",
+      "SHOW VECTOR INDEX",
+      "COUNT EMBEDDINGS",
+      "EMBED DELETE 'k'",
+      "DESCRIBE NODE person",
+      "DESCRIBE EDGE knows",
+      "NEIGHBORS 'nation:0' INCOMING TYPE 'in_nation' LIMIT 5",
+      "GRAPH PAGERANK DAMPING 0.5 INCOMING EDGE TYPE 'in_nation'",
+      "GRAPH BETWEENNESS CENTRALITY SAMPLING 25 BOTH EDGE TYPE 't'",
+      "GRAPH CLOSENESS CENTRALITY OUTGOING EDGE TYPE 't'",
+      "CONSTRAINT CREATE c1 ON NODE person PROPERTY age TYPE int",
+      "CONSTRAINT CREATE c2 ON EDGE PROPERTY etype EXISTS",
+      "CONSTRAINT CHECK c1")
     for (q <- valid; cut <- 1 until q.length) mustParseOrReject(q.take(cut))
     // and the full forms must parse
     valid.foreach(q => NqlParser.parse(q))

@@ -682,6 +682,34 @@ object RelationalQueries {
         |  FROM customer)
         |SELECT c_mktsegment, count(*) AS n_cust, round(sum(bal), 2) AS total_bal
         |FROM upd WHERE (bal < 0.0) IS NOT TRUE
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // DML over a PARTITIONED table — the 100 TB path: the UPDATE's
+    // predicate prunes the rewrite to the MACHINERY partition (every
+    // other partition's files untouched — asserted in DdlDmlSpec); the
+    // DELETE empties FURNITURE entirely, which drops the partition
+    // instead of rewriting anything. Oracle replays both as a SELECT.
+    "q44_partitioned_dml" -> QDef(
+      (s, d) => {
+        val tbl = "cust_pdml_" + java.util.UUID.randomUUID().toString.take(8)
+        t(s, d, "customer").write.partitionBy("c_mktsegment").saveAsTable(tbl)
+        try {
+          graft.nql.Nql.execute(s, d,
+            s"UPDATE $tbl SET c_acctbal = c_acctbal * 2.0 WHERE c_mktsegment = 'MACHINERY'")
+          graft.nql.Nql.execute(s, d, s"DELETE FROM $tbl WHERE c_mktsegment = 'FURNITURE'")
+          s.table(tbl)
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+            .orderBy("c_mktsegment")
+            .localCheckpoint()
+        } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      },
+      """WITH upd AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * 2.0 ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_cust, round(sum(bal), 2) AS total_bal
+        |FROM upd WHERE c_mktsegment <> 'FURNITURE'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * update / `lib.rs:3954` delete_rows; router dispatch
   * `query_router/src/lib.rs:1974-1975`), rebuilt as COPY-ON-WRITE: the
   * post-image is written to a fresh staging directory (new files only —
-  * no in-place mutation), then swapped in for the table location and the
-  * catalog refreshed. That is the lakehouse DML pattern that scales:
-  * rewrite cost is proportional to the table (or, with partition-level
-  * pruning in a real table format, to the touched partitions), readers
-  * never observe a half-written file, and the swap is two directory
-  * renames — metadata-sized, not data-sized.
+  * no in-place mutation), then installed — for an UNPARTITIONED table by
+  * a two-rename directory swap; for a PARTITIONED table by dynamic
+  * partition overwrite of ONLY the partitions that contain affected rows
+  * ([[rewriteTouchedPartitions]]): untouched partitions are neither read
+  * for the rewrite nor written. That is the lakehouse DML pattern that
+  * scales: at 100 TB a predicate that prunes to k partitions costs
+  * O(k·partition), not O(table); readers never observe a half-written
+  * file; the install step is metadata-sized. Unconditional DELETE is a
+  * TRUNCATE (pure metadata), and a zero-hit UPDATE/DELETE writes
+  * nothing.
   *
   * SET right-hand sides and WHERE predicates are full Catalyst SQL
   * expressions (`expr(...)`) — strictly more than the reference's
@@ -143,6 +147,73 @@ object TableDml {
     val _ = cat.getTableMetadata(ident) // loud if the catalog entry is broken
   }
 
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
+  /** Hive-style partition spec for one partition-values row:
+    * `team='ml', year='2024'`. */
+  private def specOf(partCols: Seq[String], r: org.apache.spark.sql.Row): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      s"$c='${String.valueOf(r.get(i)).replace("'", "''")}'"
+    }.mkString(", ")
+
+  /** PARTITION-PRUNED copy-on-write — the 100 TB DML path: only the
+    * partitions that contain affected rows are rewritten; every other
+    * partition's files are untouched (zero read, zero write). The
+    * post-image of the touched partitions stages to a scratch dir, then
+    * lands via dynamic partition overwrite (per-partition swap inside
+    * `InsertIntoHadoopFsRelation` — partitions absent from the staged
+    * data are left alone). Partitions a DELETE empties entirely are
+    * dropped explicitly afterwards (dynamic overwrite cannot clear a
+    * partition it writes no rows for). */
+  private def rewriteTouchedPartitions(spark: SparkSession, table: String,
+      partCols: Seq[String], touched: Array[org.apache.spark.sql.Row],
+      postTouched: DataFrame): Unit = {
+    val meta = tableMeta(spark, table)
+    val provider = meta.provider.getOrElse("parquet")
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(loc.getParent, s".${loc.getName}.cow-$tag")
+    // joins reorder columns (join keys first) — restore the table's
+    // schema order, since insertInto resolves POSITIONALLY
+    val tableCols = spark.table(table).columns
+    postTouched.select(tableCols.map(col): _*)
+      .write.format(provider).save(staging.toString)
+    val back = spark.read.format(provider).load(staging.toString)
+      .select(tableCols.map(col): _*)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try back.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(m) => spark.conf.set(key, m)
+      case None => spark.conf.unset(key)
+    }
+    val written = back.select(partCols.map(col): _*).distinct()
+      .collect().map(specOf(partCols, _)).toSet
+    touched.map(specOf(partCols, _)).filterNot(written).foreach { spec =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+    }
+    fs.delete(staging, true)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
+  /** Touched-partition discovery: the distinct partition tuples holding
+    * rows that satisfy `cond`. Collect is bounded by the table's
+    * partition COUNT (metadata-scale), never by row count; partition
+    * predicates in `cond` prune the discovery scan itself. */
+  private def touchedPartitions(target: DataFrame, partCols: Seq[String],
+      cond: org.apache.spark.sql.Column, table: String) = {
+    val df = target.filter(cond).select(partCols.map(col): _*).distinct()
+    val rows = df.collect()
+    if (rows.exists(_.anyNull)) throw NqlExecException(
+      s"$table: DML over rows in a null partition is not supported — " +
+        "backfill the partition column first")
+    (df, rows)
+  }
+
   /** Copy-on-write rewrite: materialize `post` into a staging dir next to
     * the table location, swap directories, refresh. Returns nothing; the
     * table's next read sees the post-image. */
@@ -197,14 +268,35 @@ object TableDml {
       }
     }: _*)
     // Count the hits in the SAME pass family (pre-image scan); the rewrite
-    // below is the second and last full read of the table.
+    // below is the second and last read of the table (touched partitions
+    // only, when the table is partitioned).
     val n = target.filter(cond).count()
-    rewrite(spark, st.table, post)
+    if (n == 0) return affected(st.table, "update", 0)(spark) // no hits → no write at all
+    val pCols = tableMeta(spark, st.table).partitionColumnNames
+    if (pCols.isEmpty) rewrite(spark, st.table, post)
+    else {
+      val (touchedDf, touchedRows) = touchedPartitions(target, pCols, cond, st.table)
+      if (st.sets.exists { case (c, _) => pCols.exists(_.equalsIgnoreCase(c)) }) {
+        // a SET on a partition column migrates rows between partitions:
+        // the post-image of EVERY current partition must land (dynamic
+        // overwrite then drops the ones the migration emptied)
+        val allParts = target.select(pCols.map(col): _*).distinct().collect()
+        if (allParts.exists(_.anyNull)) throw NqlExecException(
+          s"${st.table}: DML over rows in a null partition is not supported")
+        rewriteTouchedPartitions(spark, st.table, pCols, allParts, post)
+      } else {
+        // partition-pruned: rewrite only partitions holding hit rows
+        val postTouched = post.join(broadcast(touchedDf), pCols, "left_semi")
+        rewriteTouchedPartitions(spark, st.table, pCols, touchedRows, postTouched)
+      }
+    }
     affected(st.table, "update", n)(spark)
   }
 
   /** Execute DELETE: survivors are rows where the predicate is NOT true
-    * (3VL: a NULL predicate row survives, matching SQL DELETE). */
+    * (3VL: a NULL predicate row survives, matching SQL DELETE). On a
+    * partitioned table only the partitions containing deleted rows are
+    * rewritten; unconditional DELETE is a TRUNCATE (metadata-only). */
   def delete(spark: SparkSession, st: SqlDelete): DataFrame = {
     requireWritable(spark, st.table, "DELETE")
     val target = spark.table(st.table)
@@ -212,11 +304,35 @@ object TableDml {
       case Some(w) =>
         val cond = expr(w)
         val n0 = target.filter(cond).count()
-        rewrite(spark, st.table, target.filter(!coalesce(cond, lit(false))))
+        if (n0 > 0) {
+          val pCols = tableMeta(spark, st.table).partitionColumnNames
+          val survivors = target.filter(!coalesce(cond, lit(false)))
+          if (pCols.isEmpty) rewrite(spark, st.table, survivors)
+          else {
+            val (touchedDf, touchedRows) = touchedPartitions(target, pCols, cond, st.table)
+            rewriteTouchedPartitions(spark, st.table, pCols, touchedRows,
+              survivors.join(broadcast(touchedDf), pCols, "left_semi"))
+          }
+        }
         n0
       case None =>
         val n0 = target.count()
-        rewrite(spark, st.table, target.limit(0))
+        if (n0 > 0) {
+          val meta = tableMeta(spark, st.table)
+          val pCols = meta.partitionColumnNames
+          if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+            spark.sql(s"TRUNCATE TABLE ${st.table}") // pure metadata
+          else if (pCols.isEmpty)
+            rewrite(spark, st.table, target.limit(0)) // external: swap in an empty dir
+          else {
+            // external partitioned: drop every partition (metadata +
+            // per-partition dir removal — no data rewrite)
+            target.select(pCols.map(col): _*).distinct().collect().foreach { r =>
+              spark.sql(s"ALTER TABLE ${st.table} DROP IF EXISTS PARTITION (${specOf(pCols, r)})")
+            }
+            spark.sql(s"REFRESH TABLE ${st.table}")
+          }
+        }
         n0
     }
     affected(st.table, "delete", n)(spark)

@@ -462,11 +462,20 @@ object Algorithms {
     * undirected adjacency, `iters` fixed rounds from x₀ = 1. Max-
     * normalization keeps the scale exact (max is order-insensitive,
     * unlike a sum), so the oracle can unroll the same steps.
+    *
+    * `tolerance` > 0 adds the reference's convergence stop
+    * (`parser.rs:2471-2510` EigenvectorCentrality{max_iterations,
+    * tolerance}): end early once max|Δx| < tolerance. Gate queries keep
+    * tolerance = 0 for the exact unrolled step count.
     */
-  def eigenvector(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+  def eigenvector(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int,
+      tolerance: Double = 0.0): DataFrame = {
     val e = undirectedEdges.select("src", "dst")
     var x = nodes.select(col("key"), lit(1.0).as("x"))
-    for (i <- 1 to iters) {
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
+      val prev = x
       val ax = x.join(e, col("key") === col("src"))
         .groupBy(col("dst").as("key")).agg(sum("x").as("ax"))
       val mx = ax.agg(max("ax").as("mx"))
@@ -476,6 +485,12 @@ object Algorithms {
         .crossJoin(mx)
         .select(col("key"), (coalesce(col("ax"), lit(0.0)) / col("mx")).as("x")),
         i, iters, 3)
+      if (tolerance > 0) {
+        val d = x.join(prev.select(col("key"), col("x").as("px")), Seq("key"))
+          .agg(max(abs(col("x") - col("px"))).as("d")).collect()(0).getDouble(0)
+        converged = d < tolerance
+      }
+      i += 1
     }
     x
   }

@@ -31,7 +31,10 @@ object Metric {
   case object Dot extends Metric
 }
 
-/** Single comparison `ident op literal`, chained with AND. */
+/** Single condition `ident op literal`, chained with AND. Comparison
+  * ops (= != < <= > >=) plus the reference's vector metadata-filter
+  * forms (`vector_engine/src/lib.rs:297-324`): "in" (value =
+  * Seq[Any]), "contains", "startswith", "exists" (value unused). */
 final case class Cond(column: String, op: String, value: Any)
 
 final case class Similar(
@@ -111,7 +114,11 @@ final case class GraphCores(maxK: Int = 6) extends GraphAlgo
 // (`ast.rs` BetweennessCentrality / ClosenessCentrality /
 // EigenvectorCentrality / LabelPropagation / LouvainCommunities) — each
 // compiles to the corresponding parameterized engine in Algorithms.
-final case class GraphEigenvector(iterations: Int = 4) extends GraphAlgo
+/** `GRAPH EIGENVECTOR [CENTRALITY] [ITERATIONS n] [TOLERANCE t]
+  * [OUTGOING|INCOMING|BOTH] [EDGE TYPE 't']` — full reference surface
+  * (`parser.rs:2471-2510`); tolerance > 0 = early convergence stop. */
+final case class GraphEigenvector(iterations: Int = 4, tolerance: Double = 0.0,
+    etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
 /** `GRAPH BETWEENNESS [SAMPLE|SAMPLING pct] [OUTGOING|INCOMING|BOTH]
   * [EDGE TYPE 't']` — pct mirrors the reference's sampling_ratio
   * (`graph_engine/src/lib.rs:7058-7130`): sources are a deterministic
@@ -126,10 +133,16 @@ final case class GraphBetweenness(samplePct: Option[Int] = None,
   * defaults keep the g18 nation/region-tree form. */
 final case class GraphCloseness(etype: Option[String] = None,
     direction: Option[String] = None) extends GraphAlgo
-final case class GraphLabelProp(iterations: Int = 3) extends GraphAlgo
-/** `GRAPH LOUVAIN [SWEEPS n] [RESOLUTION r]` — r is the reference
-  * CommunityConfig resolution γ (`graph_engine/src/lib.rs:7442`). */
-final case class GraphLouvain(sweeps: Int = 2, resolution: Double = 1.0) extends GraphAlgo
+/** `GRAPH LABELPROP|LABEL PROPAGATION [ITERATIONS n] [dir] [EDGE TYPE]`
+  * (reference spelling `parser.rs:2553-2588`). */
+final case class GraphLabelProp(iterations: Int = 3,
+    etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
+/** `GRAPH LOUVAIN [COMMUNITIES] [SWEEPS|PASSES n] [RESOLUTION r] [dir]
+  * [EDGE TYPE 't']` — r is the reference CommunityConfig resolution γ
+  * (`graph_engine/src/lib.rs:7442`); PASSES is the reference's sweep
+  * count spelling (`parser.rs:2512-2551`). */
+final case class GraphLouvain(sweeps: Int = 2, resolution: Double = 1.0,
+    etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
 /** `GRAPH TRANSITIVITY` — global transitivity + average local clustering
   * (reference `global_clustering_coefficient`/`average_clustering`). */
 final case class GraphTransitivity() extends GraphAlgo

@@ -142,6 +142,19 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     path.toSeq.toDF("hop", "key").orderBy("hop")
   }
 
+  /** Edge frame per the reference's Direction + edge_type algorithm
+    * params: etype filters the overlay edge set; OUT walks edges as
+    * stored, IN reverses them, BOTH takes the symmetric closure. */
+  private def orientedEdges(etype: Option[String], direction: Option[String],
+      defaultDir: String): DataFrame = {
+    val f = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+    direction.getOrElse(defaultDir) match {
+      case "out" => f
+      case "in" => f.select(col("dst").as("src"), col("src").as("dst"), col("etype"))
+      case _ => TpchGraph.undirected(f)
+    }
+  }
+
   /** Biconnected labeling of the (overlay-aware) property graph, rooted
     * at the region hubs — backs GRAPH BICONNECTED / GRAPH ARTICULATION. */
   private def biconnectedEdges(): DataFrame = {
@@ -501,8 +514,9 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // Remaining reference GraphAlgorithm statement variants — each runs
     // its parameterized engine over the overlay-aware frames.
-    case GraphEigenvector(iters) =>
-      Algorithms.eigenvector(TpchGraph.undirected(allEdges), allNodes, iters)
+    case GraphEigenvector(iters, tolerance, etype, direction) =>
+      Algorithms.eigenvector(orientedEdges(etype, direction, "both"), allNodes,
+          iters, tolerance)
         .select(col("key"), round(col("x"), 6).as("score"))
         .orderBy(desc("score"), col("key")).limit(20)
 
@@ -557,15 +571,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           walked.select(col("src").as("key")).distinct(), 2)
         .orderBy(desc("closeness"), col("key")).limit(30)
 
-    case GraphLabelProp(iters) =>
+    case GraphLabelProp(iters, etype, direction) =>
       Algorithms.labelPropagation(
-          TpchGraph.undirected(allEdges).select("src", "dst"), allNodes, iters)
+          orientedEdges(etype, direction, "both").select("src", "dst"), allNodes, iters)
         .groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
         .orderBy(desc("n_nodes"), col("lbl")).limit(20)
 
-    case GraphLouvain(sweeps, resolution) =>
+    case GraphLouvain(sweeps, resolution, etype, direction) =>
       Algorithms.louvainSweeps(
-          TpchGraph.undirected(allEdges).select("src", "dst"),
+          orientedEdges(etype, direction, "both").select("src", "dst"),
           allNodes.select("key"), sweeps, resolution)
         .groupBy("comm").agg(count(lit(1)).as("n_nodes"))
         .filter(col("n_nodes") >= 2)
@@ -1318,29 +1332,22 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     baseWhere.foldLeft(df)((acc, c) => acc.filter(condOn(ref(c.column), c)))
   }
 
-  private def condOn(l: Column, c: Cond): Column = {
-    val v = lit(c.value)
-    c.op match {
-      case "=" => l === v
-      case "!=" => l =!= v
-      case "<" => l < v
-      case "<=" => l <= v
-      case ">" => l > v
-      case ">=" => l >= v
-    }
+  private def condOn(l: Column, c: Cond): Column = c.op match {
+    case "=" => l === lit(c.value)
+    case "!=" => l =!= lit(c.value)
+    case "<" => l < lit(c.value)
+    case "<=" => l <= lit(c.value)
+    case ">" => l > lit(c.value)
+    case ">=" => l >= lit(c.value)
+    // reference vector metadata-filter forms (vector_engine/src/lib.rs:
+    // 297-324): In / Contains / StartsWith / Exists
+    case "in" => l.isin(c.value.asInstanceOf[Seq[Any]]: _*)
+    case "contains" => l.contains(lit(c.value))
+    case "startswith" => l.startsWith(c.value.toString)
+    case "exists" => l.isNotNull
   }
 
-  private def cond(c: Cond): Column = {
-    val l = col(c.column); val v = lit(c.value)
-    c.op match {
-      case "=" => l === v
-      case "!=" => l =!= v
-      case "<" => l < v
-      case "<=" => l <= v
-      case ">" => l > v
-      case ">=" => l >= v
-    }
-  }
+  private def cond(c: Cond): Column = condOn(col(c.column), c)
 }
 
 object NqlCompiler {

@@ -14,7 +14,7 @@ object NqlParser {
     "DESCRIBE", "DESC", "EXPLAIN", "VALUES", "UPDATE", "DELETE", "TABLE")
 
   private val tokenRe: Regex =
-    """\s*(?:('(?:[^'\\]|\\.)*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|!=|<>|=|<|>|\*|,|\(|\)))""".r
+    """\s*(?:('(?:[^'\\]|\\.)*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|!=|<>|->|=|<|>|\*|,|\(|\)|\[|\]))""".r
 
   private def tokenize(q: String): Vector[String] = {
     var rest = q.trim
@@ -248,6 +248,8 @@ object NqlParser {
 
   private def parseSimilar(p: P): Statement = {
     if (p.peekUpper.contains("VECTOR")) { p.next(); return parseSimilarVector(p) }
+    // reference inline-vector query form: SIMILAR [v, …] …
+    if (p.peek.contains("[")) return parseSimilarVector(p)
     if (p.peekUpper.contains("RANGE")) {
       p.next()
       val key = p.stringLit()
@@ -307,16 +309,21 @@ object NqlParser {
     n
   }
 
+  /** `PATH [SHORTEST|WEIGHTED] 'a' TO|-> 'b' [MAX|LIMIT n]` — the
+    * algorithm keyword is optional (reference defaults to Shortest and
+    * spells the pair with an arrow and the depth cap LIMIT,
+    * `parser.rs:1746-1775`). */
   private def parsePath(p: P): Statement = {
-    val kind = p.next().toUpperCase
+    val kind =
+      if (p.peekUpper.exists(k => k == "SHORTEST" || k == "WEIGHTED")) p.next().toUpperCase
+      else "SHORTEST"
     val from = p.stringLit()
-    p.expectKw("TO")
+    if (!p.accept("TO")) p.expectKw("->")
     val to = p.stringLit()
-    val depth = if (p.accept("MAX")) Some(p.int()) else None
+    val depth = if (p.accept("MAX") || p.accept("LIMIT")) Some(p.int()) else None
     kind match {
       case "SHORTEST" => PathShortest(from, to, depth.getOrElse(6))
-      case "WEIGHTED" => PathWeighted(from, to, depth.getOrElse(6))
-      case k => throw NqlParseException(s"unknown path kind $k")
+      case _ => PathWeighted(from, to, depth.getOrElse(6))
     }
   }
 
@@ -385,14 +392,14 @@ object NqlParser {
       if (!p.done) throw NqlParseException("EMBED DELETE takes only the key")
       EmbedDelete(key)
     case "LIST" =>
-      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
       if (!p.done) throw NqlParseException("EMBED LIST takes optional IN '<collection>' and LIMIT n")
       EmbedList(coll, limit)
     case "STORE" =>
       val key = p.stringLit()
       val vec = parseVector(p)
-      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
       EmbedStore(key, vec, coll)
     case "BATCH" =>
       val items = Seq.newBuilder[(String, Array[Float])]
@@ -402,7 +409,7 @@ object NqlParser {
         items += ((k, parseVector(p)))
         go = p.accept(",")
       }
-      val coll = if (p.accept("IN")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
       if (!p.done) throw NqlParseException(
         "EMBED BATCH takes 'key' (v, ...), 'key' (v, ...) [IN '<collection>']")
       val out = items.result()
@@ -513,15 +520,21 @@ object NqlParser {
     s
   }
 
+  /** Vector literal: our `(v, …)` round-1 spelling or the reference's
+    * bracket form `[v, …]` (`parser.rs:1781-1790`). */
   private def parseVector(p: P): Array[Float] = {
-    p.expectKw("(")
+    val close = if (p.accept("[")) "]" else { p.expectKw("("); ")" }
     val out = Array.newBuilder[Float]
     var go = true
     while (go) {
-      out += p.next().toFloat
+      val t = p.next()
+      out += (try t.toFloat catch {
+        case _: NumberFormatException =>
+          throw NqlParseException(s"expected a number in vector literal, got $t")
+      })
       go = p.accept(",")
     }
-    p.expectKw(")")
+    p.expectKw(close)
     out.result()
   }
 
@@ -621,10 +634,29 @@ object NqlParser {
         GraphCores(k)
       case "TRANSITIVITY" => GraphTransitivity()
       case "EIGENVECTOR" =>
-        val it = if (p.accept("ITERATIONS")) p.int() else 4
-        if (it < 1 || it > 8)
-          throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
-        GraphEigenvector(it)
+        p.accept("CENTRALITY") // reference writes EIGENVECTOR CENTRALITY
+        var s = GraphEigenvector()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("ITERATIONS") =>
+              p.next(); val it = p.int()
+              if (it < 1 || it > 8)
+                throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
+              s = s.copy(iterations = it)
+            case Some("TOLERANCE") =>
+              p.next(); val t = p.num()
+              if (t < 0.0) throw NqlParseException(s"TOLERANCE must be >= 0, got $t")
+              s = s.copy(tolerance = t)
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+            case _ => continue = false
+          }
+        }
+        s
       case "BETWEENNESS" =>
         p.accept("CENTRALITY") // reference writes BETWEENNESS CENTRALITY
         var s = GraphBetweenness()
@@ -660,22 +692,51 @@ object NqlParser {
           }
         }
         s
-      case "LABELPROP" =>
-        val it = if (p.accept("ITERATIONS")) p.int() else 3
-        if (it < 1 || it > 8)
-          throw NqlParseException(s"LABELPROP iterations must be in 1..8, got $it")
-        GraphLabelProp(it)
+      case "LABELPROP" | "LABEL" =>
+        if (algo == "LABEL") p.expectKw("PROPAGATION") // reference spelling
+        var s = GraphLabelProp()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("ITERATIONS") =>
+              p.next(); val it = p.int()
+              if (it < 1 || it > 8)
+                throw NqlParseException(s"LABELPROP iterations must be in 1..8, got $it")
+              s = s.copy(iterations = it)
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+            case _ => continue = false
+          }
+        }
+        s
       case "LOUVAIN" =>
-        val sw = if (p.accept("SWEEPS")) p.int() else 2
-        if (sw < 1 || sw > 4)
-          throw NqlParseException(s"LOUVAIN sweeps must be in 1..4, got $sw")
-        val res = if (p.accept("RESOLUTION")) {
-          val r = p.num()
-          if (r <= 0.0 || r > 10.0)
-            throw NqlParseException(s"LOUVAIN RESOLUTION must be in (0, 10], got $r")
-          r
-        } else 1.0
-        GraphLouvain(sw, res)
+        p.accept("COMMUNITIES") // reference writes LOUVAIN COMMUNITIES
+        var s = GraphLouvain()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("SWEEPS") | Some("PASSES") => // PASSES = reference spelling
+              p.next(); val sw = p.int()
+              if (sw < 1 || sw > 4)
+                throw NqlParseException(s"LOUVAIN sweeps must be in 1..4, got $sw")
+              s = s.copy(sweeps = sw)
+            case Some("RESOLUTION") =>
+              p.next(); val r = p.num()
+              if (r <= 0.0 || r > 10.0)
+                throw NqlParseException(s"LOUVAIN RESOLUTION must be in (0, 10], got $r")
+              s = s.copy(resolution = r)
+            case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
+            case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
+            case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+            case _ => continue = false
+          }
+        }
+        s
       case k => throw NqlParseException(s"unknown GRAPH algorithm $k")
     }
   }
@@ -818,22 +879,48 @@ object NqlParser {
     }
   }
 
+  /** AND-chained conditions. Comparison ops plus the reference's vector
+    * metadata-filter forms (`vector_engine/src/lib.rs:297-324`):
+    * `col IN (v, …)`, `col CONTAINS 'x'`, `col STARTSWITH 'x'` (also
+    * `STARTS WITH`), `col EXISTS`. OR is not in this grammar (the
+    * reference's richer boolean trees stay on the SQL/Cypher side). */
   private def parseConds(p: P): Seq[Cond] = {
+    def literal(raw: String): Any =
+      if (raw.startsWith("'")) raw.substring(1, raw.length - 1)
+      else try { if (raw.contains('.')) raw.toDouble else raw.toLong }
+      catch {
+        case _: NumberFormatException =>
+          throw NqlParseException(s"expected a literal, got $raw")
+      }
     val out = Seq.newBuilder[Cond]
     var continue = true
     while (continue) {
       val colName = p.next()
-      val op = p.next() match {
-        case "<>" => "!="
-        case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
-        case o => throw NqlParseException(s"unsupported operator $o")
+      p.peekUpper match {
+        case Some("IN") =>
+          p.next(); p.expectKw("(")
+          val vs = Seq.newBuilder[Any]
+          var go = true
+          while (go) { vs += literal(p.next()); go = p.accept(",") }
+          p.expectKw(")")
+          out += Cond(colName, "in", vs.result())
+        case Some("CONTAINS") =>
+          p.next(); out += Cond(colName, "contains", p.stringLit())
+        case Some("STARTSWITH") =>
+          p.next(); out += Cond(colName, "startswith", p.stringLit())
+        case Some("STARTS") =>
+          p.next(); p.expectKw("WITH")
+          out += Cond(colName, "startswith", p.stringLit())
+        case Some("EXISTS") =>
+          p.next(); out += Cond(colName, "exists", null)
+        case _ =>
+          val op = p.next() match {
+            case "<>" => "!="
+            case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+            case o => throw NqlParseException(s"unsupported operator $o")
+          }
+          out += Cond(colName, op, literal(p.next()))
       }
-      val raw = p.next()
-      val value: Any =
-        if (raw.startsWith("'")) raw.substring(1, raw.length - 1)
-        else if (raw.contains('.')) raw.toDouble
-        else raw.toLong
-      out += Cond(colName, op, value)
       continue = p.accept("AND")
     }
     out.result()

@@ -191,13 +191,29 @@ final case class EntityGet(key: String) extends Statement
 
 // write-path statements (execute against the session's EntityStore)
 final case class NodeCreate(key: String, label: String, name: Option[String]) extends Statement
-/** `NODE BATCH CREATE 'k1' LABEL 'l' [NAME 'n'] AND 'k2' ...` — batch
-  * node create (reference CreateNodes, `graph_engine/src/lib.rs:
+/** One node of a batch create: key, label, optional display name, and any
+  * further properties. Built by both the `NODE BATCH CREATE 'k' LABEL 'l'
+  * [NAME 'n'] AND ...` spelling (no extra props there) and the reference's
+  * literal `BATCH CREATE NODES [{labels: [...], ...}]` form
+  * (`neumann_parser/src/parser.rs:2880-2933`). */
+final case class BatchNode(key: String, label: String, name: Option[String],
+    props: Map[String, String] = Map.empty)
+/** Batch node create (reference CreateNodes, `graph_engine/src/lib.rs:
   * 8027-8380`): one log append. */
-final case class NodeBatchCreate(items: Seq[(String, String, Option[String])]) extends Statement
+final case class NodeBatchCreate(items: Seq[BatchNode]) extends Statement
 /** `EDGE BATCH CREATE 'a' TO 'b' TYPE 't' AND 'c' TO 'd' ...` — batch
   * edge create (reference CreateEdges): one log append. */
 final case class EdgeBatchCreate(items: Seq[(String, String, String)]) extends Statement
+/** `BATCH DELETE NODES [k1, k2, ...]` (reference GraphBatchOp::DeleteNodes,
+  * `neumann_parser/src/parser.rs:2836-2860`): one tombstone append for the
+  * whole key list. Numeric reference node ids arrive as their string form —
+  * this engine's node identity is the key. */
+final case class NodeBatchDelete(keys: Seq[String]) extends Statement
+/** `BATCH UPDATE NODES [{id: k, prop: v, ...}, ...]` (reference
+  * GraphBatchOp::UpdateNodes, `parser.rs:2862-2878,3029-3061`): merge-props
+  * per node, EntityUpdate semantics batched — one read of the current rows
+  * (bounded by the statement's literal batch size) and one log append. */
+final case class NodeBatchUpdate(items: Seq[(String, Map[String, String])]) extends Statement
 final case class NodeDelete(key: String) extends Statement
 final case class EdgeCreate(src: String, dst: String, etype: String) extends Statement
 final case class EdgeDelete(src: String, dst: String, etype: String) extends Statement

@@ -353,12 +353,41 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // Batch graph DML (reference CreateNodes/CreateEdges,
     // `graph_engine/src/lib.rs:8027-8380`): one log append per batch.
     case NodeBatchCreate(items) =>
-      storeOrFail("NODE BATCH CREATE").put(items.map { case (key, label, name) =>
+      storeOrFail("NODE BATCH CREATE").put(items.map { n =>
         graft.unified.EntityStore.EntityRow(
-          key, Map("label" -> label) ++ name.map("name" -> _), None)
+          n.key, n.props ++ Map("label" -> n.label) ++ n.name.map("name" -> _), None)
       })
       spark.createDataFrame(Seq((items.size.toLong, "batch_nodes_created")))
         .toDF("n_created", "status")
+
+    // Reference GraphBatchOp::DeleteNodes (`parser.rs:2836-2860`): one
+    // tombstone append for the whole key list.
+    case NodeBatchDelete(keys) =>
+      storeOrFail("BATCH DELETE NODES").delete(keys)
+      spark.createDataFrame(Seq((keys.size.toLong, "batch_nodes_deleted")))
+        .toDF("n_deleted", "status")
+
+    // Reference GraphBatchOp::UpdateNodes (`parser.rs:2862-2878`):
+    // EntityUpdate merge semantics, batched — ONE read of the current rows
+    // (collect bounded by the statement's literal batch size, never
+    // corpus-sized) and one log append.
+    case NodeBatchUpdate(items) =>
+      val st = storeOrFail("BATCH UPDATE NODES")
+      val keys = items.map(_._1)
+      val current = st.entities.filter(col("key").isin(keys: _*))
+        .select("key", "props", "embedding").collect()
+        .map(r => r.getAs[String]("key") -> r).toMap
+      val missing = keys.filterNot(current.contains)
+      if (missing.nonEmpty) throw NqlExecException(
+        s"BATCH UPDATE NODES: node(s) ${missing.sorted.mkString(", ")} do not exist")
+      st.put(items.map { case (key, props) =>
+        val row = current(key)
+        val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
+        val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
+        graft.unified.EntityStore.EntityRow(key, curProps ++ props, curEmb)
+      })
+      spark.createDataFrame(Seq((items.size.toLong, "batch_nodes_updated")))
+        .toDF("n_updated", "status")
 
     case EdgeBatchCreate(items) =>
       storeOrFail("EDGE BATCH CREATE").connectBatch(items)

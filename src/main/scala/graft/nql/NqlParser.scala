@@ -14,7 +14,7 @@ object NqlParser {
     "DESCRIBE", "DESC", "EXPLAIN", "VALUES", "UPDATE", "DELETE", "TABLE")
 
   private val tokenRe: Regex =
-    """\s*(?:('(?:[^'\\]|\\.)*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|!=|<>|->|=|<|>|\*|,|\(|\)|\[|\]))""".r
+    """\s*(?:('(?:[^'\\]|\\.)*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_.]*)|(<=|>=|!=|<>|->|=|<|>|\*|,|\(|\)|\[|\]|\{|\}|:))""".r
 
   private def tokenize(q: String): Vector[String] = {
     var rest = q.trim
@@ -141,6 +141,8 @@ object NqlParser {
       case "EMBED"     => p.next(); parseEmbed(p)
       case "ENTITY"    => p.next(); parseEntity(p)
       case "FIND"      => p.next(); parseFind(p)
+      case "AGGREGATE" => p.next(); parseAggregateStmt(p)
+      case "BATCH"     => p.next(); parseBatchStmt(p)
       case "COUNT"     =>
         p.next(); p.expectKw("EMBEDDINGS")
         if (!p.done) throw NqlParseException("COUNT EMBEDDINGS takes no arguments")
@@ -331,13 +333,13 @@ object NqlParser {
     case "GET" => NodeGet(p.stringLit())
     case "BATCH" =>
       p.expectKw("CREATE")
-      val items = Seq.newBuilder[(String, String, Option[String])]
+      val items = Seq.newBuilder[BatchNode]
       var go = true
       while (go) {
         val key = p.stringLit()
         val label = if (p.accept("LABEL")) p.stringLit() else "node"
         val name = if (p.accept("NAME")) Some(p.stringLit()) else None
-        items += ((key, label, name))
+        items += BatchNode(key, label, name)
         go = p.accept("AND")
       }
       if (!p.done) throw NqlParseException(
@@ -571,6 +573,165 @@ object NqlParser {
         "GRAPH AGGREGATE takes <func> '<prop>' NODES|EDGES [LABEL|TYPE '<x>'] [WHERE ...]")
       GraphAggregate(func, prop, overEdges, filter, where)
     case _ => parseGraphAlgo(p)
+  }
+
+  /** A bare identifier or a quoted string — the reference's
+    * `expect_ident_or_keyword` sites (property names, labels, edge types)
+    * take bare words; our round-1 spellings quote them. Accept both. */
+  private def identOrString(p: P): String = {
+    val t = p.next()
+    if (t.startsWith("'")) t.substring(1, t.length - 1).replace("\\'", "'")
+    else if (t.head.isLetter || t.head == '_') t
+    else throw NqlParseException(s"expected an identifier or string, got $t")
+  }
+
+  /** The reference's literal top-level aggregate spelling
+    * (`neumann_parser/src/parser.rs:3081-3151`):
+    * `AGGREGATE NODE PROPERTY <prop> <FUNC> [BY LABEL <x>] [WHERE ...]` /
+    * `AGGREGATE EDGE PROPERTY <prop> <FUNC> [BY TYPE <x>] [WHERE ...]`.
+    * Pure alias: builds the same [[GraphAggregate]] as the shipped
+    * `GRAPH AGGREGATE <func> '<prop>' NODES|EDGES [...]` form. */
+  private def parseAggregateStmt(p: P): Statement = {
+    val overEdges = p.next().toUpperCase match {
+      case "NODE" => false
+      case "EDGE" => true
+      case k => throw NqlParseException(s"AGGREGATE expects NODE or EDGE, got $k")
+    }
+    p.expectKw("PROPERTY")
+    val prop = identOrString(p)
+    val func = p.next().toUpperCase
+    if (!Set("SUM", "AVG", "MIN", "MAX", "COUNT").contains(func))
+      throw NqlParseException(s"AGGREGATE expects SUM/AVG/MIN/MAX/COUNT, got $func")
+    val filter = if (p.accept("BY")) {
+      p.expectKw(if (overEdges) "TYPE" else "LABEL")
+      Some(identOrString(p))
+    } else None
+    val where = if (p.accept("WHERE")) parseConds(p) else Nil
+    if (!p.done) throw NqlParseException(
+      "AGGREGATE NODE|EDGE PROPERTY <prop> <FUNC> [BY LABEL|TYPE <x>] [WHERE ...]")
+    GraphAggregate(func, prop, overEdges, filter, where)
+  }
+
+  /** The reference's literal top-level batch spelling
+    * (`neumann_parser/src/parser.rs:2807-3061`):
+    * `BATCH CREATE NODES [{labels: [...], k: v, ...}, ...]`,
+    * `BATCH CREATE EDGES [{from: x, to: y, type: t}, ...]`,
+    * `BATCH DELETE NODES [k1, ...]`, `BATCH UPDATE NODES [{id: k, ...}]`.
+    * Aliases onto the shipped batch engines (NodeBatchCreate /
+    * EdgeBatchCreate / NodeBatchDelete / NodeBatchUpdate). Adaptations,
+    * stated loudly rather than silently diverging: this engine's node
+    * identity is a string key (the reference auto-assigns integer ids),
+    * so each created node must carry a `key:` or `name:` property;
+    * overlay edges carry no properties, so edge props beyond
+    * from/to/type are rejected; `BATCH DELETE EDGES [ids]` is rejected
+    * because edges here have identity (src, dst, type), not ids. */
+  private def parseBatchStmt(p: P): Statement = p.next().toUpperCase match {
+    case "CREATE" => p.next().toUpperCase match {
+      case "NODE" | "NODES" =>
+        val items = parseBraceList(p).zipWithIndex.map { case ((labels, props), i) =>
+          val key = props.get("key").orElse(props.get("name")).getOrElse(
+            throw NqlParseException(
+              s"BATCH CREATE NODES item ${i + 1} needs a key: or name: property " +
+                "(this engine keys nodes by string, it does not auto-assign ids)"))
+          BatchNode(key, labels.headOption.getOrElse("node"), props.get("name"),
+            props - "key")
+        }
+        if (!p.done) throw NqlParseException("BATCH CREATE NODES takes one [...] list")
+        NodeBatchCreate(items)
+      case "EDGE" | "EDGES" =>
+        val items = parseBraceList(p).zipWithIndex.map { case ((labels, props), i) =>
+          if (labels.nonEmpty) throw NqlParseException(
+            s"BATCH CREATE EDGES item ${i + 1}: labels: belongs to nodes")
+          val extras = props.keySet -- Set("from", "to", "type")
+          if (extras.nonEmpty) throw NqlParseException(
+            s"BATCH CREATE EDGES item ${i + 1}: edge properties " +
+              s"${extras.toSeq.sorted.mkString(", ")} are not supported — " +
+              "overlay edges carry (src, dst, type) only")
+          val from = props.getOrElse("from", throw NqlParseException(
+            s"BATCH CREATE EDGES item ${i + 1}: missing 'from'"))
+          val to = props.getOrElse("to", throw NqlParseException(
+            s"BATCH CREATE EDGES item ${i + 1}: missing 'to'"))
+          (from, to, props.getOrElse("type", "related"))
+        }
+        if (!p.done) throw NqlParseException("BATCH CREATE EDGES takes one [...] list")
+        EdgeBatchCreate(items)
+      case k => throw NqlParseException(s"BATCH CREATE expects NODES or EDGES, got $k")
+    }
+    case "DELETE" => p.next().toUpperCase match {
+      case "NODE" | "NODES" =>
+        p.expectKw("[")
+        val keys = Seq.newBuilder[String]
+        if (!p.peek.contains("]")) {
+          var go = true
+          while (go) { keys += scalarToken(p); go = p.accept(",") }
+        }
+        p.expectKw("]")
+        if (!p.done) throw NqlParseException("BATCH DELETE NODES takes one [k1, ...] list")
+        NodeBatchDelete(keys.result())
+      case "EDGE" | "EDGES" => throw NqlParseException(
+        "BATCH DELETE EDGES by edge id is not supported — edges here have " +
+          "identity (src, dst, type), not ids; use EDGE DELETE 'src' TO 'dst' TYPE 't'")
+      case k => throw NqlParseException(s"BATCH DELETE expects NODES or EDGES, got $k")
+    }
+    case "UPDATE" =>
+      p.next().toUpperCase match {
+        case "NODE" | "NODES" => ()
+        case k => throw NqlParseException(s"BATCH UPDATE expects NODES, got $k")
+      }
+      val items = parseBraceList(p).zipWithIndex.map { case ((labels, props), i) =>
+        if (labels.nonEmpty) throw NqlParseException(
+          s"BATCH UPDATE NODES item ${i + 1}: labels: cannot be updated")
+        val id = props.getOrElse("id", throw NqlParseException(
+          s"BATCH UPDATE NODES item ${i + 1}: missing 'id'"))
+        (id, props - "id")
+      }
+      if (!p.done) throw NqlParseException("BATCH UPDATE NODES takes one [...] list")
+      NodeBatchUpdate(items)
+    case k => throw NqlParseException(s"BATCH expects CREATE, DELETE, or UPDATE, got $k")
+  }
+
+  /** One scalar value token — string literal, number, or bare word —
+    * normalized to its string form (store props are string-typed). */
+  private def scalarToken(p: P): String = {
+    val t = p.next()
+    if (t.startsWith("'")) t.substring(1, t.length - 1).replace("\\'", "'") else t
+  }
+
+  /** `[{k: v, ..., labels: [a, b]}, ...]` — the reference's batch item
+    * list shape (`parser.rs:2880-2933`). Returns per item its labels and
+    * its scalar properties (values stringified). */
+  private def parseBraceList(p: P): Seq[(Seq[String], Map[String, String])] = {
+    p.expectKw("[")
+    val out = Seq.newBuilder[(Seq[String], Map[String, String])]
+    if (!p.peek.contains("]")) {
+      var more = true
+      while (more) {
+        p.expectKw("{")
+        var labels = Seq.empty[String]
+        var props = Map.empty[String, String]
+        if (!p.peek.contains("}")) {
+          var inner = true
+          while (inner) {
+            val k = identOrString(p)
+            p.expectKw(":")
+            if (k == "labels") {
+              p.expectKw("[")
+              if (!p.peek.contains("]")) {
+                var ls = true
+                while (ls) { labels :+= identOrString(p); ls = p.accept(",") }
+              }
+              p.expectKw("]")
+            } else props += (k -> scalarToken(p))
+            inner = p.accept(",")
+          }
+        }
+        p.expectKw("}")
+        out += ((labels, props))
+        more = p.accept(",")
+      }
+    }
+    p.expectKw("]")
+    out.result()
   }
 
   private def parseGraphAlgo(p: P): GraphAlgo = {

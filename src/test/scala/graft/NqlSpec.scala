@@ -342,6 +342,68 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("NEIGHBORS 'city:1' TYPE 'road'").collect().map(_.getString(0)).toSeq == Seq("city:2"))
   }
 
+  test("reference AGGREGATE NODE|EDGE PROPERTY spelling aliases GRAPH AGGREGATE") {
+    // both spellings build the SAME AST — alias at the parser, one engine
+    assert(NqlParser.parse("AGGREGATE NODE PROPERTY acctbal MIN BY LABEL customer") ==
+      NqlParser.parse("GRAPH AGGREGATE MIN 'acctbal' NODES LABEL 'customer'"))
+    assert(NqlParser.parse("AGGREGATE EDGE PROPERTY weight SUM BY TYPE in_nation") ==
+      NqlParser.parse("GRAPH AGGREGATE SUM 'weight' EDGES TYPE 'in_nation'"))
+    assert(NqlParser.parse("AGGREGATE EDGE PROPERTY weight COUNT WHERE value >= 1.5") ==
+      NqlParser.parse("GRAPH AGGREGATE COUNT 'weight' EDGES WHERE value >= 1.5"))
+    // quoted property names accepted too (our round-1 convention)
+    assert(NqlParser.parse("AGGREGATE NODE PROPERTY 'acctbal' AVG") ==
+      NqlParser.parse("GRAPH AGGREGATE AVG 'acctbal' NODES"))
+    // and the aliased statement executes through the same gate plan
+    val minBal = Tables(spark, sf, "customer")
+      .agg(org.apache.spark.sql.functions.min("c_acctbal")).collect()(0).getDouble(0)
+    val viaAlias = run("AGGREGATE NODE PROPERTY age MIN BY LABEL customer".replace("age", "acctbal")).collect()(0)
+    assert(viaAlias.getString(0) == "min" && math.abs(viaAlias.getDouble(2) - minBal) < 1e-9)
+    // malformed forms fail with typed errors, reference-shaped messages
+    assert(intercept[NqlParseException](NqlParser.parse("AGGREGATE NODE PROPERTY x MEDIAN"))
+      .getMessage.contains("SUM/AVG/MIN/MAX/COUNT"))
+    assert(intercept[NqlParseException](NqlParser.parse("AGGREGATE TABLE PROPERTY x SUM"))
+      .getMessage.contains("NODE or EDGE"))
+  }
+
+  test("reference BATCH CREATE/DELETE/UPDATE spellings alias the batch engines") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-refbatch-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // BATCH CREATE NODES with labels + props (reference test shape,
+    // query_router/src/lib.rs BATCH CREATE NODES cases)
+    val n = runS("BATCH CREATE NODES [{labels: [person, employee], name: 'Alice', age: 30}, " +
+      "{labels: [person], key: 'p:bob', name: 'Bob'}]")
+    assert(n.collect()(0).getLong(0) == 2)
+    val alice = runS("NODE GET 'Alice'").collect()(0)
+    assert(alice.getAs[String]("label") == "person")
+    assert(runS("ENTITY GET 'Alice'").collect()(0)
+      .getAs[Map[String, String]]("props")("age") == "30")
+    // BATCH CREATE EDGES from/to/type maps — numeric reference ids stringify
+    val e = runS("BATCH CREATE EDGES [{from: 'Alice', to: 'p:bob', type: knows}]")
+    assert(e.collect()(0).getLong(0) == 1)
+    assert(runS("NEIGHBORS 'Alice' TYPE 'knows'").collect().map(_.getString(0)).toSeq == Seq("p:bob"))
+    // BATCH UPDATE NODES merges props per id
+    runS("BATCH UPDATE NODES [{id: 'p:bob', age: 31, team: 'ml'}]")
+    val bob = runS("ENTITY GET 'p:bob'").collect()(0).getAs[Map[String, String]]("props")
+    assert(bob("age") == "31" && bob("team") == "ml" && bob("name") == "Bob")
+    assertThrows[NqlExecException](runS("BATCH UPDATE NODES [{id: 'absent', a: 1}]"))
+    // BATCH DELETE NODES tombstones the whole list in one append
+    val d = runS("BATCH DELETE NODES ['Alice', 'p:bob']")
+    assert(d.collect()(0).getLong(0) == 2)
+    assert(runS("NODE GET 'Alice'").count() == 0)
+    // adaptations fail loudly, not silently: no auto-ids, no edge props,
+    // no edge-id deletes
+    assert(intercept[NqlParseException](NqlParser.parse("BATCH CREATE NODES [{labels: [x]}]"))
+      .getMessage.contains("key"))
+    assert(intercept[NqlParseException](
+      NqlParser.parse("BATCH CREATE EDGES [{from: 1, to: 2, type: knows, weight: 0.5}]"))
+      .getMessage.contains("weight"))
+    assert(intercept[NqlParseException](NqlParser.parse("BATCH DELETE EDGES [1, 2]"))
+      .getMessage.contains("EDGE DELETE"))
+    // empty list parses (reference: BATCH CREATE NODES []) and creates nothing
+    assert(NqlParser.parse("BATCH CREATE NODES []") == NodeBatchCreate(Seq.empty))
+  }
+
   test("ENTITY UPDATE merges props and preserves the embedding") {
     val store = new graft.unified.EntityStore(spark,
       java.nio.file.Files.createTempDirectory("nql-update-store").toString)

@@ -158,6 +158,38 @@ object TableDml {
       s"$c='${String.valueOf(r.get(i)).replace("'", "''")}'"
     }.mkString(", ")
 
+  /** Drop the given partitions from catalog AND disk. On a MANAGED table
+    * `ALTER TABLE … DROP PARTITION` removes the data too; on an EXTERNAL
+    * table it removes only catalog metadata — the partition directory
+    * stays on disk, and a later INSERT into the same partition value
+    * re-registers the partition OVER the old directory, resurrecting the
+    * supposedly deleted rows (plus a silent disk leak). So for
+    * non-MANAGED tables each dropped partition's physical location is
+    * captured from the catalog BEFORE the drop and deleted explicitly —
+    * mirroring what [[rewrite]] does for the unpartitioned external
+    * case. */
+  private def dropPartitions(spark: SparkSession, table: String,
+      partCols: Seq[String], rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val managed = cat.getTableMetadata(ident).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
+    rows.foreach { r =>
+      val specMap = partCols.zipWithIndex.map { case (c, i) =>
+        c -> String.valueOf(r.get(i))
+      }.toMap
+      val loc =
+        if (managed) None
+        else scala.util.Try(cat.getPartition(ident, specMap)).toOption
+          .map(p => new org.apache.hadoop.fs.Path(p.location))
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (${specOf(partCols, r)})")
+      loc.foreach { p =>
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
+  }
+
   /** PARTITION-PRUNED copy-on-write — the 100 TB DML path: only the
     * partitions that contain affected rows are rewritten; every other
     * partition's files are untouched (zero read, zero write). The
@@ -183,19 +215,20 @@ object TableDml {
       .write.format(provider).save(staging.toString)
     val back = spark.read.format(provider).load(staging.toString)
       .select(tableCols.map(col): _*)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try back.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(m) => spark.conf.set(key, m)
-      case None => spark.conf.unset(key)
-    }
+    // Write-scoped dynamic overwrite: `insertInto` on a catalog table does
+    // not honor DataFrameWriter's per-write partitionOverwriteMode option,
+    // so the mode is set on a CLONED session (shared external catalog,
+    // private runtime conf). No concurrent query in the caller's session
+    // can ever observe the temporary setting.
+    val writer = spark.newSession()
+    writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer.read.format(provider).load(staging.toString)
+      .select(tableCols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
     val written = back.select(partCols.map(col): _*).distinct()
       .collect().map(specOf(partCols, _)).toSet
-    touched.map(specOf(partCols, _)).filterNot(written).foreach { spec =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
-    }
+    dropPartitions(spark, table, partCols,
+      touched.filterNot(r => written(specOf(partCols, r))).toSeq)
     fs.delete(staging, true)
     spark.sql(s"REFRESH TABLE $table")
   }
@@ -274,21 +307,27 @@ object TableDml {
     if (n == 0) return affected(st.table, "update", 0)(spark) // no hits → no write at all
     val pCols = tableMeta(spark, st.table).partitionColumnNames
     if (pCols.isEmpty) rewrite(spark, st.table, post)
-    else {
+    else if (st.sets.exists { case (c, _) => pCols.exists(_.equalsIgnoreCase(c)) }) {
+      // a SET on a partition column migrates rows between partitions:
+      // the post-image of EVERY current partition must land (dynamic
+      // overwrite then drops the ones the migration emptied). No
+      // touched-partition discovery here — it would be an unused scan.
+      val allParts = target.select(pCols.map(col): _*).distinct().collect()
+      if (allParts.exists(_.anyNull)) throw NqlExecException(
+        s"${st.table}: DML over rows in a null partition is not supported")
+      // POST-image guard: a SET that writes NULL into a partition column
+      // would silently land rows in __HIVE_DEFAULT_PARTITION__, which
+      // later DML on the table would then reject — fail loudly up front
+      val postParts = post.select(pCols.map(col): _*).distinct().collect()
+      if (postParts.exists(_.anyNull)) throw NqlExecException(
+        s"${st.table}: UPDATE would write NULL into partition column(s) " +
+          s"${pCols.mkString(", ")} — rows in a null partition are not supported")
+      rewriteTouchedPartitions(spark, st.table, pCols, allParts, post)
+    } else {
+      // partition-pruned: rewrite only partitions holding hit rows
       val (touchedDf, touchedRows) = touchedPartitions(target, pCols, cond, st.table)
-      if (st.sets.exists { case (c, _) => pCols.exists(_.equalsIgnoreCase(c)) }) {
-        // a SET on a partition column migrates rows between partitions:
-        // the post-image of EVERY current partition must land (dynamic
-        // overwrite then drops the ones the migration emptied)
-        val allParts = target.select(pCols.map(col): _*).distinct().collect()
-        if (allParts.exists(_.anyNull)) throw NqlExecException(
-          s"${st.table}: DML over rows in a null partition is not supported")
-        rewriteTouchedPartitions(spark, st.table, pCols, allParts, post)
-      } else {
-        // partition-pruned: rewrite only partitions holding hit rows
-        val postTouched = post.join(broadcast(touchedDf), pCols, "left_semi")
-        rewriteTouchedPartitions(spark, st.table, pCols, touchedRows, postTouched)
-      }
+      val postTouched = post.join(broadcast(touchedDf), pCols, "left_semi")
+      rewriteTouchedPartitions(spark, st.table, pCols, touchedRows, postTouched)
     }
     affected(st.table, "update", n)(spark)
   }
@@ -327,9 +366,8 @@ object TableDml {
           else {
             // external partitioned: drop every partition (metadata +
             // per-partition dir removal — no data rewrite)
-            target.select(pCols.map(col): _*).distinct().collect().foreach { r =>
-              spark.sql(s"ALTER TABLE ${st.table} DROP IF EXISTS PARTITION (${specOf(pCols, r)})")
-            }
+            dropPartitions(spark, st.table, pCols,
+              target.select(pCols.map(col): _*).distinct().collect().toIndexedSeq)
             spark.sql(s"REFRESH TABLE ${st.table}")
           }
         }

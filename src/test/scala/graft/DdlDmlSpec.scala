@@ -119,4 +119,93 @@ class DdlDmlSpec extends AnyFunSuite {
     assert(nql("SELECT count(*) AS n FROM graft_pdml").collect()(0).getLong(0) == 0)
     nql("DROP TABLE graft_pdml")
   }
+
+  test("external partitioned DELETE removes partition files — re-insert cannot resurrect") {
+    // LOCATION makes the table EXTERNAL: there DROP PARTITION alone removes
+    // only catalog metadata, so without explicit file removal a later
+    // INSERT into the same partition value would re-register the partition
+    // over the old directory and resurrect the deleted rows.
+    val loc = java.nio.file.Files.createTempDirectory("graft-xdml").toString
+    def nql(q: String) = Nql.execute(spark, sf, q)
+    def partDir(team: String) = new java.io.File(s"$loc/t/team=$team")
+
+    nql(s"CREATE TABLE graft_xdml (name STRING, age INT, team STRING) USING parquet PARTITIONED BY (team) LOCATION '$loc/t'")
+    nql("INSERT INTO graft_xdml VALUES ('alice', 34, 'ml'), ('bob', 28, 'infra')")
+    assert(partDir("ml").exists)
+
+    // DELETE that empties the ml partition removes its directory on disk
+    nql("DELETE FROM graft_xdml WHERE team = 'ml'")
+    assert(!partDir("ml").exists, "dropped external partition directory left on disk")
+    // re-insert into the same partition value: ONLY the new row is visible
+    nql("INSERT INTO graft_xdml VALUES ('carol', 41, 'ml')")
+    assert(nql("SELECT name FROM graft_xdml WHERE team = 'ml'")
+      .collect().map(_.getString(0)).toSeq == Seq("carol"))
+
+    // unconditional DELETE on the external partitioned table: same guarantee
+    nql("DELETE FROM graft_xdml")
+    assert(!partDir("ml").exists && !partDir("infra").exists)
+    nql("INSERT INTO graft_xdml VALUES ('dan', 19, 'infra')")
+    assert(nql("SELECT count(*) AS n FROM graft_xdml").collect()(0).getLong(0) == 1)
+    nql("DROP TABLE graft_xdml")
+  }
+
+  test("UPDATE writing NULL into a partition column fails loudly before any write") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-npdml").toString
+    def nql(q: String) = Nql.execute(spark, sf, q)
+    nql(s"CREATE TABLE graft_npdml (name STRING, team STRING) USING parquet PARTITIONED BY (team) LOCATION '$loc/t'")
+    nql("INSERT INTO graft_npdml VALUES ('alice', 'ml'), ('bob', 'infra')")
+    // a SET that nulls the partition column would land rows in
+    // __HIVE_DEFAULT_PARTITION__, which later DML rejects — guard up front
+    val ex = intercept[graft.nql.NqlExecException](
+      nql("UPDATE graft_npdml SET team = NULL WHERE name = 'alice'"))
+    assert(ex.getMessage.contains("NULL") && ex.getMessage.contains("team"))
+    // nothing was written: table state unchanged
+    assert(nql("SELECT team FROM graft_npdml ORDER BY team").collect().map(_.getString(0)).toSeq
+      == Seq("infra", "ml"))
+    nql("DROP TABLE graft_npdml")
+  }
+
+  test("concurrent read during UPDATE: pre-image visible until install, session conf untouched") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-cdml").toString
+    def nql(q: String) = Nql.execute(spark, sf, q)
+    // unpartitioned: install is a two-rename directory swap, so a reader
+    // either sees the complete pre-image, the complete post-image, or (in
+    // the between-renames instant) a missing-path error — never torn data
+    nql(s"CREATE TABLE graft_cdml (id INT) USING parquet LOCATION '$loc/t'")
+    nql("INSERT INTO graft_cdml SELECT id FROM range(2000)")
+    val preSum = nql("SELECT sum(id) AS s FROM graft_cdml").collect()(0).getLong(0)
+
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try observed.add(spark.table("graft_cdml")
+          .agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0))
+        catch { case _: Exception => () } // between-renames instant: path absent
+      }
+    })
+    reader.start()
+    try nql("UPDATE graft_cdml SET id = id + 10000")
+    finally { stop.set(true); reader.join(30000) }
+
+    val postSum = nql("SELECT sum(id) AS s FROM graft_cdml").collect()(0).getLong(0)
+    assert(postSum == preSum + 10000L * 2000)
+    import scala.jdk.CollectionConverters._
+    val bad = observed.asScala.filterNot(v => v == preSum || v == postSum)
+    assert(bad.isEmpty, s"reader observed torn state(s): $bad (pre=$preSum post=$postSum)")
+    assert(observed.asScala.nonEmpty, "reader thread never completed a read")
+    nql("DROP TABLE graft_cdml")
+
+    // partitioned path: the dynamic-overwrite mode is a write-scoped
+    // option, never a session-conf flip a concurrent query could observe
+    val overwriteModeBefore =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    nql(s"CREATE TABLE graft_cdml2 (id INT, team STRING) USING parquet PARTITIONED BY (team) LOCATION '$loc/t2'")
+    nql("INSERT INTO graft_cdml2 VALUES (1, 'a'), (2, 'b')")
+    nql("UPDATE graft_cdml2 SET id = id + 1 WHERE team = 'a'")
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      == overwriteModeBefore)
+    assert(nql("SELECT sum(id) AS s FROM graft_cdml2").collect()(0).getLong(0) == 4)
+    nql("DROP TABLE graft_cdml2")
+  }
 }

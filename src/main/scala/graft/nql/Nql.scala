@@ -59,7 +59,8 @@ final case class SimilarVector(
     vec: Seq[Float],
     metric: Metric = Metric.Cosine,
     limit: Int = 10,
-    where: Seq[Cond] = Nil) extends Statement
+    where: Seq[Cond] = Nil,
+    collection: Option[String] = None) extends Statement
 
 /** `NEIGHBORS '<key>' [OUTGOING|INCOMING|BOTH] [TYPE 't'] [LIMIT n]` —
   * direction mirrors the reference NeighborsStmt
@@ -76,8 +77,10 @@ final case class PathShortest(from: String, to: String, maxDepth: Int = 6) exten
 final case class PathWeighted(from: String, to: String, maxHops: Int = 6) extends Statement
 
 final case class NodeGet(key: String) extends Statement
-final case class NodeList(label: Option[String], limit: Option[Int]) extends Statement
-final case class EdgeList(etype: Option[String], limit: Option[Int]) extends Statement
+final case class NodeList(label: Option[String], limit: Option[Int],
+    offset: Option[Int] = None) extends Statement
+final case class EdgeList(etype: Option[String], limit: Option[Int],
+    offset: Option[Int] = None) extends Statement
 final case class Degree(key: String) extends Statement
 
 sealed trait GraphAlgo extends Statement
@@ -190,7 +193,8 @@ final case class EmbedList(collection: Option[String], limit: Option[Int]) exten
 final case class EntityGet(key: String) extends Statement
 
 // write-path statements (execute against the session's EntityStore)
-final case class NodeCreate(key: String, label: String, name: Option[String]) extends Statement
+final case class NodeCreate(key: String, label: String, name: Option[String],
+    props: Map[String, String] = Map.empty) extends Statement
 /** One node of a batch create: key, label, optional display name, and any
   * further properties. Built by both the `NODE BATCH CREATE 'k' LABEL 'l'
   * [NAME 'n'] AND ...` spelling (no extra props there) and the reference's
@@ -224,7 +228,8 @@ final case class EntityDelete(key: String) extends Statement
   * `tensor_unified/src/lib.rs:475-880`): unnamed props and the embedding
   * are preserved, named props overwrite. Fails loudly on a missing key
   * (an update is not an upsert). */
-final case class EntityUpdate(key: String, props: Map[String, String]) extends Statement
+final case class EntityUpdate(key: String, props: Map[String, String],
+    embedding: Option[Array[Float]] = None) extends Statement
 final case class EntityConnect(src: String, dst: String, etype: String) extends Statement
 /** `EMBED BATCH 'k1' (v, ...), 'k2' (v, ...) [IN '<collection>']` —
   * batch vector store (reference `EMBED BATCH [...]`, `ast.rs:704-708`):

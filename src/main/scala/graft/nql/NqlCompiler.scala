@@ -105,10 +105,12 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     * undirected closure of `edges`, tracking a deterministic min-key
     * parent per node, then backtracking `to → from` into an ordered
     * (hop, key) list. The BFS is the same keyed-shuffle-per-round shape
-    * as every other iterative loop here; the backtrack does ≤ maxDepth+1
-    * one-row lookups against the MATERIALIZED tree frame — bounded by
-    * the depth cap, never by data size. Unreachable targets return an
-    * empty frame (reference returns zero path items). */
+    * as every other iterative loop here; the backtrack is ONE composed
+    * job of ≤ maxDepth broadcast point-lookup self-joins against the
+    * MATERIALIZED tree frame (plus a single one-row collect for the
+    * target's depth) — bounded by the depth cap, never by data size.
+    * Unreachable targets return an empty frame (reference returns zero
+    * path items). */
   private def findPathBfs(edges: DataFrame, from: String, to: String,
       maxDepth: Int = 6): DataFrame = {
     import spark.implicits._
@@ -130,16 +132,23 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       i += 1
     }
     if (!found) return Seq.empty[(Int, String)].toDF("hop", "key")
-    val path = scala.collection.mutable.ListBuffer.empty[(Int, String)]
-    var cur = to
-    var continueBack = true
-    while (continueBack) {
-      val row = tree.filter(col("key") === cur).collect()(0)
-      val depth = row.getAs[Int]("depth")
-      path.prepend((depth, cur))
-      if (depth == 0) continueBack = false else cur = row.getAs[String]("parent")
+    // Backtrack to → from as ONE composed job: the parent chain is d
+    // bounded self-joins against the materialized tree (each a broadcast
+    // point lookup), unioned lazily — a single collect fetches the
+    // target's depth and a single job materializes the whole hop list,
+    // instead of one driver round-trip per hop.
+    val d = tree.filter(col("key") === to).select("depth").collect()(0).getInt(0)
+    var step = tree.filter(col("key") === to)
+    val steps = Seq.newBuilder[DataFrame]
+    steps += step
+    for (_ <- 1 to d) {
+      step = tree.join(broadcast(step.select(col("parent").as("__k"))),
+          col("key") === col("__k"))
+        .select("key", "parent", "depth")
+      steps += step
     }
-    path.toSeq.toDF("hop", "key").orderBy("hop")
+    steps.result().reduce(_ union _)
+      .select(col("depth").as("hop"), col("key")).orderBy("hop")
   }
 
   /** Edge frame per the reference's Direction + edge_type algorithm
@@ -239,14 +248,16 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           scored.filter(col("score") >= tau).orderBy(desc("score"), col("key"))
       }
 
-    case SimilarVector(vec, metric, limit, where) =>
+    case SimilarVector(vec, metric, limit, where, collection) =>
+      collection.foreach(c => requireCollectionMetric(c, metric))
       val scoreCol = metric match {
         case Metric.Cosine => cosine_similarity(col("embedding"), col("qv"))
         case Metric.Euclidean => l2_distance(col("embedding"), col("qv"))
         case Metric.Dot => dot_product(col("embedding"), col("qv"))
       }
       val q = spark.range(1).select(typedLit(vec).cast("array<float>").as("qv"))
-      val base = where.foldLeft(emb)((df, c) => df.filter(cond(c)))
+      val inColl = collection.foldLeft(emb)((df, c) => df.filter(col("label") === c))
+      val base = where.foldLeft(inColl)((df, c) => df.filter(cond(c)))
         .crossJoin(broadcast(q))
         .select(col("key"), round(scoreCol, 4).as("score"))
       val ordered = metric match {
@@ -336,14 +347,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case NodeGet(key) =>
       allNodes.filter(col("key") === key)
 
-    case NodeList(label, limit) =>
+    case NodeList(label, limit, offset) =>
       val n = allNodes
       val f = label.fold(n)(l => n.filter(col("label") === l)).orderBy("key")
-      limit.fold(f)(f.limit)
+      val off = offset.fold(f)(f.offset) // deterministic key order → stable pages
+      limit.fold(off)(off.limit)
 
-    case NodeCreate(key, label, name) =>
+    case NodeCreate(key, label, name, props) =>
       storeOrFail("NODE CREATE").put(Seq(graft.unified.EntityStore.EntityRow(
-        key, Map("label" -> label) ++ name.map("name" -> _), None)))
+        key, props ++ Map("label" -> label) ++ name.map("name" -> _), None)))
       status(key, s"node_created:$label")
 
     case NodeDelete(key) =>
@@ -402,10 +414,11 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       storeOrFail("EDGE DELETE").disconnect(src, dst, etype)
       status(s"$src->$dst", s"edge_deleted:$etype")
 
-    case EdgeList(etype, limit) =>
+    case EdgeList(etype, limit, offset) =>
       val e = allEdges
       val f = etype.fold(e)(t => e.filter(col("etype") === t)).orderBy("src", "dst")
-      limit.fold(f)(f.limit)
+      val off = offset.fold(f)(f.offset)
+      limit.fold(off)(off.limit)
 
     case Degree(key) =>
       TpchGraph.undirected(allEdges)
@@ -808,7 +821,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // statement's stale merge (last-writer-wins at statement granularity,
     // the standard append-log semantics; reference single-threaded engine
     // has no sharper guarantee either).
-    case EntityUpdate(key, props) =>
+    case EntityUpdate(key, props, newEmb) =>
       val st = storeOrFail("ENTITY UPDATE")
       val cur = st.entities.filter(col("key") === key).limit(1).collect()
       if (cur.isEmpty) throw NqlExecException(
@@ -816,7 +829,9 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       val row = cur.head
       val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
       val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
-      st.put(Seq(graft.unified.EntityStore.EntityRow(key, curProps ++ props, curEmb)))
+      // EMBEDDING clause replaces the vector; without it the old one stays
+      st.put(Seq(graft.unified.EntityStore.EntityRow(key, curProps ++ props,
+        newEmb.orElse(curEmb))))
       status(key, s"updated:${props.keys.toSeq.sorted.mkString(",")}")
 
     case EntityConnect(src, dst, etype) =>
@@ -1044,12 +1059,37 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // before LIMIT so pagination is stable.
     case FindNodes(label, where, ret, limit) =>
       val n0 = label.fold(allNodes)(l => allNodes.filter(col("label") === l))
-      val f = where.foldLeft(n0)((df, c) => df.filter(cond(c)))
+      // WHERE columns beyond the overlay schema (key/label/name) are store
+      // properties (reference FindStmt property conditions): resolve them
+      // through the props map with the same element_at join ConstraintCheck
+      // uses; without a store session that's a typed domain error, never a
+      // raw AnalysisException.
+      val schemaCols = Set("key", "label", "name")
+      val propCols = where.map(_.column).distinct
+        .filterNot(c => schemaCols.contains(c.toLowerCase))
+      val n1 =
+        if (propCols.isEmpty) n0
+        else store match {
+          case Some(st) => n0.join(
+            st.entities.select(
+              col("key") +: propCols.map(pc => element_at(col("props"), pc).as(pc)): _*),
+            Seq("key"), "left")
+          case None => throw NqlExecException(
+            s"FIND NODES: unknown column(s) ${propCols.mkString(", ")} — " +
+              "node schema is key, label, name; store properties need a store session")
+        }
+      val f = where.foldLeft(n1)((df, c) => df.filter(cond(c)))
       val lim = limit.fold(f.orderBy("key"))(f.orderBy("key").limit)
-      if (ret.nonEmpty) lim.select(ret.map(col): _*) else lim
+      if (ret.nonEmpty) lim.select(ret.map(col): _*)
+      else lim.select(n0.columns.map(col): _*) // prop join columns are filter-only
 
     case FindEdges(etype, where, ret, limit) =>
       val e0 = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+      val badCols = where.map(_.column).distinct
+        .filterNot(c => Set("src", "dst", "etype").contains(c.toLowerCase))
+      if (badCols.nonEmpty) throw NqlExecException(
+        s"FIND EDGES: unknown column(s) ${badCols.mkString(", ")} — " +
+          "edge schema is src, dst, etype (overlay edges carry no properties)")
       val f = where.foldLeft(e0)((df, c) => df.filter(cond(c)))
       val ordered = f.orderBy("src", "dst", "etype")
       val lim = limit.fold(ordered)(ordered.limit)
@@ -1061,7 +1101,14 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     case FindPath(fromOpt, via, toOpt, limit) =>
       val e0 = via.fold(allEdges)(t => allEdges.filter(col("etype") === t))
       (fromOpt, toOpt) match {
-        case (Some(from), Some(to)) => findPathBfs(e0, from, to)
+        // LIMIT on the FROM+TO form bounds the path SEARCH depth (clamped
+        // to 8 hops — each BFS round is a keyed shuffle): paths longer
+        // than the limit report as not found. The reference's limit caps
+        // returned path items; with one (from, to) pair it returns at
+        // most one path either way, so for n >= path length the results
+        // agree and the hop cap gives the knob a real, documented effect.
+        case (Some(from), Some(to)) =>
+          findPathBfs(e0, from, to, maxDepth = math.min(limit.getOrElse(6), 8))
         case (Some(from), None) =>
           e0.filter(col("src") === from).select("src", "dst", "etype")
             .orderBy("dst", "etype").limit(limit.getOrElse(100))

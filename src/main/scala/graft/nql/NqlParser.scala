@@ -271,6 +271,11 @@ object NqlParser {
       p.peekUpper match {
         case Some("METRIC") =>
           p.next(); s = s.copy(metric = parseMetric(p))
+        // bare trailing metric, the reference spelling (`SIMILAR 'doc1'
+        // LIMIT 10 COSINE`, parser.rs similar tests)
+        case Some("COSINE") => p.next(); s = s.copy(metric = Metric.Cosine)
+        case Some("EUCLIDEAN") => p.next(); s = s.copy(metric = Metric.Euclidean)
+        case Some("DOT" | "DOT_PRODUCT") => p.next(); s = s.copy(metric = Metric.Dot)
         case Some("CONNECTED") =>
           p.next(); p.expectKw("TO"); s = s.copy(connectedTo = Some(p.stringLit()))
         case Some("WHERE") =>
@@ -282,8 +287,8 @@ object NqlParser {
           val nprobe = if (p.accept("PROBES")) p.int() else 1
           if (nprobe < 1) throw NqlParseException(s"PROBES must be >= 1, got $nprobe")
           s = s.copy(usingIndex = Some(nprobe))
-        case Some("IN") =>
-          p.next(); s = s.copy(collection = Some(p.stringLit()))
+        case Some("IN" | "INTO") =>
+          p.next(); s = s.copy(collection = Some(identOrString(p)))
         case _ => continue = false
       }
     }
@@ -300,7 +305,7 @@ object NqlParser {
     var continue = true
     while (continue && !p.done) {
       p.peekUpper match {
-        case Some("TYPE") => p.next(); n = n.copy(etype = Some(p.stringLit()))
+        case Some("TYPE") => p.next(); n = n.copy(etype = Some(identOrString(p)))
         case Some("BY") =>
           p.next(); p.expectKw("SIMILARITY"); p.expectKw("TO")
           n = n.copy(bySimilarityTo = Some(p.stringLit()))
@@ -346,14 +351,40 @@ object NqlParser {
         "NODE BATCH CREATE takes 'key' [LABEL 'l'] [NAME 'n'] AND ...")
       NodeBatchCreate(items.result())
     case "LIST" =>
-      val label = if (p.accept("LABEL")) Some(p.stringLit()) else None
+      // label: our LABEL 'x' spelling or the reference's bare `NODE LIST
+      // Person LIMIT 10 OFFSET 5` (parser.rs NodeList tests)
+      val label =
+        if (p.accept("LABEL")) Some(p.stringLit())
+        else if (!p.done && !Set("LIMIT", "OFFSET").contains(p.peekUpper.get))
+          Some(identOrString(p))
+        else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
-      NodeList(label, limit)
+      val offset = if (p.accept("OFFSET")) Some(p.int()) else None
+      if (!p.done) throw NqlParseException(
+        "NODE LIST takes [label] [LIMIT n] [OFFSET n]")
+      NodeList(label, limit, offset)
     case "CREATE" =>
-      val key = p.stringLit()
-      val label = if (p.accept("LABEL")) p.stringLit() else "node"
-      val name = if (p.accept("NAME")) Some(p.stringLit()) else None
-      NodeCreate(key, label, name)
+      if (p.peek.exists(_.startsWith("'"))) {
+        // round-1 spelling: NODE CREATE 'key' [LABEL 'l'] [NAME 'n']
+        val key = p.stringLit()
+        val label = if (p.accept("LABEL")) p.stringLit() else "node"
+        val name = if (p.accept("NAME")) Some(p.stringLit()) else None
+        NodeCreate(key, label, name)
+      } else {
+        // reference spelling: NODE CREATE <label> {k: v, ...}
+        // (parser.rs NodeCreate tests). The reference auto-assigns an
+        // integer id; this engine keys nodes by string, so the item must
+        // carry a key: or name: property — stated loudly otherwise.
+        val label = identOrString(p)
+        val props =
+          if (p.peek.contains("{")) parseBraceObj(p)._2 else Map.empty[String, String]
+        if (!p.done) throw NqlParseException("NODE CREATE takes <label> {k: v, ...}")
+        val key = props.get("key").orElse(props.get("name")).getOrElse(
+          throw NqlParseException(
+            "NODE CREATE needs a key: or name: property " +
+              "(this engine keys nodes by string, it does not auto-assign ids)"))
+        NodeCreate(key, label, props.get("name"), props - "key")
+      }
     case "DELETE" => NodeDelete(p.stringLit())
     case k => throw NqlParseException(s"unknown NODE op $k")
   }
@@ -373,9 +404,18 @@ object NqlParser {
         "EDGE BATCH CREATE takes 'a' TO 'b' [TYPE 't'] AND ...")
       EdgeBatchCreate(items.result())
     case "LIST" =>
-      val etype = if (p.accept("TYPE")) Some(p.stringLit()) else None
+      // type: our TYPE 'x' spelling or the reference's bare `EDGE LIST
+      // FOLLOWS LIMIT 25 OFFSET 50`
+      val etype =
+        if (p.accept("TYPE")) Some(p.stringLit())
+        else if (!p.done && !Set("LIMIT", "OFFSET").contains(p.peekUpper.get))
+          Some(identOrString(p))
+        else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
-      EdgeList(etype, limit)
+      val offset = if (p.accept("OFFSET")) Some(p.int()) else None
+      if (!p.done) throw NqlParseException(
+        "EDGE LIST takes [type] [LIMIT n] [OFFSET n]")
+      EdgeList(etype, limit, offset)
     case "CREATE" =>
       val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
       val etype = if (p.accept("TYPE")) p.stringLit() else "related"
@@ -394,31 +434,51 @@ object NqlParser {
       if (!p.done) throw NqlParseException("EMBED DELETE takes only the key")
       EmbedDelete(key)
     case "LIST" =>
-      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(identOrString(p)) else None
       val limit = if (p.accept("LIMIT")) Some(p.int()) else None
       if (!p.done) throw NqlParseException("EMBED LIST takes optional IN '<collection>' and LIMIT n")
       EmbedList(coll, limit)
     case "STORE" =>
       val key = p.stringLit()
       val vec = parseVector(p)
-      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(identOrString(p)) else None
       EmbedStore(key, vec, coll)
     case "BATCH" =>
       val items = Seq.newBuilder[(String, Array[Float])]
-      var go = true
-      while (go) {
-        val k = p.stringLit()
-        items += ((k, parseVector(p)))
-        go = p.accept(",")
+      if (p.peek.contains("[")) {
+        // reference tuple-list spelling (`parser.rs` EmbedBatch tests):
+        // EMBED BATCH [('k1', [1.0]), ('k2', [2.0])] [INTO coll]
+        p.expectKw("[")
+        if (!p.peek.contains("]")) {
+          var more = true
+          while (more) {
+            p.expectKw("(")
+            val k = p.stringLit()
+            p.expectKw(",")
+            items += ((k, parseVector(p)))
+            p.expectKw(")")
+            more = p.accept(",")
+          }
+        }
+        p.expectKw("]")
+      } else {
+        var go = true
+        while (go) {
+          val k = p.stringLit()
+          items += ((k, parseVector(p)))
+          go = p.accept(",")
+        }
       }
-      val coll = if (p.accept("IN") || p.accept("INTO")) Some(p.stringLit()) else None
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(identOrString(p)) else None
       if (!p.done) throw NqlParseException(
-        "EMBED BATCH takes 'key' (v, ...), 'key' (v, ...) [IN '<collection>']")
+        "EMBED BATCH takes 'key' (v, ...), ... or [('key', [v, ...]), ...] [IN '<collection>']")
       val out = items.result()
       if (out.isEmpty) throw NqlParseException("EMBED BATCH needs at least one item")
       EmbedBatch(out, coll)
     case "BUILD" =>
-      p.expectKw("INDEX"); p.expectKw("IVF")
+      // reference writes plain `EMBED BUILD INDEX` (parser.rs EmbedBuild
+      // test); IVF is this engine's only index family, so it's implied
+      p.expectKw("INDEX"); p.accept("IVF")
       val clusters = if (p.accept("CLUSTERS")) Some(p.int()) else None
       EmbedBuildIndex(clusters)
     case "DROP" =>
@@ -447,23 +507,36 @@ object NqlParser {
     case "BATCH" =>
       p.expectKw("CREATE")
       val items = Seq.newBuilder[(String, Map[String, String])]
-      var go = true
-      while (go) {
-        val key = p.stringLit()
-        var props = Map.empty[String, String]
-        if (p.accept("SET")) {
-          var more = true
-          while (more) {
-            val k = p.next(); p.expectKw("="); val v = p.stringLit()
-            props += (k -> v)
-            more = p.accept(",")
-          }
+      if (p.peek.contains("[")) {
+        // reference brace-list spelling (`ENTITY BATCH CREATE [{key:
+        // 'k1', name: 'First'}, ...]`, parser.rs EntityBatch tests);
+        // each item must carry its key: property
+        parseBraceList(p).zipWithIndex.foreach { case ((labels, props), i) =>
+          if (labels.nonEmpty) throw NqlParseException(
+            s"ENTITY BATCH CREATE item ${i + 1}: labels: belongs to nodes")
+          val key = props.getOrElse("key", throw NqlParseException(
+            s"ENTITY BATCH CREATE item ${i + 1}: missing 'key'"))
+          items += ((key, props - "key"))
         }
-        items += ((key, props))
-        go = p.accept("AND")
+      } else {
+        var go = true
+        while (go) {
+          val key = p.stringLit()
+          var props = Map.empty[String, String]
+          if (p.accept("SET")) {
+            var more = true
+            while (more) {
+              val k = p.next(); p.expectKw("="); val v = p.stringLit()
+              props += (k -> v)
+              more = p.accept(",")
+            }
+          }
+          items += ((key, props))
+          go = p.accept("AND")
+        }
       }
       if (!p.done) throw NqlParseException(
-        "ENTITY BATCH CREATE takes 'key' [SET k = 'v', ...] AND 'key' ...")
+        "ENTITY BATCH CREATE takes 'key' [SET k = 'v', ...] AND ... or [{key: 'k', ...}, ...]")
       EntityBatchCreate(items.result())
     case "DELETE" => EntityDelete(p.stringLit())
     case "CONNECT" =>
@@ -485,16 +558,24 @@ object NqlParser {
       EntityCreate(key, props, emb)
     case "UPDATE" =>
       val key = p.stringLit()
-      p.expectKw("SET")
       var props = Map.empty[String, String]
-      var go = true
-      while (go) {
-        val k = p.next(); p.expectKw("="); val v = p.stringLit()
-        props += (k -> v)
-        go = p.accept(",")
+      if (p.peek.contains("{")) {
+        // reference brace-props spelling (`ENTITY UPDATE 'user:1'
+        // {name: 'Bob'} [EMBEDDING [v, ...]]`, parser.rs EntityUpdate tests)
+        props = parseBraceObj(p)._2
+      } else {
+        p.expectKw("SET")
+        var go = true
+        while (go) {
+          val k = p.next(); p.expectKw("="); val v = p.stringLit()
+          props += (k -> v)
+          go = p.accept(",")
+        }
       }
-      if (!p.done) throw NqlParseException("ENTITY UPDATE takes '<key>' SET k = 'v', ...")
-      EntityUpdate(key, props)
+      val emb = if (p.accept("EMBEDDING")) Some(parseVector(p)) else None
+      if (!p.done) throw NqlParseException(
+        "ENTITY UPDATE takes '<key>' SET k = 'v', ... or '<key>' {k: v, ...} [EMBEDDING [v, ...]]")
+      EntityUpdate(key, props, emb)
     case k => throw NqlParseException(s"unknown ENTITY op $k")
   }
 
@@ -512,6 +593,13 @@ object NqlParser {
             case "DOT" | "DOT_PRODUCT" => Metric.Dot
             case m => throw NqlParseException(s"unknown metric $m")
           })
+        // bare trailing metric + INTO collection (reference spellings:
+        // `SIMILAR [1.0, 2.0] LIMIT 10 EUCLIDEAN`, `... INTO my_collection`)
+        case Some("COSINE") => p.next(); s = s.copy(metric = Metric.Cosine)
+        case Some("EUCLIDEAN") => p.next(); s = s.copy(metric = Metric.Euclidean)
+        case Some("DOT" | "DOT_PRODUCT") => p.next(); s = s.copy(metric = Metric.Dot)
+        case Some("IN" | "INTO") =>
+          p.next(); s = s.copy(collection = Some(identOrString(p)))
         case Some("WHERE") =>
           p.next(); s = s.copy(where = parseConds(p))
         case Some("LIMIT") =>
@@ -602,10 +690,16 @@ object NqlParser {
     val func = p.next().toUpperCase
     if (!Set("SUM", "AVG", "MIN", "MAX", "COUNT").contains(func))
       throw NqlParseException(s"AGGREGATE expects SUM/AVG/MIN/MAX/COUNT, got $func")
-    val filter = if (p.accept("BY")) {
-      p.expectKw(if (overEdges) "TYPE" else "LABEL")
-      Some(identOrString(p))
-    } else None
+    // BY LABEL x / BY TYPE x per the grammar (parser.rs:3092-3096); the
+    // reference's own tests also write `... SUM ON Person` (its parser
+    // silently ignores the trailing tokens there — we honor the intent
+    // and apply ON <x> as the label/type filter instead)
+    val filter =
+      if (p.accept("BY")) {
+        p.expectKw(if (overEdges) "TYPE" else "LABEL")
+        Some(identOrString(p))
+      } else if (p.accept("ON")) Some(identOrString(p))
+      else None
     val where = if (p.accept("WHERE")) parseConds(p) else Nil
     if (!p.done) throw NqlParseException(
       "AGGREGATE NODE|EDGE PROPERTY <prop> <FUNC> [BY LABEL|TYPE <x>] [WHERE ...]")
@@ -697,38 +791,40 @@ object NqlParser {
     if (t.startsWith("'")) t.substring(1, t.length - 1).replace("\\'", "'") else t
   }
 
-  /** `[{k: v, ..., labels: [a, b]}, ...]` — the reference's batch item
-    * list shape (`parser.rs:2880-2933`). Returns per item its labels and
+  /** One `{k: v, ..., labels: [a, b]}` brace object (the reference's
+    * batch item shape, `parser.rs:2880-2933`): returns its labels and
     * its scalar properties (values stringified). */
+  private def parseBraceObj(p: P): (Seq[String], Map[String, String]) = {
+    p.expectKw("{")
+    var labels = Seq.empty[String]
+    var props = Map.empty[String, String]
+    if (!p.peek.contains("}")) {
+      var inner = true
+      while (inner) {
+        val k = identOrString(p)
+        p.expectKw(":")
+        if (k == "labels") {
+          p.expectKw("[")
+          if (!p.peek.contains("]")) {
+            var ls = true
+            while (ls) { labels :+= identOrString(p); ls = p.accept(",") }
+          }
+          p.expectKw("]")
+        } else props += (k -> scalarToken(p))
+        inner = p.accept(",")
+      }
+    }
+    p.expectKw("}")
+    (labels, props)
+  }
+
+  /** `[{...}, ...]` — list of brace objects. */
   private def parseBraceList(p: P): Seq[(Seq[String], Map[String, String])] = {
     p.expectKw("[")
     val out = Seq.newBuilder[(Seq[String], Map[String, String])]
     if (!p.peek.contains("]")) {
       var more = true
-      while (more) {
-        p.expectKw("{")
-        var labels = Seq.empty[String]
-        var props = Map.empty[String, String]
-        if (!p.peek.contains("}")) {
-          var inner = true
-          while (inner) {
-            val k = identOrString(p)
-            p.expectKw(":")
-            if (k == "labels") {
-              p.expectKw("[")
-              if (!p.peek.contains("]")) {
-                var ls = true
-                while (ls) { labels :+= identOrString(p); ls = p.accept(",") }
-              }
-              p.expectKw("]")
-            } else props += (k -> scalarToken(p))
-            inner = p.accept(",")
-          }
-        }
-        p.expectKw("}")
-        out += ((labels, props))
-        more = p.accept(",")
-      }
+      while (more) { out += parseBraceObj(p); more = p.accept(",") }
     }
     p.expectKw("]")
     out.result()
@@ -765,7 +861,7 @@ object NqlParser {
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case Some("ENGINE") => s = s.copy(engine = engine())
             case _ => continue = false
           }
@@ -802,8 +898,10 @@ object NqlParser {
           p.peekUpper match {
             case Some("ITERATIONS") =>
               p.next(); val it = p.int()
-              if (it < 1 || it > 8)
-                throw NqlParseException(s"EIGENVECTOR iterations must be in 1..8, got $it")
+              // cap 100 (reference accepts any count; each round is one
+              // keyed exchange, TOLERANCE gives an early stop)
+              if (it < 1 || it > 100)
+                throw NqlParseException(s"EIGENVECTOR iterations must be in 1..100, got $it")
               s = s.copy(iterations = it)
             case Some("TOLERANCE") =>
               p.next(); val t = p.num()
@@ -813,7 +911,7 @@ object NqlParser {
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case _ => continue = false
           }
         }
@@ -825,15 +923,35 @@ object NqlParser {
         while (continue && !p.done) {
           p.peekUpper match {
             case Some("SAMPLE") | Some("SAMPLING") =>
-              p.next(); val v = p.int()
-              if (v < 1 || v > 100)
-                throw NqlParseException(s"BETWEENNESS SAMPLE must be in 1..100, got $v")
+              // integer = percent (our round-1 spelling); fractional =
+              // the reference's sampling ratio (`GRAPH BETWEENNESS
+              // CENTRALITY SAMPLING 0.5`, parser.rs betweenness tests)
+              p.next()
+              val t = p.next()
+              val v =
+                if (t.contains('.')) {
+                  val d = try t.toDouble catch {
+                    case _: NumberFormatException =>
+                      throw NqlParseException(s"expected a number, got $t")
+                  }
+                  if (d <= 0.0 || d > 1.0)
+                    throw NqlParseException(s"fractional SAMPLING must be in (0, 1], got $d")
+                  math.max(1, math.round(d * 100).toInt)
+                } else {
+                  val i = try t.toInt catch {
+                    case _: NumberFormatException =>
+                      throw NqlParseException(s"expected an integer, got $t")
+                  }
+                  if (i < 1 || i > 100)
+                    throw NqlParseException(s"BETWEENNESS SAMPLE must be in 1..100, got $i")
+                  i
+                }
               s = s.copy(samplePct = Some(v))
             case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case _ => continue = false
           }
         }
@@ -848,7 +966,7 @@ object NqlParser {
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case _ => continue = false
           }
         }
@@ -861,14 +979,14 @@ object NqlParser {
           p.peekUpper match {
             case Some("ITERATIONS") =>
               p.next(); val it = p.int()
-              if (it < 1 || it > 8)
-                throw NqlParseException(s"LABELPROP iterations must be in 1..8, got $it")
+              if (it < 1 || it > 100)
+                throw NqlParseException(s"LABELPROP iterations must be in 1..100, got $it")
               s = s.copy(iterations = it)
             case Some("OUTGOING") => p.next(); s = s.copy(direction = Some("out"))
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case _ => continue = false
           }
         }
@@ -881,8 +999,8 @@ object NqlParser {
           p.peekUpper match {
             case Some("SWEEPS") | Some("PASSES") => // PASSES = reference spelling
               p.next(); val sw = p.int()
-              if (sw < 1 || sw > 4)
-                throw NqlParseException(s"LOUVAIN sweeps must be in 1..4, got $sw")
+              if (sw < 1 || sw > 20)
+                throw NqlParseException(s"LOUVAIN sweeps must be in 1..20, got $sw")
               s = s.copy(sweeps = sw)
             case Some("RESOLUTION") =>
               p.next(); val r = p.num()
@@ -893,7 +1011,7 @@ object NqlParser {
             case Some("INCOMING") => p.next(); s = s.copy(direction = Some("in"))
             case Some("BOTH") => p.next(); s = s.copy(direction = Some("both"))
             case Some("EDGE") =>
-              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(p.stringLit()))
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
             case _ => continue = false
           }
         }
@@ -1048,6 +1166,8 @@ object NqlParser {
   private def parseConds(p: P): Seq[Cond] = {
     def literal(raw: String): Any =
       if (raw.startsWith("'")) raw.substring(1, raw.length - 1)
+      else if (raw.equalsIgnoreCase("true")) true
+      else if (raw.equalsIgnoreCase("false")) false
       else try { if (raw.contains('.')) raw.toDouble else raw.toLong }
       catch {
         case _: NumberFormatException =>

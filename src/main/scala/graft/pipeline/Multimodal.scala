@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * batches without collecting.
   *
   * Decode is REAL for the formats the JDK ships codecs for (PNG / BMP /
-  * JPEG / GIF via `javax.imageio` — see [[decode]]); every other payload
+  * JPEG / GIF via `javax.imageio` — see [[decode]]; PCM WAV via
+  * `javax.sound.sampled` — see [[decodeAudio]]); every other payload
   * falls back to a deterministic byte-arithmetic STUB — which keeps the
   * text-backed oracle path checkable — and the plumbing is real either
   * way: typed input/output schemas, per-partition iteration, explicit
-  * repartition for decode parallelism. Audio/video codecs remain
-  * stubbed (none in the JDK, no external deps in-container).
+  * repartition for decode parallelism. Compressed audio (MP3/OGG/AAC)
+  * and video codecs remain stubbed (none in the JDK, no external deps
+  * in-container).
   */
 object Multimodal {
 
@@ -101,6 +103,102 @@ object Multimodal {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
+  }
+
+  final case class AudioOut(
+      doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_us: Long, sum_abs_amp: Long)
+
+  /** Magic-byte sniff for RIFF/WAVE containers — the one audio format
+    * the JDK ships a codec for (`javax.sound.sampled`). */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Stub audio decoder for payloads with no JDK codec (MP3/OGG/AAC/...):
+    * deterministic byte arithmetic, same honesty contract as
+    * [[decodeStub]] for images. */
+  def decodeAudioStub(m: MediaIn): AudioOut = {
+    val b = m.payload
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else 0
+    val sr = 8000 + at(0) % 8 * 1000
+    AudioOut(m.doc_id, b.length, sr, 1 + at(1) % 2, 16,
+      b.length.toLong, b.length.toLong * 1000000L / sr,
+      (0 until 16).map(at).sum.toLong)
+  }
+
+  /** REAL decode for PCM WAV via `javax.sound.sampled` (in the JDK — no
+    * external codec needed): sample rate / channels / bit depth / frame
+    * count from the parsed header, exact duration in µs, and the summed
+    * absolute amplitude over every decoded 16-bit little-endian sample
+    * as the deterministic feature. Non-WAV payloads fall back to
+    * [[decodeAudioStub]] — compressed codecs stay honestly stubbed
+    * (none in the JDK, no external deps in-container). */
+  def decodeAudio(m: MediaIn): AudioOut = {
+    if (!looksLikeWav(m.payload)) return decodeAudioStub(m)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val fmt = in.getFormat
+        val sr = fmt.getSampleRate.toInt
+        val nFrames = in.getFrameLength
+        val bytes = in.readAllBytes()
+        var sum = 0L
+        if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          var i = 0
+          while (i + 1 < bytes.length) {
+            sum += math.abs(((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort.toInt)
+            i += 2
+          }
+        }
+        AudioOut(m.doc_id, m.payload.length, sr, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, nFrames * 1000000L / sr, sum)
+      } finally in.close()
+    } catch { case _: Exception => decodeAudioStub(m) }
+  }
+
+  /** Batch audio decode: same repartition + `mapPartitions` shape as
+    * [[decodeAll]]. */
+  def decodeAudioAll(media: Dataset[MediaIn], parallelism: Int): Dataset[AudioOut] = {
+    import media.sparkSession.implicits._
+    media.repartition(parallelism).mapPartitions(_.map(decodeAudio))
+  }
+
+  /** Deterministic PCM WAV synthesizer (canonical 44-byte RIFF header +
+    * 16-bit little-endian samples) — the m05 gate and MultimodalSpec
+    * build real WAV payloads from document fields with it, so the
+    * decode path is exercised end-to-end and the DuckDB oracle can
+    * recompute every decoded field arithmetically. Sample formula:
+    * frame f carries `(docId*131 + f*17) % 20001 - 10000` in every
+    * channel. */
+  def synthWav(docId: Long, nChars: Long): Array[Byte] = {
+    val sampleRate = 8000 + (docId % 4).toInt * 4000
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 50 + (nChars % 100).toInt
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                    // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)              // byte rate
+      .putShort((channels * 2).toShort)               // block align
+      .putShort(16)                                   // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      val v = ((docId * 131 + f * 17) % 20001 - 10000).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(v); c += 1 }
+      f += 1
+    }
+    buf.array()
   }
 
   final case class FrameOut(doc_id: Long, frame_idx: Int, frame_off: Int, frame_sig: String)

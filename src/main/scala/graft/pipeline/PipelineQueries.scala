@@ -1425,6 +1425,39 @@ object PipelineQueries {
         | array_to_string([CAST((octet_length(CAST(text AS BLOB)) * j) % 97 AS BIGINT) FOR j IN generate_series(1, 8)], ';') AS features_sig
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // REAL WAV audio decode (`javax.sound.sampled` — in the JDK, same
+    // zero-dependency rationale as the imageio image path): WAV payloads
+    // are SYNTHESIZED deterministically from document fields
+    // (Multimodal.synthWav — canonical 44-byte header, 16-bit LE PCM,
+    // frame f carrying (doc_id*131 + f*17) % 20001 - 10000 per channel),
+    // then decoded by the real codec, so header parse, PCM byte order,
+    // frame count, and amplitude math are exercised end-to-end while the
+    // oracle recomputes every decoded field arithmetically. Compressed
+    // codecs (no JDK support) keep the documented stub fallback.
+    "m05_multimodal_audio" -> QDef(
+      (s, d) => {
+        import s.implicits._
+        val media = docs(s, d).select("doc_id", "n_chars").as[(Long, Long)]
+          .map { case (id, nc) => Multimodal.MediaIn(id, Multimodal.synthWav(id, nc)) }
+        Multimodal.decodeAudioAll(media, parallelism = 8).toDF().orderBy("doc_id")
+      },
+      """WITH p AS (SELECT doc_id,
+        |             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |             CAST(1 + doc_id % 2 AS INT) AS channels,
+        |             50 + n_chars % 100 AS n_frames
+        |           FROM documents),
+        |f AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS f FROM p),
+        |a AS (SELECT doc_id,
+        |             CAST(sum(abs((doc_id * 131 + f * 17) % 20001 - 10000)) AS BIGINT) AS sa
+        |      FROM f GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(44 + p.n_frames * p.channels * 2 AS INT) AS n_bytes,
+        |  p.sample_rate, p.channels, CAST(16 AS INT) AS bits,
+        |  CAST(p.n_frames AS BIGINT) AS n_frames,
+        |  CAST(p.n_frames * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+        |  CAST(a.sa * p.channels AS BIGINT) AS sum_abs_amp
+        |FROM p JOIN a USING (doc_id) ORDER BY p.doc_id""".stripMargin),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     // cluster the embedding space, then compute pairwise cosine ONLY
     // within each cluster and drop all but one exemplar of every near-dup

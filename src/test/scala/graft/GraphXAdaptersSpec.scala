@@ -70,6 +70,33 @@ class GraphXAdaptersSpec extends AnyFunSuite {
     assert(gxGroups == dfGroups, s"gx=$gxGroups df=$dfGroups")
   }
 
+  test("GraphX PageRank rank order agrees with the DF impl: zero discordant pairs") {
+    // The two impls normalize dangling mass differently, so absolute
+    // scores differ — but the induced ORDER must agree. For every node
+    // pair that BOTH impls separate clearly (>5% relative), the ordering
+    // must be identical: zero discordant pairs over the full fixture.
+    val tree = TpchGraph.treeEdges(spark, sf)
+    val gx = GraphXAdapters.pageRank(nodes, tree, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = Algorithms.pageRank(tree, nodes, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == df.keySet)
+    def sep(m: Map[String, Double], a: String, b: String): Boolean =
+      math.abs(m(a) - m(b)) > 0.05 * math.max(m(a), m(b))
+    val keys = gx.keySet.toIndexedSeq.sorted
+    var checked = 0L
+    for (i <- keys.indices; j <- (i + 1) until keys.size) {
+      val (a, b) = (keys(i), keys(j))
+      if (sep(gx, a, b) && sep(df, a, b)) {
+        assert((gx(a) > gx(b)) == (df(a) > df(b)),
+          s"discordant pair: $a (gx=${gx(a)}, df=${df(a)}) vs $b (gx=${gx(b)}, df=${df(b)})")
+        checked += 1
+      }
+    }
+    // the fixture must actually exercise the claim (hubs vs leaves etc.)
+    assert(checked > 1000, s"only $checked well-separated pairs compared")
+  }
+
   test("GraphX static PageRank ranks hubs like the DF impl") {
     val tree = TpchGraph.treeEdges(spark, sf)
     val gx = GraphXAdapters.pageRank(nodes, tree, 10)

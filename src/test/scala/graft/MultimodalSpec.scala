@@ -48,6 +48,34 @@ class MultimodalSpec extends AnyFunSuite {
       stub.n_frames == expect.n_frames && stub.features.toSeq == expect.features.toSeq)
   }
 
+  test("decodeAudio: a synthesized WAV round-trips through javax.sound.sampled") {
+    // doc_id=5 (odd → stereo, 5%4=1 → 12000 Hz), n_chars=123 → 73 frames
+    val wav = Multimodal.synthWav(5L, 123L)
+    assert(wav.length == 44 + 73 * 2 * 2)
+    val out = Multimodal.decodeAudioAll(media(5L -> wav), parallelism = 2).collect()(0)
+    assert(out.sample_rate == 12000 && out.channels == 2 && out.bits == 16)
+    assert(out.n_frames == 73 && out.n_bytes == wav.length)
+    assert(out.duration_us == 73L * 1000000 / 12000)
+    // decoded amplitude sum equals the synth formula, doubled for stereo
+    val expect = 2L * (0 until 73).map(f => math.abs((5L * 131 + f * 17) % 20001 - 10000)).sum
+    assert(out.sum_abs_amp == expect)
+
+    // mono/different-rate combination decodes too (doc_id=2 → 16000 Hz, 1ch)
+    val mono = Multimodal.decodeAudioAll(media(2L -> Multimodal.synthWav(2L, 7L)), 1).collect()(0)
+    assert(mono.sample_rate == 16000 && mono.channels == 1 && mono.n_frames == 57)
+
+    // non-WAV payloads (e.g. an MP3 magic) take the documented stub —
+    // compressed codecs have no JDK decoder
+    val mp3ish = Array[Byte](0x49, 0x44, 0x33, 4, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val stub = Multimodal.decodeAudioAll(media(9L -> mp3ish), 1).collect()(0)
+    val expectStub = Multimodal.decodeAudioStub(Multimodal.MediaIn(9L, mp3ish))
+    assert(stub == expectStub)
+    // a corrupt RIFF header falls back to the stub instead of throwing
+    val corrupt = "RIFFxxxxWAVEjunk".getBytes("US-ASCII")
+    assert(Multimodal.decodeAudioAll(media(10L -> corrupt), 1).collect()(0) ==
+      Multimodal.decodeAudioStub(Multimodal.MediaIn(10L, corrupt)))
+  }
+
   test("sampleFrames: payload shorter than one frame emits no rows") {
     val out = Multimodal.sampleFrames(media(1L -> Array.fill(63)('a'.toByte)),
       frameBytes = 64, stride = 2).collect()

@@ -131,6 +131,33 @@ class NqlSpec extends AnyFunSuite {
     assert(run("FIND PATH TO 'region:2' LIMIT 3").count() == 3)
     // FROM or TO is required (reference: "Path query requires 'from' or 'to'")
     assertThrows[NqlParseException](run("FIND PATH LIMIT 3"))
+    // LIMIT on FROM+TO bounds the search depth: the customer→region chain
+    // is 2 hops, so LIMIT 2 finds it and LIMIT 1 reports unreachable
+    assert(run("FIND PATH FROM 'customer:7' TO 'region:2' LIMIT 2").count() == 3)
+    assert(run("FIND PATH FROM 'customer:7' TO 'region:2' LIMIT 1").count() == 0)
+  }
+
+  test("FIND NODES property predicates resolve through the store props map") {
+    // without a store, a non-schema WHERE column is a typed domain error
+    val ex = intercept[NqlExecException](run("FIND NODES person WHERE age > 30"))
+    assert(ex.getMessage.contains("age") && ex.getMessage.contains("key, label, name"))
+    assert(intercept[NqlExecException](run("FIND EDGES WHERE weight > 1"))
+      .getMessage.contains("src, dst, etype"))
+    // with a store, property predicates filter via the props map
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-findprop-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    runS("BATCH CREATE NODES [{labels: [person], name: 'ann', age: 25}, " +
+      "{labels: [person], name: 'ben', age: 41}, {labels: [person], name: 'cal', age: 33}]")
+    val older = runS("FIND NODES person WHERE age > 30").collect()
+    assert(older.map(_.getString(0)).toSeq == Seq("ben", "cal"))
+    // default output schema stays key/label/name (prop columns filter-only)
+    assert(runS("FIND NODES person WHERE age > 30").columns.toSeq == Seq("key", "label", "name"))
+    // RETURN projects schema columns; combined schema+prop WHERE works
+    assert(runS("FIND NODES person WHERE age > 30 AND name = 'ben' RETURN key")
+      .collect().map(_.getString(0)).toSeq == Seq("ben"))
+    // nodes WITHOUT the property (base graph rows) never match (3VL)
+    assert(runS("FIND NODES region WHERE age > 30").count() == 0)
   }
 
   test("PAGERANK DAMPING/TOLERANCE, LOUVAIN RESOLUTION, BETWEENNESS SAMPLE reach the engines") {
@@ -402,6 +429,18 @@ class NqlSpec extends AnyFunSuite {
       .getMessage.contains("EDGE DELETE"))
     // empty list parses (reference: BATCH CREATE NODES []) and creates nothing
     assert(NqlParser.parse("BATCH CREATE NODES []") == NodeBatchCreate(Seq.empty))
+    // reference NODE LIST pagination: bare label + LIMIT/OFFSET pages are
+    // disjoint and ordered (deterministic key order under the hood)
+    runS("BATCH CREATE NODES [{labels: [town], key: 't:1'}, {labels: [town], key: 't:2'}, " +
+      "{labels: [town], key: 't:3'}]")
+    val page1 = runS("NODE LIST town LIMIT 2").collect().map(_.getString(0)).toSeq
+    val page2 = runS("NODE LIST town LIMIT 2 OFFSET 2").collect().map(_.getString(0)).toSeq
+    assert(page1 == Seq("t:1", "t:2") && page2 == Seq("t:3"))
+    // reference NODE CREATE label-brace spelling lands props in the store
+    runS("NODE CREATE town {key: 't:4', mayor: 'ann'}")
+    assert(runS("ENTITY GET 't:4'").collect()(0)
+      .getAs[Map[String, String]]("props")("mayor") == "ann")
+    assert(runS("NODE LIST town LIMIT 10").count() == 4)
   }
 
   test("ENTITY UPDATE merges props and preserves the embedding") {
@@ -417,6 +456,13 @@ class NqlSpec extends AnyFunSuite {
     assert(props("role") == "lead")    // new prop added
     val emb = row.getAs[scala.collection.Seq[Float]]("embedding")
     assert(emb == Seq(0.6f, 0.8f))     // embedding untouched
+    // reference brace-props spelling merges the same way, and EMBEDDING
+    // replaces the stored vector (parser.rs EntityUpdate tests)
+    runS("ENTITY UPDATE 'user:u' {site: 'par'} EMBEDDING (1.0, 0.0)")
+    val row2 = runS("ENTITY GET 'user:u'").collect()(0)
+    assert(row2.getAs[Map[String, String]]("props")("site") == "par")
+    assert(row2.getAs[Map[String, String]]("props")("team") == "ml")
+    assert(row2.getAs[scala.collection.Seq[Float]]("embedding") == Seq(1.0f, 0.0f))
     // an update is not an upsert: missing key fails loudly — and as a
     // RUNTIME error (the statement is well-formed), not a parse error
     assertThrows[NqlExecException](runS("ENTITY UPDATE 'user:absent' SET a = 'b'"))

@@ -98,6 +98,247 @@ class ParserFuzzSpec extends AnyFunSuite {
     valid.foreach(q => NqlParser.parse(q))
   }
 
+  test("reference test-corpus sweep: every in-scope statement parses, the rest reject typed") {
+    // Statements lifted VERBATIM from the reference parser's own test
+    // corpus (`neumann_parser/src/parser.rs` parse_stmt cases and
+    // `query_router/src/lib.rs` execute cases). Every statement in the
+    // first list must PARSE; every statement in the second must fail
+    // with the TYPED NqlParseException (out-of-scope subsystems per
+    // COVERAGE.md, or spellings whose semantics genuinely don't map —
+    // auto-assigned integer ids, edge properties, edge-id deletes).
+    val mustParse = Seq(
+      // AGGREGATE statement family (parser.rs:3081-3151)
+      "AGGREGATE EDGE PROPERTY weight AVG",
+      "AGGREGATE EDGE PROPERTY weight AVG BY TYPE knows",
+      "AGGREGATE EDGE PROPERTY weight AVG ON FOLLOWS",
+      "AGGREGATE EDGE PROPERTY weight COUNT BY TYPE follows WHERE weight > 0",
+      "AGGREGATE EDGE PROPERTY weight SUM",
+      "AGGREGATE EDGE PROPERTY weight SUM BY TYPE knows",
+      "AGGREGATE NODE PROPERTY age SUM",
+      "AGGREGATE NODE PROPERTY age SUM BY LABEL Person",
+      "AGGREGATE NODE PROPERTY age SUM ON Person WHERE age > 18",
+      "AGGREGATE NODE PROPERTY age SUM WHERE age > 18",
+      "AGGREGATE NODE PROPERTY salary AVG",
+      // BATCH statement family (parser.rs:2807-3061)
+      "BATCH CREATE EDGES []",
+      "BATCH CREATE NODES []",
+      "BATCH CREATE NODES [{labels: [Person], name: 'Alice'}]",
+      "BATCH CREATE NODES [{labels: [person, employee], name: 'Alice', age: 30}]",
+      "BATCH DELETE NODES [1, 2, 3]",
+      "BATCH UPDATE NODES []",
+      "BATCH UPDATE NODES [{id: 1, name: 'Alice Updated'}]",
+      "BATCH UPDATE NODES [{id: 1, name: 'Alice'}, {id: 2, name: 'Bob'}]",
+      // BLOBS SIMILAR (the one in-scope BLOB statement)
+      "BLOBS SIMILAR TO 'artifact123'",
+      "BLOBS SIMILAR TO 'artifact123' LIMIT 10",
+      "BLOBS SIMILAR TO 'hash123' LIMIT 5",
+      // CONSTRAINT family
+      "CONSTRAINT CREATE age_int ON NODE PROPERTY age TYPE int",
+      "CONSTRAINT CREATE c ON EDGE PROPERTY name UNIQUE",
+      "CONSTRAINT CREATE email_unique ON NODE User PROPERTY email UNIQUE",
+      "CONSTRAINT CREATE name_required ON NODE PROPERTY name EXISTS",
+      "CONSTRAINT CREATE weight_exists ON EDGE knows PROPERTY weight EXISTS",
+      "CONSTRAINT DROP email_unique",
+      "CONSTRAINT GET my_constraint",
+      "CONSTRAINT LIST",
+      "COUNT EMBEDDINGS",
+      // SQL surface (Catalyst passthrough — parse-level)
+      "CREATE TABLE IF NOT EXISTS users (id INT)",
+      "CREATE TABLE users (id INT PRIMARY KEY, name VARCHAR(100) NOT NULL)",
+      "CREATE TABLE t (age INT CHECK (age > 0))",
+      "CREATE INDEX idx_name ON users (name)",
+      "CREATE UNIQUE INDEX idx_email ON users (email)",
+      "DROP TABLE IF EXISTS users",
+      "DROP TABLE users",
+      "DROP INDEX IF EXISTS idx",
+      "DESCRIBE TABLE users",
+      "DESCRIBE NODE person",
+      "DESCRIBE EDGE follows",
+      "INSERT INTO users (name, email) VALUES ('Alice', 'alice@example.com')",
+      "INSERT INTO t (a, b) VALUES (1, 2), (3, 4)",
+      "INSERT INTO archive SELECT * FROM users WHERE active = false",
+      "INSERT INTO t (a, b) SELECT x, y FROM s",
+      "SELECT * FROM users",
+      "SELECT * FROM users WHERE id = 1",
+      "SELECT id, name, email FROM users",
+      "SELECT name AS user_name FROM users",
+      "SELECT DISTINCT name FROM users",
+      "SELECT COUNT(DISTINCT name) FROM users",
+      "SELECT a, COUNT(*) FROM t GROUP BY a",
+      "SELECT name, COUNT(*) FROM users GROUP BY name HAVING COUNT(*) > 1",
+      "SELECT * FROM t ORDER BY a ASC, b DESC",
+      "SELECT * FROM t LIMIT 10 OFFSET 5",
+      "SELECT * FROM a INNER JOIN b ON a.id = b.id",
+      "SELECT * FROM a FULL OUTER JOIN b ON a.id = b.id",
+      "SELECT * FROM a NATURAL JOIN b",
+      "SELECT * FROM a JOIN b USING (id, name)",
+      "SELECT * FROM users u JOIN orders o ON u.id = o.user_id",
+      "SELECT * FROM (SELECT 1 AS x) AS sub",
+      "SELECT * FROM t WHERE x IN (SELECT y FROM s)",
+      "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM s)",
+      "SELECT * FROM t WHERE name LIKE '%foo%'",
+      "SELECT * FROM t WHERE age NOT BETWEEN 10 AND 20",
+      "SELECT * FROM t WHERE x IS NOT NULL",
+      "SELECT a FROM t1 UNION SELECT b FROM t2",
+      "SELECT a FROM t1 INTERSECT SELECT b FROM t2",
+      "SELECT a FROM t1 EXCEPT SELECT b FROM t2",
+      "SELECT name FROM users UNION ALL SELECT name FROM admins",
+      "SELECT CASE WHEN age > 18 THEN 'adult' ELSE 'minor' END FROM users",
+      "SELECT CAST(age AS VARCHAR) FROM users",
+      "SELECT COALESCE(a, b, c, d) FROM t",
+      "SELECT COUNT(*), SUM(amount), AVG(price) FROM orders",
+      "UPDATE users SET name = 'Bob' WHERE id = 1",
+      "UPDATE users SET active = TRUE",
+      "UPDATE t SET a = 1, b = 2, c = 3 WHERE id = 1",
+      "DELETE FROM users WHERE id = 1",
+      "DELETE FROM users",
+      "DELETE FROM t WHERE a = 1 AND b = 2 OR c = 3",
+      "SHOW TABLES",
+      "SHOW TABLES;",
+      "show tables",
+      // EMBED family (incl. the reference tuple-list batch + INTO coll)
+      "EMBED BATCH [('doc1', [1.0, 0.0]), ('doc2', [0.0, 1.0])]",
+      "EMBED BATCH [('k1', [1.0]), ('k2', [2.0])] INTO batch_coll",
+      "EMBED BATCH [('key', [1.0, 2.0, 3.0])]",
+      "EMBED BUILD INDEX",
+      "EMBED DELETE 'doc1'",
+      "EMBED GET 'doc1'",
+      "EMBED STORE 'doc1' [0.1, 0.2, 0.3]",
+      "EMBED STORE 'doc1' [1.0, 2.0, 3.0] INTO my_collection",
+      "SHOW EMBEDDINGS",
+      "SHOW EMBEDDINGS LIMIT 10",
+      "SHOW VECTOR INDEX",
+      // ENTITY family (incl. reference brace-props update + batch list)
+      "ENTITY BATCH CREATE []",
+      "ENTITY BATCH CREATE [{key: 'k1', from: 'source'}]",
+      "ENTITY DELETE 'user:123'",
+      "ENTITY GET 'user:1'",
+      "ENTITY UPDATE 'user:1' { name: 'Bob' }",
+      "ENTITY UPDATE 'user:1' {name: 'Bob'} EMBEDDING [1.0, 2.0]",
+      // FIND family (singular NODE/EDGE, bare labels, boolean literals)
+      "FIND EDGE FOLLOWS",
+      "FIND EDGE FOLLOWS WHERE weight > 0.5",
+      "FIND EDGE WHERE weight > 0.5",
+      "FIND NODE Person LIMIT 10",
+      "FIND NODE Person WHERE age > 18",
+      "FIND NODE WHERE active = TRUE",
+      "FIND NODE user RETURN name, age",
+      "FIND NODE user WHERE age > 18 LIMIT 10",
+      "FIND ROWS FROM users WHERE age > 18",
+      "FIND VERTEX person",
+      // GRAPH algorithm family (bare edge types, CENTRALITY suffixes,
+      // fractional SAMPLING, every knob combination the corpus uses)
+      "GRAPH BETWEENNESS CENTRALITY",
+      "GRAPH BETWEENNESS CENTRALITY EDGE TYPE follows",
+      "GRAPH BETWEENNESS CENTRALITY INCOMING",
+      "GRAPH BETWEENNESS CENTRALITY OUTGOING",
+      "GRAPH BETWEENNESS CENTRALITY SAMPLING 0.5",
+      "GRAPH CLOSENESS CENTRALITY",
+      "GRAPH CLOSENESS CENTRALITY EDGE TYPE knows",
+      "GRAPH CLOSENESS CENTRALITY INCOMING",
+      "GRAPH EIGENVECTOR CENTRALITY",
+      "GRAPH EIGENVECTOR CENTRALITY BOTH",
+      "GRAPH EIGENVECTOR CENTRALITY EDGE TYPE follows",
+      "GRAPH EIGENVECTOR CENTRALITY ITERATIONS 100",
+      "GRAPH EIGENVECTOR CENTRALITY ITERATIONS 50 TOLERANCE 0.0001",
+      "GRAPH EIGENVECTOR CENTRALITY TOLERANCE 0.001",
+      "GRAPH LABEL PROPAGATION",
+      "GRAPH LABEL PROPAGATION EDGE TYPE connects",
+      "GRAPH LABEL PROPAGATION INCOMING",
+      "GRAPH LABEL PROPAGATION ITERATIONS 20",
+      "GRAPH LOUVAIN COMMUNITIES",
+      "GRAPH LOUVAIN COMMUNITIES EDGE TYPE friend",
+      "GRAPH LOUVAIN COMMUNITIES OUTGOING",
+      "GRAPH LOUVAIN COMMUNITIES PASSES 10",
+      "GRAPH LOUVAIN COMMUNITIES RESOLUTION 1.5",
+      "GRAPH LOUVAIN COMMUNITIES RESOLUTION 1.5 BOTH EDGE TYPE friend PASSES 20",
+      "GRAPH PAGERANK",
+      "GRAPH PAGERANK DAMPING 0.85",
+      "GRAPH PAGERANK DAMPING 0.85 ITERATIONS 100 TOLERANCE 0.001 OUTGOING",
+      "GRAPH PAGERANK DAMPING 0.9 ITERATIONS 20",
+      "GRAPH PAGERANK EDGE TYPE follows",
+      "GRAPH PAGERANK OUTGOING",
+      // NODE / EDGE CRUD (reference label+brace create, bare-label list,
+      // OFFSET pagination)
+      "NODE CREATE person {name: 'Alice'}",
+      "NODE CREATE user {name: 'Alice', age: 30}",
+      "NODE LIST",
+      "NODE LIST LIMIT 10",
+      "NODE LIST Person LIMIT 10 OFFSET 5",
+      "NODE LIST user",
+      "NODE LIST user LIMIT 50 OFFSET 100",
+      "EDGE LIST",
+      "EDGE LIST FOLLOWS",
+      "EDGE LIST FOLLOWS LIMIT 10",
+      "EDGE LIST FOLLOWS LIMIT 25 OFFSET 50",
+      // SIMILAR family (bare trailing metric, INTO collection, inline
+      // vectors, compound WHERE)
+      "SIMILAR 'doc' DOT_PRODUCT",
+      "SIMILAR 'doc' EUCLIDEAN",
+      "SIMILAR 'doc1' LIMIT 10 COSINE",
+      "SIMILAR 'doc1' LIMIT 10 WHERE category = 'tech' AND score > 5",
+      "SIMILAR 'entity' CONNECTED TO 'hub' LIMIT 5",
+      "SIMILAR 'query'",
+      "SIMILAR 'query' DOT_PRODUCT LIMIT 5",
+      "SIMILAR [0.1, 0.2] LIMIT 5",
+      "SIMILAR [1.0, 2.0]",
+      "SIMILAR [1.0, 2.0] LIMIT 10 EUCLIDEAN",
+      "SIMILAR [1.0, 2.0] LIMIT 10 INTO my_collection",
+      "SIMILAR [1.0, 2.0] LIMIT 10 WHERE category = 'science'",
+      "SIMILAR [1.0, 2.0] LIMIT 5 COSINE",
+      "SIMILAR [1.0, 2.0] LIMIT 5 DOT_PRODUCT",
+      "SIMILAR [1.0, 2.0] LIMIT 5 INTO docs WHERE author = 'Alice'")
+
+    val mustRejectTyped = Seq(
+      // out-of-scope subsystems (COVERAGE.md): vault, cache, blob admin,
+      // chain, cluster, checkpoints, codebook analytics
+      "VAULT SET 'key1' 'value1'", "VAULT GET 'mykey'", "VAULT LIST",
+      "VAULT GRANT 'user123' ON 'secret/key'", "VAULT ROTATE 'mykey' 'newvalue'",
+      "CACHE INIT", "CACHE PUT 'mykey' 'myvalue'", "CACHE GET 'mykey'",
+      "CACHE SEMANTIC GET 'query' THRESHOLD 0.85",
+      "CACHE SEMANTIC PUT 'q' 'r' EMBEDDING [1.0, 2.0, 3.0, 4.0, 5.0]",
+      "cache init",
+      "BLOB PUT 'file.txt' FROM '/path/to/file'", "BLOB GET 'artifact123'",
+      "BLOB INIT", "BLOB GC FULL", "BLOB META SET 'artifact123' 'description' 'A test file'",
+      "BLOBS", "BLOBS '*.txt'", "BLOBS BY TAG 'important'", "BLOBS FOR 'entity1'",
+      "BLOBS WHERE TYPE = 'application/pdf'",
+      "CHAIN TIP", "CHAIN HEIGHT", "CHAIN VERIFY", "CHAIN BLOCK 42",
+      "CHAIN SIMILAR [1.0, 2.0] LIMIT 5", "CHAIN HISTORY 'users:123'",
+      "BEGIN CHAIN TRANSACTION", "COMMIT CHAIN", "ROLLBACK CHAIN TO 100",
+      "CHECKPOINT", "CHECKPOINT 'backup1'", "CHECKPOINTS", "CHECKPOINTS LIMIT 5",
+      "ROLLBACK TO 'checkpoint-id'",
+      "CLUSTER CONNECT '127.0.0.1:8080'", "CLUSTER STATUS", "CLUSTER NODES",
+      "ANALYZE CODEBOOK TRANSITIONS",
+      "GRAPH INDEX CREATE ON NODE PROPERTY name", "GRAPH INDEX SHOW ON NODE",
+      // spellings whose semantics don't map: integer auto-ids (this
+      // engine keys by string), edge ids, edge properties
+      "NODE GET 1", "NODE DELETE 123", "NODE CREATE user {}",
+      "EDGE CREATE 1 -> 2 : follows", "EDGE CREATE 1 -> 2 : FOLLOWS {since: 2020}",
+      "EDGE GET 42", "EDGE DELETE 1",
+      "NEIGHBORS 1", "NEIGHBORS 1 OUTGOING : FOLLOWS", "NEIGHBORS 123 OUTGOING LIMIT 20",
+      "PATH 1 -> 2", "PATH SHORTEST 1 -> 10",
+      "BATCH DELETE EDGES [10, 20]",
+      "BATCH CREATE EDGES [{from: 1, to: 2, type: knows, weight: 0.5}]",
+      "NEIGHBORS 'entity' BY SIMILAR [1.0, 0.0] LIMIT 5",
+      // malformed forms the reference also rejects
+      "EMBED STORE 'key' []", "SIMILAR [] LIMIT 5", "FIND WHERE x > 1",
+      ";;;SELECT * FROM users;;")
+
+    assert(mustParse.size + mustRejectTyped.size >= 150)
+    mustParse.foreach { q =>
+      try { NqlParser.parse(q); () } catch {
+        case e: Throwable => fail(s"in-scope reference statement failed to parse <$q>: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    mustRejectTyped.foreach { q =>
+      val e = intercept[NqlParseException](NqlParser.parse(q))
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"empty error message for <$q>")
+    }
+    // and every statement in both lists satisfies the no-leak contract
+    (mustParse ++ mustRejectTyped).foreach(mustParseOrReject)
+  }
+
   test("cypher pattern fragments reject cleanly") {
     val frags = Seq("(", "(a", "(a:b", "(a {", "(a {k:", "(a)-", "(a)-[",
       "(a)-[:t", "(a)-[:t]-", "(a)-[:t]->", "(a)-[:t]->(b) RETURN",

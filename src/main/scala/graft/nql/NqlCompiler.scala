@@ -256,7 +256,18 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         case Metric.Dot => dot_product(col("embedding"), col("qv"))
       }
       val q = spark.range(1).select(typedLit(vec).cast("array<float>").as("qv"))
-      val inColl = collection.foldLeft(emb)((df, c) => df.filter(col("label") === c))
+      // label doubles as the ad-hoc collection id (v05 style) and is
+      // numeric in the bundled frame — compare as strings so a textual
+      // collection name yields an empty result, not an ANSI cast error
+      val inColl = collection.foldLeft(emb)(
+        (df, c) => df.filter(col("label").cast("string") === c))
+      // dimension guard: a mismatched literal would otherwise fail mid-job
+      // with an executor-side exception — probe ONE row (metadata-cheap)
+      // and raise the typed domain error up front instead
+      val probe = inColl.select(size(col("embedding")).as("d")).limit(1).collect()
+      if (probe.nonEmpty && probe(0).getInt(0) != vec.length) throw NqlExecException(
+        s"SIMILAR: query vector has dimension ${vec.length}, " +
+          s"stored embeddings have ${probe(0).getInt(0)}")
       val base = where.foldLeft(inColl)((df, c) => df.filter(cond(c)))
         .crossJoin(broadcast(q))
         .select(col("key"), round(scoreCol, 4).as("score"))
@@ -274,7 +285,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         case Metric.Dot => dot_product(col("embedding"), col("qv"))
       }
       val inColl = collection.foldLeft(emb.filter(col("key") =!= key))(
-        (df, c) => df.filter(col("label") === c))
+        (df, c) => df.filter(col("label").cast("string") === c))
       val base = where.foldLeft(inColl)((df, c) => df.filter(cond(c)))
         .crossJoin(broadcast(embOf(key)))
         .select(col("key"), round(scoreCol, 4).as("score"))
@@ -1059,13 +1070,13 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // before LIMIT so pagination is stable.
     case FindNodes(label, where, ret, limit) =>
       val n0 = label.fold(allNodes)(l => allNodes.filter(col("label") === l))
-      // WHERE columns beyond the overlay schema (key/label/name) are store
-      // properties (reference FindStmt property conditions): resolve them
-      // through the props map with the same element_at join ConstraintCheck
-      // uses; without a store session that's a typed domain error, never a
-      // raw AnalysisException.
+      // WHERE/RETURN columns beyond the overlay schema (key/label/name)
+      // are store properties (reference FindStmt property conditions):
+      // resolve them through the props map with the same element_at join
+      // ConstraintCheck uses; without a store session that's a typed
+      // domain error, never a raw AnalysisException.
       val schemaCols = Set("key", "label", "name")
-      val propCols = where.map(_.column).distinct
+      val propCols = (where.map(_.column) ++ ret).distinct
         .filterNot(c => schemaCols.contains(c.toLowerCase))
       val n1 =
         if (propCols.isEmpty) n0
@@ -1085,7 +1096,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     case FindEdges(etype, where, ret, limit) =>
       val e0 = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
-      val badCols = where.map(_.column).distinct
+      val badCols = (where.map(_.column) ++ ret).distinct
         .filterNot(c => Set("src", "dst", "etype").contains(c.toLowerCase))
       if (badCols.nonEmpty) throw NqlExecException(
         s"FIND EDGES: unknown column(s) ${badCols.mkString(", ")} — " +

@@ -264,7 +264,9 @@ object NqlParser {
         "SIMILAR RANGE takes '<key>' THRESHOLD <pct> [METRIC m]")
       return SimilarRange(key, pct, m)
     }
-    val key = p.stringLit()
+    // key: quoted (our round-1 spelling) or bare ident (the router's
+    // legacy surface: `SIMILAR doc1 TOP 2`, query_router lib.rs:6903-6929)
+    val key = identOrString(p)
     var s = Similar(key)
     var continue = true
     while (continue && !p.done) {
@@ -280,7 +282,7 @@ object NqlParser {
           p.next(); p.expectKw("TO"); s = s.copy(connectedTo = Some(p.stringLit()))
         case Some("WHERE") =>
           p.next(); s = s.copy(where = parseConds(p))
-        case Some("LIMIT") =>
+        case Some("LIMIT" | "TOP") => // TOP = router legacy limit spelling
           p.next(); s = s.copy(limit = p.int())
         case Some("USING") =>
           p.next(); p.expectKw("INDEX")
@@ -335,7 +337,10 @@ object NqlParser {
   }
 
   private def parseNode(p: P): Statement = p.next().toUpperCase match {
-    case "GET" => NodeGet(p.stringLit())
+    case "GET" =>
+      val k = p.stringLit()
+      if (!p.done) throw NqlParseException("NODE GET takes one key")
+      NodeGet(k)
     case "BATCH" =>
       p.expectKw("CREATE")
       val items = Seq.newBuilder[BatchNode]
@@ -385,7 +390,10 @@ object NqlParser {
               "(this engine keys nodes by string, it does not auto-assign ids)"))
         NodeCreate(key, label, props.get("name"), props - "key")
       }
-    case "DELETE" => NodeDelete(p.stringLit())
+    case "DELETE" =>
+      val k = p.stringLit()
+      if (!p.done) throw NqlParseException("NODE DELETE takes one key")
+      NodeDelete(k)
     case k => throw NqlParseException(s"unknown NODE op $k")
   }
 
@@ -427,11 +435,25 @@ object NqlParser {
     case k => throw NqlParseException(s"unknown EDGE op $k")
   }
 
-  private def parseEmbed(p: P): Statement = p.next().toUpperCase match {
-    case "GET" => EmbedGet(p.stringLit())
+  private def parseEmbed(p: P): Statement = {
+    val op = p.next()
+    parseEmbedOp(p, op)
+  }
+
+  private def parseEmbedOp(p: P, op: String): Statement = op.toUpperCase match {
+    case "GET" =>
+      val k = p.stringLit()
+      // reference allows `EMBED GET 'k' INTO coll`; keys are global in
+      // this engine, so the collection operand narrows nothing — accept
+      // the spelling, look up by key
+      if (p.accept("IN") || p.accept("INTO")) identOrString(p)
+      if (!p.done) throw NqlParseException("EMBED GET takes 'key' [INTO collection]")
+      EmbedGet(k)
     case "DELETE" =>
       val key = p.stringLit()
-      if (!p.done) throw NqlParseException("EMBED DELETE takes only the key")
+      // same key-global rationale as EMBED GET for the INTO operand
+      if (p.accept("IN") || p.accept("INTO")) identOrString(p)
+      if (!p.done) throw NqlParseException("EMBED DELETE takes 'key' [INTO collection]")
       EmbedDelete(key)
     case "LIST" =>
       val coll = if (p.accept("IN") || p.accept("INTO")) Some(identOrString(p)) else None
@@ -492,6 +514,14 @@ object NqlParser {
       if (dim <= 0) throw NqlParseException(s"DIMENSION must be positive, got $dim")
       val metric = if (p.accept("METRIC")) parseMetric(p) else Metric.Cosine
       EmbedCollectionCreate(name, dim, metric)
+    // router legacy shorthand `EMBED <key> [v, ...]` (query_router
+    // lib.rs:6620): the op token IS the key when a vector literal follows
+    case _ if p.peek.exists(t => t == "[" || t == "(") =>
+      val key = if (op.startsWith("'")) op.substring(1, op.length - 1).replace("\\'", "'") else op
+      val vec = parseVector(p)
+      val coll = if (p.accept("IN") || p.accept("INTO")) Some(identOrString(p)) else None
+      if (!p.done) throw NqlParseException("EMBED <key> [v, ...] takes optional INTO collection")
+      EmbedStore(key, vec, coll)
     case k => throw NqlParseException(s"unknown EMBED op $k")
   }
 
@@ -503,7 +533,10 @@ object NqlParser {
   }
 
   private def parseEntity(p: P): Statement = p.next().toUpperCase match {
-    case "GET" => EntityGet(p.stringLit())
+    case "GET" =>
+      val k = p.stringLit()
+      if (!p.done) throw NqlParseException("ENTITY GET takes one key")
+      EntityGet(k)
     case "BATCH" =>
       p.expectKw("CREATE")
       val items = Seq.newBuilder[(String, Map[String, String])]
@@ -538,7 +571,10 @@ object NqlParser {
       if (!p.done) throw NqlParseException(
         "ENTITY BATCH CREATE takes 'key' [SET k = 'v', ...] AND ... or [{key: 'k', ...}, ...]")
       EntityBatchCreate(items.result())
-    case "DELETE" => EntityDelete(p.stringLit())
+    case "DELETE" =>
+      val k = p.stringLit()
+      if (!p.done) throw NqlParseException("ENTITY DELETE takes one key")
+      EntityDelete(k)
     case "CONNECT" =>
       val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
       val etype = if (p.accept("TYPE")) p.stringLit() else "related"
@@ -602,7 +638,7 @@ object NqlParser {
           p.next(); s = s.copy(collection = Some(identOrString(p)))
         case Some("WHERE") =>
           p.next(); s = s.copy(where = parseConds(p))
-        case Some("LIMIT") =>
+        case Some("LIMIT" | "TOP") => // TOP = router legacy limit spelling
           p.next(); s = s.copy(limit = p.int())
         case _ => continue = false
       }

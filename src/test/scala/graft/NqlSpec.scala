@@ -815,7 +815,9 @@ class NqlSpec extends AnyFunSuite {
 
   test("parse errors are informative") {
     assertThrows[NqlParseException](Nql.parse("FROB 'x'"))
-    assertThrows[NqlParseException](Nql.parse("SIMILAR missing_quotes"))
+    // bare keys are legal since r8 (router legacy surface) — a NUMBER
+    // where the key belongs is still a typed parse error
+    assertThrows[NqlParseException](Nql.parse("SIMILAR 42"))
     assertThrows[NqlParseException](Nql.parse("PATH SHORTEST 'a' 'b'"))
   }
 

@@ -202,7 +202,9 @@ class ParserFuzzSpec extends AnyFunSuite {
       "EMBED BATCH [('key', [1.0, 2.0, 3.0])]",
       "EMBED BUILD INDEX",
       "EMBED DELETE 'doc1'",
+      "EMBED DELETE 'doc1' INTO my_collection",
       "EMBED GET 'doc1'",
+      "EMBED GET 'doc1' INTO my_collection",
       "EMBED STORE 'doc1' [0.1, 0.2, 0.3]",
       "EMBED STORE 'doc1' [1.0, 2.0, 3.0] INTO my_collection",
       "SHOW EMBEDDINGS",
@@ -287,7 +289,17 @@ class ParserFuzzSpec extends AnyFunSuite {
       "SIMILAR [1.0, 2.0] LIMIT 10 WHERE category = 'science'",
       "SIMILAR [1.0, 2.0] LIMIT 5 COSINE",
       "SIMILAR [1.0, 2.0] LIMIT 5 DOT_PRODUCT",
-      "SIMILAR [1.0, 2.0] LIMIT 5 INTO docs WHERE author = 'Alice'")
+      "SIMILAR [1.0, 2.0] LIMIT 5 INTO docs WHERE author = 'Alice'",
+      // router legacy surface (query_router lib.rs:23, 6620, 6903-6929):
+      // EMBED shorthand store, bare keys, TOP as the limit keyword
+      "EMBED doc1 [1.0, 0.0, 0.0]",
+      "EMBED a [1.0, 0.0]",
+      "EMBED coll_vec1 [1.0, 0.0, 0.0] INTO test_coll",
+      "SIMILAR doc1 TOP 2",
+      "SIMILAR a TOP 2",
+      "SIMILAR [1.0, 0.0, 0.0] TOP 2",
+      "SIMILAR [1.0, 0.0, 0.0] IN test_coll TOP 5",
+      "SIMILAR [0.9, 0.1, 0.0] TOP 1")
 
     val mustRejectTyped = Seq(
       // out-of-scope subsystems (COVERAGE.md): vault, cache, blob admin,
@@ -322,7 +334,11 @@ class ParserFuzzSpec extends AnyFunSuite {
       "NEIGHBORS 'entity' BY SIMILAR [1.0, 0.0] LIMIT 5",
       // malformed forms the reference also rejects
       "EMBED STORE 'key' []", "SIMILAR [] LIMIT 5", "FIND WHERE x > 1",
-      ";;;SELECT * FROM users;;")
+      ";;;SELECT * FROM users;;",
+      // trailing junk rejects instead of being silently ignored
+      "NODE GET 'k' extra", "ENTITY GET 'k' 42", "EMBED GET 'k' INTO c junk",
+      // router-legacy error cases stay errors here too
+      "SIMILAR v TOP notanumber", "EMBED bad [not,a,vector]", "EMBED key []")
 
     assert(mustParse.size + mustRejectTyped.size >= 150)
     mustParse.foreach { q =>
@@ -337,6 +353,80 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
     // and every statement in both lists satisfies the no-leak contract
     (mustParse ++ mustRejectTyped).foreach(mustParseOrReject)
+  }
+
+  test("reference corpus EXECUTION sweep: in-scope NQL statements run or fail typed") {
+    // One level deeper than the parse sweep: every parse-able NQL
+    // statement from the reference corpus is EXECUTED against the
+    // sf0.001 fixture with a live store, and must either produce a frame
+    // or raise one of the two typed errors (NqlParseException for
+    // statement-shape problems, NqlExecException for domain errors) —
+    // never a raw AnalysisException/NPE/match error out of the compile
+    // path. SQL passthrough statements are excluded (they reference the
+    // corpus's own table names; Catalyst's resolution errors over
+    // unknown tables are the SQL engine's contract, not a leak).
+    val spark = TestSpark.spark
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-exec-store").toString)
+    // seed the store so key-addressed statements have something to hit
+    graft.nql.Nql.execute(spark, TestSpark.sf, store,
+      "BATCH CREATE NODES [{labels: [person], key: 'user:1', name: 'Alice', age: 30}]")
+    graft.nql.Nql.execute(spark, TestSpark.sf, store,
+      "ENTITY CREATE 'doc1' SET kind = 'doc' EMBEDDING (1.0, 0.0)")
+    val stmts = Seq(
+      "AGGREGATE NODE PROPERTY acctbal MIN BY LABEL customer",
+      "AGGREGATE NODE PROPERTY age SUM",            // unknown prop → typed
+      "AGGREGATE EDGE PROPERTY weight AVG ON in_nation",
+      "AGGREGATE EDGE PROPERTY weight COUNT WHERE value > 0",
+      "BATCH CREATE NODES []", "BATCH CREATE EDGES []", "BATCH UPDATE NODES []",
+      "BATCH CREATE NODES [{labels: [Person], name: 'Bob'}]",
+      "BATCH UPDATE NODES [{id: 'user:1', age: 31}]",
+      "BATCH UPDATE NODES [{id: 999, name: 'X'}]",  // absent id → typed
+      "BATCH DELETE NODES [1, 2, 3]",               // absent keys tombstone fine
+      "BLOBS SIMILAR TO 'doc1' LIMIT 5",
+      "COUNT EMBEDDINGS",
+      "SHOW EMBEDDINGS LIMIT 10", "SHOW VECTOR INDEX",
+      "DESCRIBE NODE person", "DESCRIBE EDGE follows",
+      "EMBED BATCH [('e1', [1.0, 0.0]), ('e2', [0.0, 1.0])]",
+      "EMBED BUILD INDEX", "EMBED GET 'doc1'", "EMBED DELETE 'doc1'",
+      "EMBED STORE 'doc2' [0.5, 0.5]",
+      "ENTITY BATCH CREATE [{key: 'k1', from: 'source'}]",
+      "ENTITY GET 'user:1'",
+      "ENTITY UPDATE 'user:1' { name: 'Bob' }",
+      "ENTITY UPDATE 'user:1' {name: 'Bob'} EMBEDDING [1.0, 2.0]",
+      "ENTITY UPDATE 'absent' { name: 'X' }",       // missing key → typed
+      "ENTITY DELETE 'user:1'",
+      "FIND EDGE in_region", "FIND EDGE WHERE weight > 0.5", // unknown col → typed
+      "FIND NODE person WHERE age > 18",
+      "FIND NODE WHERE active = TRUE",
+      "FIND NODE person RETURN name, age",          // prop RETURN w/o prop WHERE → typed or rows
+      "FIND VERTEX region",
+      "FIND ROWS FROM orders WHERE o_totalprice > 10.0 RETURN o_orderkey LIMIT 5",
+      "GRAPH BETWEENNESS CENTRALITY SAMPLING 0.5",
+      "GRAPH CLOSENESS CENTRALITY EDGE TYPE in_nation",
+      "GRAPH EIGENVECTOR CENTRALITY ITERATIONS 4 TOLERANCE 0.0001",
+      "GRAPH LABEL PROPAGATION ITERATIONS 3",
+      "GRAPH LOUVAIN COMMUNITIES RESOLUTION 1.5 PASSES 2",
+      "GRAPH PAGERANK DAMPING 0.9 ITERATIONS 5",
+      "GRAPH PAGERANK EDGE TYPE in_region OUTGOING",
+      "NODE CREATE town {key: 'fx:1', name: 'fxtown'}",
+      "NODE CREATE user {}",                        // parse-level typed
+      "NODE LIST person LIMIT 10 OFFSET 1",
+      "EDGE LIST in_region LIMIT 5 OFFSET 2",
+      "SIMILAR 'vec:0' DOT_PRODUCT LIMIT 5",
+      "SIMILAR 'vec:0' LIMIT 5 COSINE",
+      "SIMILAR [1.0, 0.0] LIMIT 5 EUCLIDEAN",
+      "SIMILAR [1.0, 0.0] LIMIT 5 INTO nosuchcoll", // unknown collection → typed or empty
+      "SIMILAR 'absent-key' LIMIT 3")               // unknown key → typed or empty
+    stmts.foreach { q =>
+      try { graft.nql.Nql.execute(spark, TestSpark.sf, store, q).limit(5).collect(); () }
+      catch {
+        case _: NqlParseException => ()
+        case _: graft.nql.NqlExecException => ()
+        case e: Throwable =>
+          fail(s"execution leaked ${e.getClass.getSimpleName} on <$q>: ${e.getMessage}")
+      }
+    }
   }
 
   test("cypher pattern fragments reject cleanly") {

@@ -376,14 +376,24 @@ object NqlParser {
         val name = if (p.accept("NAME")) Some(p.stringLit()) else None
         NodeCreate(key, label, name)
       } else {
-        // reference spelling: NODE CREATE <label> {k: v, ...}
-        // (parser.rs NodeCreate tests). The reference auto-assigns an
-        // integer id; this engine keys nodes by string, so the item must
-        // carry a key: or name: property — stated loudly otherwise.
+        // reference spelling: NODE CREATE <label> {k: v, ...}, or the
+        // router's legacy pair form NODE CREATE <label> k=v k2=v2
+        // (query_router lib.rs NODE CREATE tests). The reference
+        // auto-assigns an integer id; this engine keys nodes by string,
+        // so the item must carry a key: or name: property — stated
+        // loudly otherwise.
         val label = identOrString(p)
         val props =
-          if (p.peek.contains("{")) parseBraceObj(p)._2 else Map.empty[String, String]
-        if (!p.done) throw NqlParseException("NODE CREATE takes <label> {k: v, ...}")
+          if (p.peek.contains("{")) parseBraceObj(p)._2
+          else {
+            var m = Map.empty[String, String]
+            while (!p.done && p.peek.exists(t => t.head.isLetter || t.head == '_')) {
+              val k = p.next(); p.expectKw("="); m += (k -> scalarToken(p))
+            }
+            m
+          }
+        if (!p.done) throw NqlParseException(
+          "NODE CREATE takes <label> {k: v, ...} or <label> k=v k2=v2 ...")
         val key = props.get("key").orElse(props.get("name")).getOrElse(
           throw NqlParseException(
             "NODE CREATE needs a key: or name: property " +
@@ -576,13 +586,24 @@ object NqlParser {
       if (!p.done) throw NqlParseException("ENTITY DELETE takes one key")
       EntityDelete(k)
     case "CONNECT" =>
-      val src = p.stringLit(); p.expectKw("TO"); val dst = p.stringLit()
-      val etype = if (p.accept("TYPE")) p.stringLit() else "related"
+      // TO ... TYPE 't' (round-1) or the reference's arrow spelling
+      // `ENTITY CONNECT 'a' -> 'b' : follows` (lib.rs EntityConnect tests)
+      val src = p.stringLit()
+      if (!p.accept("->")) p.expectKw("TO")
+      val dst = p.stringLit()
+      val etype =
+        if (p.accept("TYPE")) p.stringLit()
+        else if (p.accept(":")) identOrString(p)
+        else "related"
       EntityConnect(src, dst, etype)
     case "CREATE" =>
       val key = p.stringLit()
       var props = Map.empty[String, String]
-      if (p.accept("SET")) {
+      if (p.peek.contains("{")) {
+        // reference brace-props spelling (`ENTITY CREATE 'user:1'
+        // { name: 'Alice', age: '30' }`, lib.rs EntityCreate tests)
+        props = parseBraceObj(p)._2
+      } else if (p.accept("SET")) {
         var go = true
         while (go) {
           val k = p.next(); p.expectKw("="); val v = p.stringLit()
@@ -1114,6 +1135,16 @@ object NqlParser {
         val ret = retItems()
         val limit = if (p.accept("LIMIT")) Some(p.int()) else None
         Find(target, conds, limit, ret)
+      // reference default: any other FIND (bare, or straight into
+      // WHERE/RETURN/LIMIT) is a node search with no label
+      // (`parser.rs:1959-1961` FindPattern::Nodes { label: None })
+      case Some("WHERE") | Some("RETURN") | Some("LIMIT") | None =>
+        val conds = if (p.accept("WHERE")) parseConds(p) else Nil
+        val ret = retItems()
+        val limit = if (p.accept("LIMIT")) Some(p.int()) else None
+        if (!p.done) throw NqlParseException(
+          "FIND takes [WHERE ...] [RETURN cols] [LIMIT n]")
+        FindNodes(None, conds, ret, limit)
       case other => throw NqlParseException(
         s"FIND expects NODES, EDGES, ROWS or PATH, got ${other.getOrElse("<end>")}")
     }

@@ -213,6 +213,9 @@ class ParserFuzzSpec extends AnyFunSuite {
       // ENTITY family (incl. reference brace-props update + batch list)
       "ENTITY BATCH CREATE []",
       "ENTITY BATCH CREATE [{key: 'k1', from: 'source'}]",
+      "ENTITY CONNECT 'user:alice' -> 'user:bob' : follows",
+      "ENTITY CREATE 'user:1' { name: 'Alice', age: '30' }",
+      "ENTITY CREATE 'doc:1' { title: 'Test' } EMBEDDING [0.1, 0.2, 0.3]",
       "ENTITY DELETE 'user:123'",
       "ENTITY GET 'user:1'",
       "ENTITY UPDATE 'user:1' { name: 'Bob' }",
@@ -228,6 +231,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       "FIND NODE user WHERE age > 18 LIMIT 10",
       "FIND ROWS FROM users WHERE age > 18",
       "FIND VERTEX person",
+      "FIND WHERE x > 1",
+      "FIND",
       // GRAPH algorithm family (bare edge types, CENTRALITY suffixes,
       // fractional SAMPLING, every knob combination the corpus uses)
       "GRAPH BETWEENNESS CENTRALITY",
@@ -264,6 +269,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       // OFFSET pagination)
       "NODE CREATE person {name: 'Alice'}",
       "NODE CREATE user {name: 'Alice', age: 30}",
+      "NODE CREATE city name='A'",
+      "NODE CREATE Person name='Alice' age=30",
       "NODE LIST",
       "NODE LIST LIMIT 10",
       "NODE LIST Person LIMIT 10 OFFSET 5",
@@ -325,6 +332,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       // spellings whose semantics don't map: integer auto-ids (this
       // engine keys by string), edge ids, edge properties
       "NODE GET 1", "NODE DELETE 123", "NODE CREATE user {}",
+      "NODE CREATE Person age=20", // no key/name prop → typed (string-keyed store)
+      "EDGE CREATE 1 2 label",
       "EDGE CREATE 1 -> 2 : follows", "EDGE CREATE 1 -> 2 : FOLLOWS {since: 2020}",
       "EDGE GET 42", "EDGE DELETE 1",
       "NEIGHBORS 1", "NEIGHBORS 1 OUTGOING : FOLLOWS", "NEIGHBORS 123 OUTGOING LIMIT 20",
@@ -333,7 +342,7 @@ class ParserFuzzSpec extends AnyFunSuite {
       "BATCH CREATE EDGES [{from: 1, to: 2, type: knows, weight: 0.5}]",
       "NEIGHBORS 'entity' BY SIMILAR [1.0, 0.0] LIMIT 5",
       // malformed forms the reference also rejects
-      "EMBED STORE 'key' []", "SIMILAR [] LIMIT 5", "FIND WHERE x > 1",
+      "EMBED STORE 'key' []", "SIMILAR [] LIMIT 5",
       ";;;SELECT * FROM users;;",
       // trailing junk rejects instead of being silently ignored
       "NODE GET 'k' extra", "ENTITY GET 'k' 42", "EMBED GET 'k' INTO c junk",

@@ -20,9 +20,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     "HEAVY", "MMR", "CHUNK", "MATCH", "COUNT", "NODES", "EDGES",
     "LABEL", "TYPE", "LIMIT", "WHERE", "SET", "TO", "FROM", "BATCH",
     "CREATE", "DELETE", "UPDATE", "AND", "IN", "BY", "KEY", "METRIC",
-    "CORES", "TRANSITIVITY", "LOUVAIN", "BETWEENNESS", "AGGREGATE")
+    "CORES", "TRANSITIVITY", "LOUVAIN", "BETWEENNESS", "AGGREGATE",
+    "PROPERTY", "ON", "TOP", "INTO", "EMBEDDING", "OFFSET", "LABELS")
   private val atoms = Seq("'x'", "'nation:0'", "''", "1", "42", "-3",
-    "0.5", "(", ")", ",", "=", "<", ">=", "<>", "*", "foo", "a_b.c")
+    "0.5", "(", ")", ",", "=", "<", ">=", "<>", "*", "foo", "a_b.c",
+    "{", "}", ":", "[", "]", "->")
 
   private val tokenGen: Gen[String] = Gen.frequency(
     (3, Gen.oneOf(keywords)), (2, Gen.oneOf(atoms)))

@@ -197,15 +197,21 @@ object CypherParser {
   def parseWrite(query: String, merge: Boolean): Statement = {
     val p = new P(tokenize(query.trim.stripSuffix(";")))
     p.next() // CREATE | MERGE
-    val node = parseNode(p)
-    if (!node.props.contains("key"))
-      throw NqlParseException("cypher: CREATE/MERGE needs a 'key' property (the entity identity)")
+    // entity identity: 'key' property, falling back to 'name' (same
+    // string-keyed-store adaptation as NODE CREATE — the reference's
+    // own test statements write `MERGE (n:person {name: 'Charlie'})`)
+    def keyed(n: NodePat, what: String): NodePat =
+      if (n.props.contains("key")) n
+      else n.props.get("name") match {
+        case Some(nm) => n.copy(props = n.props + ("key" -> nm))
+        case None => throw NqlParseException(
+          s"cypher: CREATE/MERGE needs a 'key' (or 'name') property$what")
+      }
+    val node = keyed(parseNode(p), " (the entity identity)")
     if (p.done) return CypherCreate(node, merge)
     val edge = parseEdge(p)
-    val to = parseNode(p)
+    val to = keyed(parseNode(p), " on both endpoints")
     if (!p.done) throw NqlParseException("cypher: CREATE takes one node or one relationship pattern")
-    if (!to.props.contains("key"))
-      throw NqlParseException("cypher: CREATE/MERGE needs a 'key' property on both endpoints")
     if (edge.minHops != 1 || edge.maxHops != 1)
       throw NqlParseException("cypher: relationship CREATE cannot be variable-length")
     if (edge.direction == 0)

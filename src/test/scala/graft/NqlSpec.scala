@@ -666,7 +666,11 @@ class NqlSpec extends AnyFunSuite {
     assert(runS("MATCH (p:poi)-[:near]->(q:poi) RETURN p.key, q.key").count() == 2)
     // writes without a store fail loudly; malformed writes are rejected
     assertThrows[NqlParseException](run("CREATE (x:city {key: 'city:9'})"))
-    assertThrows[NqlParseException](Nql.parse("CREATE (x:city {name: 'NoKey'})"))
+    // name falls back as the key (reference corpus writes MERGE by name);
+    // a node with NEITHER key nor name still rejects typed
+    assert(Nql.parse("CREATE (x:city {name: 'ByName'})") ==
+      Nql.parse("CREATE (x:city {name: 'ByName', key: 'ByName'})"))
+    assertThrows[NqlParseException](Nql.parse("CREATE (x:city {pop: '9'})"))
     assertThrows[NqlParseException](Nql.parse("CREATE (a {key: 'k1'})-[:t]-(b {key: 'k2'})"))
   }
 

@@ -299,6 +299,12 @@ class ParserFuzzSpec extends AnyFunSuite {
       "SIMILAR [1.0, 2.0] LIMIT 5 COSINE",
       "SIMILAR [1.0, 2.0] LIMIT 5 DOT_PRODUCT",
       "SIMILAR [1.0, 2.0] LIMIT 5 INTO docs WHERE author = 'Alice'",
+      // the reference's full Cypher test corpus (parser.rs / lib.rs /
+      // integration query_router_engine_paths.rs — it is this small)
+      "MATCH (n:person) RETURN n",
+      "MATCH (n:user) WHERE n.name = 'Alice' RETURN n",
+      "MATCH (n:test_label) DELETE n",
+      "MERGE (n:person {name: 'Charlie'})",
       // router legacy surface (query_router lib.rs:23, 6620, 6903-6929):
       // EMBED shorthand store, bare keys, TOP as the limit keyword
       "EMBED doc1 [1.0, 0.0, 0.0]",
@@ -335,6 +341,7 @@ class ParserFuzzSpec extends AnyFunSuite {
       // engine keys by string), edge ids, edge properties
       "NODE GET 1", "NODE DELETE 123", "NODE CREATE user {}",
       "NODE CREATE Person age=20", // no key/name prop → typed (string-keyed store)
+      "CREATE (n:Animal {species: 'Dog'})", // same: no identity property
       "EDGE CREATE 1 2 label",
       "EDGE CREATE 1 -> 2 : follows", "EDGE CREATE 1 -> 2 : FOLLOWS {since: 2020}",
       "EDGE GET 42", "EDGE DELETE 1",

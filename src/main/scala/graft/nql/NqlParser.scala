@@ -802,7 +802,12 @@ object NqlParser {
             s"BATCH CREATE EDGES item ${i + 1}: missing 'from'"))
           val to = props.getOrElse("to", throw NqlParseException(
             s"BATCH CREATE EDGES item ${i + 1}: missing 'to'"))
-          (from, to, props.getOrElse("type", "related"))
+          // the reference REQUIRES type here (parser.rs:2984-2989
+          // "Missing 'type'") — mirror it; our EDGE BATCH CREATE
+          // spelling keeps its 'related' default
+          val etype = props.getOrElse("type", throw NqlParseException(
+            s"BATCH CREATE EDGES item ${i + 1}: missing 'type'"))
+          (from, to, etype)
         }
         if (!p.done) throw NqlParseException("BATCH CREATE EDGES takes one [...] list")
         EdgeBatchCreate(items)

@@ -349,6 +349,9 @@ class ParserFuzzSpec extends AnyFunSuite {
       "PATH 1 -> 2", "PATH SHORTEST 1 -> 10",
       "BATCH DELETE EDGES [10, 20]",
       "BATCH CREATE EDGES [{from: 1, to: 2, type: knows, weight: 0.5}]",
+      "BATCH CREATE EDGES [{from: 1, to: 2}]",   // missing type (reference rejects too)
+      "BATCH CREATE EDGES [{from: 1, type: follows}]", // missing to
+      "BATCH CREATE EDGES [{to: 2, type: follows}]",   // missing from
       "NEIGHBORS 'entity' BY SIMILAR [1.0, 0.0] LIMIT 5",
       // malformed forms the reference also rejects
       "EMBED STORE 'key' []", "SIMILAR [] LIMIT 5",

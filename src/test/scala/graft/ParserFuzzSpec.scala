@@ -438,7 +438,16 @@ class ParserFuzzSpec extends AnyFunSuite {
       "SIMILAR 'vec:0' LIMIT 5 COSINE",
       "SIMILAR [1.0, 0.0] LIMIT 5 EUCLIDEAN",
       "SIMILAR [1.0, 0.0] LIMIT 5 INTO nosuchcoll", // unknown collection → typed or empty
-      "SIMILAR 'absent-key' LIMIT 3")               // unknown key → typed or empty
+      "SIMILAR 'absent-key' LIMIT 3",               // unknown key → typed or empty
+      // round-8 legacy-surface paths, executed end-to-end
+      "EMBED legacy1 [1.0, 0.0]",
+      "SIMILAR legacy1 TOP 2",
+      "ENTITY CONNECT 'user:1' -> 'doc1' : cites",
+      "NODE CREATE town name='exectown' mayor='ann'",
+      "AGGREGATE NODE PROPERTY acctbal AVG ON customer",
+      "BATCH CREATE EDGES [{from: 'user:1', to: 'doc1', type: rel}]",
+      "FIND",
+      "FIND WHERE age > 18")
     stmts.foreach { q =>
       try { graft.nql.Nql.execute(spark, TestSpark.sf, store, q).limit(5).collect(); () }
       catch {

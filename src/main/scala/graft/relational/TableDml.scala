@@ -170,23 +170,28 @@ object TableDml {
     * case. */
   private def dropPartitions(spark: SparkSession, table: String,
       partCols: Seq[String], rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    if (rows.isEmpty) return
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val managed = cat.getTableMetadata(ident).tableType ==
       org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
-    rows.foreach { r =>
-      val specMap = partCols.zipWithIndex.map { case (c, i) =>
-        c -> String.valueOf(r.get(i))
-      }.toMap
-      val loc =
-        if (managed) None
-        else scala.util.Try(cat.getPartition(ident, specMap)).toOption
+    // capture external partitions' physical locations BEFORE the drop
+    val locs =
+      if (managed) Seq.empty
+      else rows.flatMap { r =>
+        val specMap = partCols.zipWithIndex.map { case (c, i) =>
+          c -> String.valueOf(r.get(i))
+        }.toMap
+        scala.util.Try(cat.getPartition(ident, specMap)).toOption
           .map(p => new org.apache.hadoop.fs.Path(p.location))
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (${specOf(partCols, r)})")
-      loc.foreach { p =>
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
       }
+    // ONE catalog statement for the whole batch — a 10k-partition
+    // unconditional DELETE is one metadata commit, not 10k round-trips
+    val specs = rows.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(", ")
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS $specs")
+    locs.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
     }
   }
 

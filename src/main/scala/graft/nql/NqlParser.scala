@@ -113,6 +113,11 @@ object NqlParser {
     }
     if (sqlKeywords.contains(firstWord)) return SqlPassthrough(trimmed)
     if (firstWord == "MATCH") return CypherParser.parse(trimmed)
+    // GRAPH PATTERN MATCH <cypher> — the reference shell's advertised
+    // spelling (help.rs:217); delegate to the Cypher MATCH path (its
+    // parser gives the typed RETURN-required error when applicable)
+    if (firstWord == "GRAPH" && afterFirst.toUpperCase.startsWith("PATTERN MATCH"))
+      return CypherParser.parse("MATCH " + afterFirst.drop("PATTERN MATCH".length).trim)
     // GRAPH MATCH COUNT/EXISTS <cypher pattern>: the pattern tail uses the
     // Cypher token set (-[:T]->), so it is delegated before NQL tokenizing
     if (firstWord == "GRAPH" && afterFirst.toUpperCase.startsWith("MATCH")) {
@@ -702,6 +707,13 @@ object NqlParser {
           GraphCountEdges(etype)
         case k => throw NqlParseException(s"GRAPH COUNT expects NODES or EDGES, got $k")
       }
+    // The reference shell's help screen advertises GRAPH ALGORITHM /
+    // GRAPH CONSTRAINT / GRAPH BATCH prefixed spellings that its own
+    // parser then rejects (help.rs:158-225 vs parser.rs:2338-2359) —
+    // accept them here so everything the reference documents runs.
+    case Some("ALGORITHM") => p.next(); parseGraphAlgo(p)
+    case Some("CONSTRAINT") => p.next(); parseConstraint(p)
+    case Some("BATCH") => p.next(); parseBatchStmt(p)
     case Some("AGGREGATE") =>
       p.next()
       val func = p.next().toUpperCase
@@ -1033,7 +1045,7 @@ object NqlParser {
           }
         }
         s
-      case "LABELPROP" | "LABEL" =>
+      case "LABELPROP" | "LABEL" | "LABEL_PROPAGATION" =>
         if (algo == "LABEL") p.expectKw("PROPAGATION") // reference spelling
         var s = GraphLabelProp()
         var continue = true

@@ -261,6 +261,17 @@ class ParserFuzzSpec extends AnyFunSuite {
       "GRAPH LOUVAIN COMMUNITIES PASSES 10",
       "GRAPH LOUVAIN COMMUNITIES RESOLUTION 1.5",
       "GRAPH LOUVAIN COMMUNITIES RESOLUTION 1.5 BOTH EDGE TYPE friend PASSES 20",
+      // the shell help's GRAPH ALGORITHM / CONSTRAINT / BATCH / PATTERN
+      // MATCH prefixes (help.rs:158-225 — rejected by the reference's
+      // own parser; accepted here so its documentation runs)
+      "GRAPH ALGORITHM PAGERANK",
+      "GRAPH ALGORITHM BETWEENNESS SAMPLING 0.5",
+      "GRAPH ALGORITHM LABEL_PROPAGATION",
+      "GRAPH ALGORITHM LOUVAIN PASSES 2",
+      "GRAPH CONSTRAINT LIST",
+      "GRAPH CONSTRAINT CREATE gc1 ON NODE PROPERTY age TYPE int",
+      "GRAPH BATCH CREATE NODES [{labels: [x], name: 'gb'}]",
+      "GRAPH PATTERN MATCH (a:customer)-[:in_nation]->(b:nation) RETURN a.key LIMIT 3",
       "GRAPH PAGERANK",
       "GRAPH PAGERANK DAMPING 0.85",
       "GRAPH PAGERANK DAMPING 0.85 ITERATIONS 100 TOLERANCE 0.001 OUTGOING",

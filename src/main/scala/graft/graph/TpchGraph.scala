@@ -191,6 +191,33 @@ object Algorithms {
     reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
   }
 
+  /** [[bfsFrom]] run until the frontier exhausts — the statement-path
+    * variant for user-shaped graphs where no depth bound is justifiable.
+    * Level-synchronous with an anti-join against the reached set, so the
+    * frontier strictly shrinks toward fixpoint; throws past `roundCap`
+    * (safety, not semantics). Returns (key, depth) for every reachable
+    * node at its true BFS distance. */
+  def bfsFromFixpoint(edges: DataFrame, seeds: DataFrame, roundCap: Int = 256): DataFrame = {
+    val e = cut(edges.select("src", "dst"))
+    var reached = cut(seeds.select(col("key")).distinct().withColumn("depth", lit(0)))
+    var frontier = reached
+    var i = 0
+    var alive = frontier.limit(1).count() > 0
+    while (alive) {
+      i += 1
+      if (i > roundCap) throw new IllegalStateException(
+        s"bfsFromFixpoint exceeded $roundCap levels — graph depth over the safety cap")
+      val next = cut(frontier.join(e, col("key") === col("src"))
+        .select(col("dst").as("key"), lit(i).as("depth"))
+        .distinct()
+        .join(reached.select(col("key").as("seen")), col("key") === col("seen"), "left_anti"))
+      reached = reached.union(next)
+      frontier = next
+      alive = frontier.limit(1).count() > 0
+    }
+    reached.groupBy("key").agg(min("depth").cast("int").as("depth"))
+  }
+
   /** Deterministic hash-greedy random walk: from each seed, `steps` hops;
     * at hop i the walker moves to the neighbor minimizing
     * md5("<i>|<cur>|<next>") — node2vec-style neighborhood sampling with
@@ -298,6 +325,59 @@ object Algorithms {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $iters rounds (a further round still " +
         "changes labels) — raise the iteration count above the graph diameter")
+    labels
+  }
+
+  /** Connected components run to FIXPOINT, for statement-path use where
+    * the graph is user-shaped (overlay nodes/edges of arbitrary diameter)
+    * and no round count can be justified up front. Each round is one
+    * min-of-neighbors hop PLUS one pointer-jump (component ←
+    * label(component)), so chains collapse in O(log diameter) rounds
+    * rather than O(diameter); after every batch a convergence probe (one
+    * extra hop compared against the current labels — the same check as
+    * [[connectedComponentsChecked]]) decides whether to continue. Batches
+    * grow geometrically so the total probe count is logarithmic in the
+    * rounds actually needed. Throws if `roundCap` rounds don't converge
+    * (a graph that deep is a misuse signal, not a silent-wrong-answer
+    * license). Returns (key, component = min key in the component) —
+    * identical labeling to [[connectedComponents]] at convergence.
+    *
+    * Reference runs CC on the live graph including created nodes
+    * (`graph_engine/src/lib.rs:6898-6941`); this is the Spark analogue
+    * with a convergence guarantee instead of Rust's in-memory BFS.
+    */
+  def connectedComponentsFixpoint(undirectedEdges: DataFrame, nodes: DataFrame,
+      firstBatch: Int = 4, roundCap: Int = 256): DataFrame = {
+    val e = cut(undirectedEdges.select("src", "dst"))
+    var labels = cut(nodes.select(col("key"), col("key").as("component")))
+    var total = 0
+    var batch = firstBatch
+    var converged = false
+    while (!converged && total < roundCap) {
+      val rounds = math.min(batch, roundCap - total)
+      for (_ <- 1 to rounds) {
+        val hop = labels.join(e, col("key") === col("src"))
+          .select(col("dst").as("key"), col("component"))
+        val merged = labels.union(hop).groupBy("key").agg(min("component").as("component"))
+        // pointer-jump: every label value is itself a node key, so one
+        // self-join rewrites component → label(component), halving chain
+        // depth per round (the classic CC shortcut).
+        labels = cut(merged.join(
+            merged.select(col("key").as("component"), col("component").as("__jump")),
+            Seq("component"), "left")
+          .select(col("key"), coalesce(col("__jump"), col("component")).as("component")))
+      }
+      total += rounds
+      batch *= 2
+      val next = labels.union(
+          labels.join(e, col("key") === col("src")).select(col("dst").as("key"), col("component")))
+        .groupBy("key").agg(min("component").as("c2"))
+      converged = labels.join(next, Seq("key"))
+        .filter(col("component") =!= col("c2")).limit(1).count() == 0
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsFixpoint did not converge within $roundCap rounds — " +
+        "graph diameter exceeds the safety cap")
     labels
   }
 
@@ -428,6 +508,38 @@ object Algorithms {
         round((col("cnt") - 1) / col("sd"), 6).as("closeness"))
   }
 
+  /** [[closenessBounded]] run to BFS fixpoint — the statement-path
+    * variant. The bounded form's frontier deliberately skips the
+    * reached-set anti-join (cheap when the horizon is 2, and min(dd)
+    * dedupes after the fact), but that frontier never empties on a cyclic
+    * graph, so the fixpoint form restores the anti-join: each round keeps
+    * only first-visited (source, key) pairs, the frontier strictly
+    * shrinks, and the loop ends when every source has exhausted its
+    * component. Exact closeness on arbitrary topology; throws past
+    * `roundCap`. */
+  def closenessFixpoint(und: DataFrame, sources: DataFrame, roundCap: Int = 64): DataFrame = {
+    val e = cut(und.select("src", "dst"))
+    var reach = cut(sources.select(col("key").as("source"), col("key"), lit(0).as("dd")))
+    var frontier = reach
+    var i = 0
+    var alive = frontier.limit(1).count() > 0
+    while (alive) {
+      i += 1
+      if (i > roundCap) throw new IllegalStateException(
+        s"closenessFixpoint exceeded $roundCap levels — graph depth over the safety cap")
+      frontier = cut(frontier.join(e, col("key") === col("src"))
+        .select(col("source"), col("dst").as("key"), lit(i).as("dd"))
+        .distinct()
+        .join(reach.select(col("source"), col("key")), Seq("source", "key"), "left_anti"))
+      reach = reach.union(frontier)
+      alive = frontier.limit(1).count() > 0
+    }
+    reach.groupBy("source", "key").agg(min("dd").as("dd"))
+      .groupBy("source").agg(count(lit(1)).as("cnt"), sum("dd").as("sd"))
+      .select(col("source").as("key"),
+        round((col("cnt") - 1) / col("sd"), 6).as("closeness"))
+  }
+
   /** One-level Louvain sweeps (the g21 engine, parameterized for
     * `GRAPH LOUVAIN`): each sweep moves every node to the
     * modularity-argmax neighboring community ((gain desc, comm)
@@ -550,23 +662,53 @@ object Algorithms {
     * shuffle on (source, key): at cluster scale the frontier frames
     * partition by source and stream.
     */
-  def betweennessBrandes(und: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
-    val e = und.select("src", "dst")
+  def betweennessBrandes(und: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame =
+    brandesImpl(und, sources, maxDepth, probe = false)
+
+  /** [[betweennessBrandes]] with the forward BFS run until every source
+    * exhausts its component — the statement-path variant for user-shaped
+    * graphs, where a fixed horizon silently drops every shortest path
+    * longer than it. The forward expansion already anti-joins the reached
+    * set, so its frontier empties naturally at fixpoint; the backward
+    * accumulation then walks the levels actually discovered. Exact
+    * (sampled-pivot when `sources` is a sample) Brandes on arbitrary
+    * topology; throws past `roundCap`. */
+  def betweennessBrandesFixpoint(und: DataFrame, sources: DataFrame,
+      roundCap: Int = 64): DataFrame =
+    brandesImpl(und, sources, roundCap, probe = true)
+
+  private def brandesImpl(und: DataFrame, sources: DataFrame, depthCap: Int,
+      probe: Boolean): DataFrame = {
+    val e = cut(und.select("src", "dst"))
     // forward: (source, key, dist, sigma)
     var reached = sources.select(col("key").as("source"), col("key"),
       lit(0).as("dist"), lit(1L).as("sigma"))
     var frontier = reached
-    for (i <- 1 to maxDepth) {
-      // reached is re-read by both passes — cut lineage periodically but
-      // let short traversals stay one fused plan.
-      val expand = chk(frontier.join(e, col("key") === col("src"))
-        .groupBy(col("source"), col("dst"))
-        .agg(sum("sigma").as("sigma"))
-        .join(reached.select(col("source"), col("key").as("dst")), Seq("source", "dst"), "left_anti")
-        .select(col("source"), col("dst").as("key"), lit(i).as("dist"), col("sigma")),
-        i, maxDepth, 3)
-      reached = reached.union(expand)
-      frontier = expand
+    var maxDepth = depthCap
+    var i = 0
+    var expanding = true
+    while (expanding) {
+      i += 1
+      if (i > depthCap) {
+        if (probe) throw new IllegalStateException(
+          s"betweenness forward BFS exceeded $depthCap levels — graph depth over the safety cap")
+        expanding = false
+      } else {
+        // reached is re-read by both passes — cut lineage periodically but
+        // let short traversals stay one fused plan.
+        val expand = chk(frontier.join(e, col("key") === col("src"))
+          .groupBy(col("source"), col("dst"))
+          .agg(sum("sigma").as("sigma"))
+          .join(reached.select(col("source"), col("key").as("dst")), Seq("source", "dst"), "left_anti")
+          .select(col("source"), col("dst").as("key"), lit(i).as("dist"), col("sigma")),
+          i, depthCap, 3)
+        reached = reached.union(expand)
+        frontier = expand
+        if (probe && frontier.limit(1).count() == 0) {
+          maxDepth = i - 1 // deepest level that actually holds nodes
+          expanding = false
+        }
+      }
     }
     // backward: delta per (source, key), deepest level = 0.0, then each
     // level pulls (σ_v/σ_w)(1+δ_w) from its successors one ring out.
@@ -683,6 +825,60 @@ object Algorithms {
       tree = tree.union(next)
       frontier = next
     }
+    biconnectedFromForest(e, tree, climb, probeClimb = false,
+      (auxUnd, auxNodes) => connectedComponents(auxUnd, auxNodes, ccIters))
+  }
+
+  /** [[biconnectedComponents]] run to FIXPOINT on an arbitrary graph —
+    * the statement-path variant, where the overlay may hold cycles at any
+    * depth or whole components detached from the bundled topology, so no
+    * fixed (depth, climb, cc) bound is justifiable. Self-roots: one
+    * checked CC pass over the full graph yields per-component min-key
+    * roots, so every component (region-attached or not) enters the BFS
+    * forest; the forest grows frontier-driven until exhausted, the LCA
+    * climb runs until every non-tree edge's endpoints meet, and the
+    * auxiliary-graph CC is [[connectedComponentsFixpoint]]. Each loop
+    * carries a `roundCap` safety throw — wrong-answer-silently is not an
+    * exit path here, matching the reference's run-to-completion DFS
+    * (`graph_engine/src/algorithms/biconnected.rs:112-280`).
+    */
+  def biconnectedComponentsFixpoint(und: DataFrame, roundCap: Int = 64): DataFrame = {
+    val e = cut(und.select("src", "dst").distinct())
+    val nodes = e.select(col("src").as("key")).distinct()
+    val cc = connectedComponentsFixpoint(e, nodes)
+    // component label IS the min node key — a valid, deterministic root
+    val roots = cc.select(col("component").as("key")).distinct()
+    var tree = roots.select(col("key"), col("key").as("parent"), lit(0).as("depth"))
+      .transform(cut)
+    var frontier = tree
+    var depth = 0
+    var alive = frontier.limit(1).count() > 0
+    while (alive) {
+      depth += 1
+      if (depth > roundCap) throw new IllegalStateException(
+        s"biconnected BFS forest exceeded $roundCap levels — graph depth over the safety cap")
+      val next = frontier.join(e, col("key") === col("src"))
+        .groupBy(col("dst")).agg(min(col("key")).as("parent"))
+        .join(tree.select(col("key").as("dst")), Seq("dst"), "left_anti")
+        .select(col("dst").as("key"), col("parent"), lit(depth).as("depth"))
+        .transform(cut)
+      tree = tree.union(next)
+      frontier = next
+      alive = frontier.limit(1).count() > 0
+    }
+    biconnectedFromForest(e, tree, roundCap, probeClimb = true,
+      connectedComponentsFixpoint(_, _))
+  }
+
+  /** Shared tail of the biconnected labeling: non-tree edge extraction,
+    * the LCA climb emitting (cycle id, tree-edge id) links, and CC over
+    * the edge-auxiliary graph. `probeClimb` = false runs exactly
+    * `climbCap` fixed rounds (gate path — deterministic, oracle-
+    * unrollable); true runs until no live pair remains, throwing at
+    * `climbCap` (statement path — arbitrary topology).
+    */
+  private def biconnectedFromForest(e: DataFrame, tree: DataFrame, climbCap: Int,
+      probeClimb: Boolean, ccRun: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // tree is read ~6 more times below (edge ids + two parent joins per
     // climb round) — one cut here pays for itself.
     val treeCut = tree.transform(cut)
@@ -703,29 +899,42 @@ object Algorithms {
       .select(col("id").as("cid"), col("src").as("a"), col("da"), col("dst").as("b"), col("db"))
       .transform(cut)
     var links = state.limit(0).select(col("cid"), col("cid").as("tid")) // (cycle id, tree-edge id)
-    for (_ <- 1 to climb) {
-      val live = state.filter(col("a") =!= col("b"))
-      val stepA = col("da") >= col("db") // deeper (or tied) a-side steps
-      val stepB = col("db") >= col("da")
-      val stepped = live
-        .join(pa.select(col("key").as("a"), col("parent").as("pa2"), col("depth").as("da2")), Seq("a"))
-        .join(pa.select(col("key").as("b"), col("parent").as("pb2"), col("depth").as("db2")), Seq("b"))
-      links = links
-        .union(stepped.filter(stepA).select(col("cid"), eid(col("a"), col("pa2")).as("tid")))
-        .union(stepped.filter(stepB).select(col("cid"), eid(col("b"), col("pb2")).as("tid")))
-      state = stepped.select(col("cid"),
-          when(stepA, col("pa2")).otherwise(col("a")).as("a"),
-          when(stepA, col("da2") - 1).otherwise(col("da")).as("da"),
-          when(stepB, col("pb2")).otherwise(col("b")).as("b"),
-          when(stepB, col("db2") - 1).otherwise(col("db")).as("db"))
-        .transform(cut)
+    var round = 0
+    var climbing = true
+    while (climbing) {
+      round += 1
+      if (round > climbCap) {
+        if (probeClimb) throw new IllegalStateException(
+          s"biconnected LCA climb did not converge within $climbCap rounds — " +
+            "cycle depth over the safety cap")
+        climbing = false
+      } else {
+        val live = state.filter(col("a") =!= col("b"))
+        val stepA = col("da") >= col("db") // deeper (or tied) a-side steps
+        val stepB = col("db") >= col("da")
+        val stepped = live
+          .join(pa.select(col("key").as("a"), col("parent").as("pa2"), col("depth").as("da2")), Seq("a"))
+          .join(pa.select(col("key").as("b"), col("parent").as("pb2"), col("depth").as("db2")), Seq("b"))
+        links = links
+          .union(stepped.filter(stepA).select(col("cid"), eid(col("a"), col("pa2")).as("tid")))
+          .union(stepped.filter(stepB).select(col("cid"), eid(col("b"), col("pb2")).as("tid")))
+        state = stepped.select(col("cid"),
+            when(stepA, col("pa2")).otherwise(col("a")).as("a"),
+            when(stepA, col("da2") - 1).otherwise(col("da")).as("da"),
+            when(stepB, col("pb2")).otherwise(col("b")).as("b"),
+            when(stepB, col("db2") - 1).otherwise(col("db")).as("db"))
+          .transform(cut)
+        // probe path exits as soon as every endpoint pair has met; the
+        // fixed path runs its exact round budget (oracle-unrollable).
+        if (probeClimb) climbing = state.filter(col("a") =!= col("b")).limit(1).count() > 0
+      }
     }
     // edge-auxiliary graph: every edge id is a node; a cycle's non-tree id
     // links to each tree edge id on it. Min-label CC over it.
     val auxEdges = links.select(col("cid").as("src"), col("tid").as("dst"))
     val auxUnd = auxEdges.union(auxEdges.select(col("dst").as("src"), col("src").as("dst")))
     val auxNodes = edgesC.select(col("id").as("key"))
-    val cc = connectedComponents(auxUnd, auxNodes, ccIters)
+    val cc = ccRun(auxUnd, auxNodes)
     edgesC.join(cc, edgesC("id") === cc("key"))
       .select(col("src"), col("dst"), col("component").as("bicomp"))
   }

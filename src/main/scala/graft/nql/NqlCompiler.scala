@@ -164,13 +164,18 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     }
   }
 
-  /** Biconnected labeling of the (overlay-aware) property graph, rooted
-    * at the region hubs — backs GRAPH BICONNECTED / GRAPH ARTICULATION. */
-  private def biconnectedEdges(): DataFrame = {
-    val und = TpchGraph.undirected(allEdges).select("src", "dst")
-    val roots = allNodes.filter(col("label") === "region").select("key")
-    Algorithms.biconnectedComponents(und, roots, 2, 6)
-  }
+  /** Biconnected labeling of the (overlay-aware) property graph — backs
+    * GRAPH BICONNECTED / GRAPH ARTICULATION. The statement path takes the
+    * graph as the user shaped it (overlay cycles at any depth, components
+    * detached from the bundled topology), so it runs the FIXPOINT variant:
+    * per-component min-key roots, frontier-exhausted BFS forest, LCA climb
+    * to convergence, checked CC — no topology-derived round constants.
+    * The fixed-bound [[Algorithms.biconnectedComponents]] stays on the
+    * memoized gate artifact only (GraphQueries g25/g26/g45, whose bounds
+    * carry an SF-invariance proof for the bundled graph). */
+  private def biconnectedEdges(): DataFrame =
+    Algorithms.biconnectedComponentsFixpoint(
+      TpchGraph.undirected(allEdges).select("src", "dst"))
 
   def compile(st: Statement): DataFrame = st match {
     case SqlPassthrough(sql) =>
@@ -342,13 +347,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       val out = filtered.orderBy("neighbor")
       limit.fold(out)(out.limit)
 
+    // PATH statements walk the overlay graph (like NEIGHBORS / FIND PATH);
+    // MAX is a user knob, so the bound is the caller's contract.
     case PathShortest(from, to, maxDepth) =>
-      Algorithms.bfs(TpchGraph.undirected(TpchGraph.edges(spark, sfDir)), from, maxDepth)
+      Algorithms.bfs(TpchGraph.undirected(allEdges), from, maxDepth)
         .filter(col("key") === to)
         .select(lit(from).as("from"), col("key").as("to"), col("depth"))
 
     case PathWeighted(from, to, maxHops) =>
-      val w = TpchGraph.undirected(TpchGraph.edges(spark, sfDir))
+      val w = TpchGraph.undirected(allEdges)
         .withColumn("w", expr(
           "CASE etype WHEN 'in_region' THEN 2.0 WHEN 'in_nation' THEN 1.0 ELSE 1.5 END"))
       Algorithms.sssp(w, from, maxHops)
@@ -441,11 +448,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           etype.nonEmpty || direction.nonEmpty))
         throw NqlParseException(
           "ENGINE 'graphx' does not take DAMPING/TOLERANCE/EDGE TYPE/direction — use the dataframe engine")
-      // default (no TYPE/direction) keeps the round-1 tree-edge walk;
-      // parameterized forms walk the overlay edge set filtered/oriented
-      // per the reference's edge_type + Direction (`ast.rs:1267-1279`)
+      // default (no TYPE/direction) keeps the round-1 tree-edge walk,
+      // expressed as the overlay-aware in_region/in_nation slice so store
+      // writes (created edges, tombstones) participate — with no store
+      // the slice IS treeEdges exactly; parameterized forms walk the
+      // overlay edge set filtered/oriented per the reference's edge_type
+      // + Direction (`ast.rs:1267-1279`)
+      val treeSlice = allEdges.filter(col("etype").isin("in_region", "in_nation"))
       val prEdges = (etype, direction) match {
-        case (None, None) => TpchGraph.treeEdges(spark, sfDir)
+        case (None, None) => treeSlice
         case _ =>
           val f = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
           direction.getOrElse("out") match {
@@ -454,35 +465,46 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
             case _ => TpchGraph.undirected(f)
           }
       }
-      val prNodes =
-        if (etype.isEmpty && direction.isEmpty) TpchGraph.nodes(spark, sfDir) else allNodes
       val pr =
         if (engine == "graphx")
-          GraphXAdapters.pageRank(TpchGraph.nodes(spark, sfDir), TpchGraph.treeEdges(spark, sfDir), iters)
+          GraphXAdapters.pageRank(allNodes, treeSlice, iters)
         else
-          Algorithms.pageRank(prEdges, prNodes, iters, damping, tolerance)
+          Algorithms.pageRank(prEdges, allNodes, iters, damping, tolerance)
       pr.select(col("key"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), col("key"))
 
+    // Overlay-aware (NODE CREATE / ENTITY CONNECT rows participate, like
+    // every sibling GRAPH statement) and convergence-GUARANTEED: the DF
+    // engine runs min-label to fixpoint with a probe, so an overlay chain
+    // deeper than any fixed round count can never silently split a
+    // component; GraphX's Pregel CC is a fixpoint algorithm already.
+    // Reference runs CC on the live graph (`graph_engine/src/lib.rs:6898`).
     case GraphComponents(engine) =>
+      val und = TpchGraph.undirected(allEdges)
       val cc =
-        if (engine == "graphx")
-          GraphXAdapters.connectedComponents(TpchGraph.nodes(spark, sfDir),
-            TpchGraph.undirected(TpchGraph.edges(spark, sfDir)))
-        else
-          Algorithms.connectedComponents(
-            TpchGraph.undirected(TpchGraph.edges(spark, sfDir)), TpchGraph.nodes(spark, sfDir), 6)
+        if (engine == "graphx") GraphXAdapters.connectedComponents(allNodes, und)
+        else Algorithms.connectedComponentsFixpoint(und, allNodes)
       cc.groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
 
+    // Defined over the same_region clique slice (the g07 gate shape) —
+    // overlay-aware within the slice: user-created same_region edges and
+    // tombstones participate; other etypes stay outside the definition
+    // (documented, COVERAGE.md "statement-path bound policy").
     case GraphTriangles(engine) =>
+      // canonicalize (base rows ship src<dst once, but user-created edges
+      // arrive in either orientation, possibly duplicating a base edge)
+      val slice = allEdges.filter(col("etype") === "same_region")
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") < col("dst")).distinct()
       if (engine == "graphx")
         GraphXAdapters.triangleCount(
-          TpchGraph.nodes(spark, sfDir).filter(col("label") === "nation"),
-          TpchGraph.sameRegionEdges(spark, sfDir))
+          slice.select(col("src").as("key")).union(slice.select(col("dst").as("key"))).distinct(),
+          slice)
           .filter(col("n_triangles") > 0).orderBy("key")
       else {
-        val e = TpchGraph.sameRegionEdges(spark, sfDir).select("src", "dst")
+        val e = slice.select("src", "dst")
         e.select(col("src").as("a"), col("dst").as("b"))
           .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
           .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
@@ -505,13 +527,13 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // GRAPH HITS [ITERATIONS n] — the g37 plan without the top-k cap.
     case GraphHits(iters) =>
-      Algorithms.hits(TpchGraph.edges(spark, sfDir), TpchGraph.nodes(spark, sfDir), iters)
+      Algorithms.hits(allEdges, allNodes, iters)
         .select(col("key"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
         .orderBy(desc("auth"), desc("hub"), col("key"))
 
     // GRAPH CLUSTERING — per-node local clustering coefficient (g38 shape).
     case GraphClustering() =>
-      val e0 = TpchGraph.edges(spark, sfDir)
+      val e0 = allEdges
         .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       val und = e0.select(col("u").as("x"), col("v").as("w"))
         .union(e0.select(col("v").as("x"), col("u").as("w")))
@@ -529,7 +551,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
 
     // GRAPH ASSORTATIVITY — Newman degree-correlation r (g39 shape).
     case GraphAssortativity() =>
-      val und = TpchGraph.undirected(TpchGraph.edges(spark, sfDir)).select("src", "dst")
+      val und = TpchGraph.undirected(allEdges).select("src", "dst")
       val deg = und.groupBy(col("src").as("k")).agg(count(lit(1)).as("deg"))
       und.join(deg.select(col("k").as("src"), col("deg").as("x")), Seq("src"))
         .join(deg.select(col("k").as("dst"), col("deg").as("y")), Seq("dst"))
@@ -553,14 +575,16 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // GRAPH DIAMETER — double-sweep pseudo-diameter: BFS from the min
     // key, hop to the farthest node, BFS again; the farthest distance of
     // sweep 2 lower-bounds (and on trees equals) the true diameter. Two
-    // bounded BFS passes instead of an all-sources sweep — the form that
-    // survives a 100 TB graph. Deterministic tie-breaks on key.
+    // frontier-exhausted BFS passes instead of an all-sources sweep — the
+    // form that survives a 100 TB graph (each sweep runs to ITS fixpoint,
+    // so a deep overlay chain is measured, not truncated at a constant).
+    // Deterministic tie-breaks on key.
     case GraphDiameter() =>
       val und = TpchGraph.undirected(allEdges)
       val start = allNodes.orderBy("key").limit(1).select("key")
-      val far1 = Algorithms.bfsFrom(und, start, 8)
+      val far1 = Algorithms.bfsFromFixpoint(und, start)
         .orderBy(desc("depth"), col("key")).limit(1).select("key")
-      Algorithms.bfsFrom(und, far1, 8)
+      Algorithms.bfsFromFixpoint(und, far1)
         .orderBy(desc("depth"), col("key")).limit(1)
         .select(col("key").as("peripheral_key"),
           col("depth").as("pseudo_diameter"))
@@ -588,9 +612,12 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       }
       samplePct match {
         case None =>
-          Algorithms.betweennessBrandes(
+          // hub-layer sources (the g22 construction), but the BFS runs to
+          // fixpoint: every shortest path from a hub counts, whatever its
+          // length — a fixed horizon silently zeroes deep overlay paths
+          Algorithms.betweennessBrandesFixpoint(
               bwEdges,
-              allNodes.filter(col("label").isin("nation", "region")).select("key"), 2)
+              allNodes.filter(col("label").isin("nation", "region")).select("key"))
             .select(col("key"), round(col("betweenness"), 6).as("betweenness"))
             .orderBy(desc("betweenness"), col("key")).limit(20)
         case Some(pct) =>
@@ -604,12 +631,13 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           val sources = Algorithms.cut(allNodes.select("key")
             .orderBy(md5(col("key")), col("key")).limit(k.toInt))
           val scale = n.toDouble / k
-          Algorithms.betweennessBrandes(bwEdges, sources, 2)
+          Algorithms.betweennessBrandesFixpoint(bwEdges, sources)
             .select(col("key"), round(col("betweenness") * scale, 6).as("betweenness"))
             .orderBy(desc("betweenness"), col("key")).limit(20)
       }
 
-    // Bounded-depth closeness over the nation/region tree (the g18 form).
+    // Closeness over the selected edge slice (default: the g18
+    // nation/region in_region tree), run to BFS fixpoint per source.
     case GraphCloseness(etype, direction) =>
       // default keeps the g18 nation/region in_region-tree form; EDGE
       // TYPE / direction select the reference's filtered/oriented set
@@ -620,8 +648,12 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         case _ => e.select(col("src"), col("dst"))
           .union(e.select(col("dst").as("src"), col("src").as("dst")))
       }
-      Algorithms.closenessBounded(walked,
-          walked.select(col("src").as("key")).distinct(), 2)
+      // fixpoint BFS per source: exact closeness on whatever slice the
+      // user selected, however deep the overlay makes it (on the base
+      // in_region default the slice is 5 disjoint stars — the fixpoint
+      // exhausts at depth 2, so base results are unchanged)
+      Algorithms.closenessFixpoint(walked,
+          walked.select(col("src").as("key")).distinct())
         .orderBy(desc("closeness"), col("key")).limit(30)
 
     case GraphLabelProp(iters, etype, direction) =>

@@ -595,6 +595,146 @@ class NqlSpec extends AnyFunSuite {
     assertThrows[NqlParseException](run("NODE CREATE 'x' LABEL 'l'"))
   }
 
+  test("GRAPH COMPONENTS is overlay-aware and converges on deep chains") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-cc-overlay-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // a 10-node overlay chain: diameter 9, beyond any fixed round count
+    // a bundled-topology bound would justify — the r8 code (base graph +
+    // 6 fixed rounds) silently omitted it entirely
+    for (i <- 1 to 10) runS(f"NODE CREATE 'x:$i%02d' LABEL 'xchain' NAME 'x$i'")
+    for (i <- 1 until 10) runS(f"EDGE CREATE 'x:$i%02d' TO 'x:${i + 1}%02d' TYPE 'link'")
+    val comps = runS("GRAPH COMPONENTS").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(comps.size == 6, s"expected 5 base components + 1 overlay chain, got $comps")
+    assert(comps("x:01") == 10, "the whole chain must land in ONE component")
+    // GraphX engine sees the same overlay graph
+    val gx = runS("GRAPH COMPONENTS ENGINE 'graphx'").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gx == comps)
+    // base-graph result (no store) is unchanged by the fixpoint switch
+    assert(run("GRAPH COMPONENTS").count() == 5)
+  }
+
+  test("GRAPH BICONNECTED/ARTICULATION handle deep and detached overlay cycles") {
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-bicc-overlay-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    // a cycle 4 hops off a region-attached node: the r8 statement bounds
+    // (BFS depth 2 from region roots) never reached it — its edges were
+    // silently misclassified as singletons
+    for (i <- 1 to 6) runS(s"NODE CREATE 'c:$i' LABEL 'deep' NAME 'c$i'")
+    runS("EDGE CREATE 'nation:0' TO 'c:1' TYPE 'link'")
+    for (i <- 1 until 4) runS(s"EDGE CREATE 'c:$i' TO 'c:${i + 1}' TYPE 'link'")
+    runS("EDGE CREATE 'c:4' TO 'c:5' TYPE 'link'")
+    runS("EDGE CREATE 'c:5' TO 'c:6' TYPE 'link'")
+    runS("EDGE CREATE 'c:6' TO 'c:4' TYPE 'link'")
+    // a component with NO region node at all: r8's region-label roots
+    // never rooted it, so its cycle never entered the BFS forest
+    for (i <- 1 to 3) runS(s"NODE CREATE 'd:$i' LABEL 'detached' NAME 'd$i'")
+    runS("EDGE CREATE 'd:1' TO 'd:2' TYPE 'link'")
+    runS("EDGE CREATE 'd:2' TO 'd:3' TYPE 'link'")
+    runS("EDGE CREATE 'd:3' TO 'd:1' TYPE 'link'")
+    val bicc = runS("GRAPH BICONNECTED").collect().map(r => (r.getString(0), r.getLong(1)))
+    // both 3-cycles are single biconnected components of exactly 3 edges
+    assert(bicc.count(_._2 == 3) == 2,
+      s"expected the deep and the detached triangle as 3-edge components, got ${bicc.toSeq}")
+    // the 5 base region wheels keep their 15-edge components
+    assert(bicc.count(_._2 == 15) == 5)
+    val arts = runS("GRAPH ARTICULATION").collect().map(_.getString(0)).toSet
+    // c:4 separates the deep triangle from the chain back to nation:0
+    assert(Set("c:1", "c:2", "c:3", "c:4", "nation:0").subsetOf(arts), s"got $arts")
+    // pure-cycle nodes are never articulation points
+    assert(!arts.exists(_.startsWith("d:")), s"detached-triangle nodes are not cut vertices: $arts")
+  }
+
+  test("GRAPH statement overlay-awareness sweep: every algorithm sees user writes") {
+    // One overlay fixture, asserted against EVERY GRAPH statement family:
+    // - a 5-node chain hung off nation:0 via etype 'link' (deep paths)
+    // - a detached 'same_region' triangle t:1-t:2-t:3 (slice semantics)
+    // - a detached 'link' triangle y:1-y:2-y:3 (documented slice EXCLUSION)
+    // - an 'in_nation' leaf z:1 → nation:0 (tree-slice default semantics)
+    val store = new graft.unified.EntityStore(spark,
+      java.nio.file.Files.createTempDirectory("nql-overlay-sweep-store").toString)
+    def runS(q: String) = Nql.execute(spark, sf, store, q)
+    for (i <- 1 to 5) runS(s"NODE CREATE 'c:$i' LABEL 'chain' NAME 'c$i'")
+    runS("EDGE CREATE 'nation:0' TO 'c:1' TYPE 'link'")
+    for (i <- 1 until 5) runS(s"EDGE CREATE 'c:$i' TO 'c:${i + 1}' TYPE 'link'")
+    for (i <- 1 to 3) runS(s"NODE CREATE 't:$i' LABEL 'tri' NAME 't$i'")
+    runS("EDGE CREATE 't:1' TO 't:2' TYPE 'same_region'")
+    runS("EDGE CREATE 't:2' TO 't:3' TYPE 'same_region'")
+    runS("EDGE CREATE 't:3' TO 't:1' TYPE 'same_region'")
+    for (i <- 1 to 3) runS(s"NODE CREATE 'y:$i' LABEL 'ytri' NAME 'y$i'")
+    runS("EDGE CREATE 'y:1' TO 'y:2' TYPE 'link'")
+    runS("EDGE CREATE 'y:2' TO 'y:3' TYPE 'link'")
+    runS("EDGE CREATE 'y:3' TO 'y:1' TYPE 'link'")
+    runS("NODE CREATE 'z:1' LABEL 'leaf' NAME 'z1'")
+    runS("EDGE CREATE 'z:1' TO 'nation:0' TYPE 'in_nation'")
+
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.head).collect().map(_.getString(0)).toSet
+
+    // PAGERANK default = overlay-aware in_region/in_nation tree slice:
+    // the created in_nation leaf participates; both engines agree on the
+    // node universe
+    assert(keysOf(runS("GRAPH PAGERANK ITERATIONS 3")).contains("z:1"))
+    assert(keysOf(runS("GRAPH PAGERANK ITERATIONS 3 ENGINE 'graphx'")).contains("z:1"))
+    // HITS walks the full overlay edge set
+    assert(keysOf(runS("GRAPH HITS ITERATIONS 3")).contains("c:1"))
+    // CLUSTERING: the same_region triangle closes perfectly
+    val tcc = runS("GRAPH CLUSTERING").filter(col("key") === "t:1").collect()
+    assert(tcc.length == 1 && tcc(0).getDouble(3) == 1.0)
+    // TRIANGLES is defined over the same_region slice (overlay-aware
+    // WITHIN it; other etypes documented out — COVERAGE.md policy)
+    val triKeys = keysOf(runS("GRAPH TRIANGLES"))
+    assert(Set("t:1", "t:2", "t:3").subsetOf(triKeys), s"got $triKeys")
+    assert(!triKeys.exists(_.startsWith("y:")), "link-etype triangle must stay outside the slice")
+    val triKeysGx = keysOf(runS("GRAPH TRIANGLES ENGINE 'graphx'"))
+    assert(Set("t:1", "t:2", "t:3").subsetOf(triKeysGx))
+    // ASSORTATIVITY is computed over the overlay closure
+    val aBase = run("GRAPH ASSORTATIVITY").collect()(0).getDouble(1)
+    val aOver = runS("GRAPH ASSORTATIVITY").collect()(0).getDouble(1)
+    assert(aBase != aOver)
+    // DIAMETER: extend the chain off c:5 by 10 more hops — the sweep
+    // starts at the overlay view's min key ('c:1', same component), so
+    // the double sweep must measure ≥ the chain depth (the r8 code
+    // truncated every sweep at 8)
+    for (i <- 1 to 10) runS(s"NODE CREATE 'deep:$i' LABEL 'deep' NAME 'd$i'")
+    runS("EDGE CREATE 'c:5' TO 'deep:1' TYPE 'link'")
+    for (i <- 1 until 10) runS(s"EDGE CREATE 'deep:$i' TO 'deep:${i + 1}' TYPE 'link'")
+    val dia = runS("GRAPH DIAMETER").collect()(0)
+    assert(dia.getInt(1) >= 10, s"pseudo-diameter must see the deep chain, got ${dia.getInt(1)}")
+    // CLOSENESS on the link slice: c:5's component is nation:0—c:1..c:5—
+    // deep:1..deep:10 (16 nodes); from c:5 the distances are 1..5 up the
+    // chain and 1..10 down it → 15/70. Exact closeness needs the BFS
+    // fixpoint — the r8 depth-2 truncation saw only 4 neighbors
+    val clo = runS("GRAPH CLOSENESS EDGE TYPE 'link'")
+      .filter(col("key") === "c:5").collect()
+    assert(clo.length == 1)
+    val c5 = clo(0).getDouble(1)
+    assert(math.abs(c5 - 15.0 / 70.0) < 1e-4, s"closeness(c:5) must count the full chain, got $c5")
+    // BETWEENNESS on the link slice: paths nation:0 → c:5 pass c:4 at
+    // depth 4 — a depth-2 horizon scored it zero
+    val bw = runS("GRAPH BETWEENNESS EDGE TYPE 'link'")
+      .filter(col("key") === "c:4").collect()
+    assert(bw.length == 1 && bw(0).getDouble(1) > 0,
+      "c:4 must carry betweenness from deep shortest paths")
+    // EIGENVECTOR on the link slice ranks the chain nodes
+    assert(keysOf(runS("GRAPH EIGENVECTOR ITERATIONS 3 EDGE TYPE 'link'")).contains("c:3"))
+    // CORES / TRANSITIVITY / PPR / WALK / TRAVERSE already walk the
+    // overlay frames — pin it
+    // CORES returns (core, n_nodes) — all 22 overlay nodes join the peel
+    val coreN = runS("GRAPH CORES").agg(sum("n_nodes")).collect()(0).getLong(0)
+    val coreNBase = run("GRAPH CORES").agg(sum("n_nodes")).collect()(0).getLong(0)
+    assert(coreN == coreNBase + 22, s"expected ${coreNBase + 22} peeled nodes, got $coreN")
+    val trBase = run("GRAPH TRANSITIVITY").collect()(0).getDouble(2)
+    val trOver = runS("GRAPH TRANSITIVITY").collect()(0).getDouble(2)
+    assert(trBase != trOver, "the overlay triangles must move global transitivity")
+    assert(keysOf(runS("GRAPH PPR FROM 'c:1' ITERATIONS 4")).contains("c:2"))
+    assert(runS("WALK FROM 'c:5' STEPS 2").count() == 1)
+    assert(keysOf(runS("TRAVERSE FROM 'c:1' DEPTH 2")).nonEmpty)
+  }
+
   test("NODE/EDGE DELETE tombstones mask base-graph rows") {
     val store = new graft.unified.EntityStore(spark,
       java.nio.file.Files.createTempDirectory("nql-del-store").toString)

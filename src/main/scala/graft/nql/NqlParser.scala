@@ -52,10 +52,15 @@ object NqlParser {
     }
     def int(): Int = {
       val t = next()
-      try t.toInt catch {
+      val v = try t.toInt catch {
         case _: NumberFormatException =>
           throw NqlParseException(s"expected an integer, got $t")
       }
+      // every grammar int is a count/id/percent (the reference parses
+      // these as unsigned, parser.rs); a negative here would otherwise
+      // leak Spark's untyped AnalysisException from limit()/offset()
+      if (v < 0) throw NqlParseException(s"expected a non-negative integer, got $t")
+      v
     }
     def num(): Double = {
       val t = next()

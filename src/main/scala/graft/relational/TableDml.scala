@@ -238,6 +238,88 @@ object TableDml {
     spark.sql(s"REFRESH TABLE $table")
   }
 
+  /** Partition-MIGRATION rewrite (UPDATE with SET on a partition column):
+    * the whole-table post-image lands via ONE atomic directory swap, not
+    * per-partition dynamic overwrite. Two reasons. (1) A migration
+    * rewrites every partition anyway (update() passes allParts), so
+    * there is no pruning for the dynamic path to exploit. (2) The
+    * dynamic path commits per partition and drops the emptied partitions
+    * only afterwards — a concurrent reader in that window sees migrated
+    * rows in their NEW partition while the pre-image still sits in the
+    * old one: duplicated data, silently. With the swap a reader sees the
+    * complete pre-image, the complete post-image, or (inside the short
+    * catalog-sync instants) a missing-path ERROR — never torn or
+    * duplicated rows (spec-pinned in DdlDmlSpec).
+    *
+    * Catalog-sync ordering makes every intermediate state safe:
+    * partitions NEW in the post-image are ADDed before the swap (their
+    * rows don't exist yet, so pre-swap reads stay exactly the
+    * pre-image), and entries the migration empties are DROPped after it
+    * (their dirs are gone, so a read in between errors rather than
+    * returning stale rows). Surviving partitions keep their absolute
+    * locations under the table root, which the rename swap repopulates
+    * in place. A custom-LOCATION partition (dir outside the table root)
+    * is re-pointed at the standard layout (drop + re-add) and its old
+    * dir deleted — same external-dir hygiene as [[dropPartitions]]. */
+  private def rewritePartitionedSwap(spark: SparkSession, table: String,
+      partCols: Seq[String], preParts: Array[org.apache.spark.sql.Row],
+      post: DataFrame): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val provider = meta.provider.getOrElse("parquet")
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(loc.getParent, s".${loc.getName}.cow-$tag")
+    val retired = new org.apache.hadoop.fs.Path(loc.getParent, s".${loc.getName}.old-$tag")
+    val tableCols = spark.table(table).columns
+    post.select(tableCols.map(col): _*)
+      .write.format(provider).partitionBy(partCols: _*).save(staging.toString)
+    // the specs that actually landed (read back from staging, so adds and
+    // drops are derived from what is on disk, not from a re-evaluated plan)
+    val postSpecs = spark.read.format(provider).load(staging.toString)
+      .select(partCols.map(col): _*).distinct().collect()
+    val preSpecSet = preParts.map(specOf(partCols, _)).toSet
+    val postSpecSet = postSpecs.map(specOf(partCols, _)).toSet
+    val added = postSpecs.filterNot(r => preSpecSet(specOf(partCols, r)))
+    val qualifiedLoc = fs.makeQualified(loc).toString
+    val customPre = preParts.flatMap { r =>
+      val specMap = partCols.zipWithIndex.map { case (c, i) =>
+        c -> String.valueOf(r.get(i))
+      }.toMap
+      scala.util.Try(cat.getPartition(ident, specMap)).toOption
+        .map(p => (r, fs.makeQualified(new org.apache.hadoop.fs.Path(p.location))))
+        .filterNot { case (_, p) =>
+          p.toString == qualifiedLoc || p.toString.startsWith(qualifiedLoc + "/")
+        }
+    }
+    val stale = preParts.filter { r =>
+      val s = specOf(partCols, r)
+      !postSpecSet(s) || customPre.exists { case (cr, _) => specOf(partCols, cr) == s }
+    }
+    if (added.nonEmpty)
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+        added.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(" "))
+    if (!fs.rename(loc, retired))
+      throw NqlExecException(s"$table: could not retire current table directory $loc")
+    if (!fs.rename(staging, loc)) {
+      fs.rename(retired, loc) // best-effort rollback
+      throw NqlExecException(s"$table: could not install new table directory")
+    }
+    if (stale.nonEmpty)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+        stale.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(", "))
+    // re-register custom-located SURVIVORS at the standard in-root layout
+    val customSurvivors = customPre.map(_._1).filter(r => postSpecSet(specOf(partCols, r)))
+    if (customSurvivors.nonEmpty)
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+        customSurvivors.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(" "))
+    customPre.foreach { case (_, p) => fs.delete(p, true) }
+    fs.delete(retired, true)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
   /** Touched-partition discovery: the distinct partition tuples holding
     * rows that satisfy `cond`. Collect is bounded by the table's
     * partition COUNT (metadata-scale), never by row count; partition
@@ -314,8 +396,11 @@ object TableDml {
     if (pCols.isEmpty) rewrite(spark, st.table, post)
     else if (st.sets.exists { case (c, _) => pCols.exists(_.equalsIgnoreCase(c)) }) {
       // a SET on a partition column migrates rows between partitions:
-      // the post-image of EVERY current partition must land (dynamic
-      // overwrite then drops the ones the migration emptied). No
+      // the post-image of EVERY current partition must land, so this is
+      // a whole-table rewrite — done as ONE atomic directory swap (see
+      // rewritePartitionedSwap: the per-partition dynamic-overwrite path
+      // would expose duplicated rows to concurrent readers between the
+      // overwrite commit and the emptied-partition drop). No
       // touched-partition discovery here — it would be an unused scan.
       val allParts = target.select(pCols.map(col): _*).distinct().collect()
       if (allParts.exists(_.anyNull)) throw NqlExecException(
@@ -327,7 +412,7 @@ object TableDml {
       if (postParts.exists(_.anyNull)) throw NqlExecException(
         s"${st.table}: UPDATE would write NULL into partition column(s) " +
           s"${pCols.mkString(", ")} — rows in a null partition are not supported")
-      rewriteTouchedPartitions(spark, st.table, pCols, allParts, post)
+      rewritePartitionedSwap(spark, st.table, pCols, allParts, post)
     } else {
       // partition-pruned: rewrite only partitions holding hit rows
       val (touchedDf, touchedRows) = touchedPartitions(target, pCols, cond, st.table)

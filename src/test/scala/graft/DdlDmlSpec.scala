@@ -196,6 +196,38 @@ class DdlDmlSpec extends AnyFunSuite {
     assert(observed.asScala.nonEmpty, "reader thread never completed a read")
     nql("DROP TABLE graft_cdml")
 
+    // partition-MIGRATION path (SET on the partition column): lands via
+    // one atomic directory swap, so a concurrent reader sees the complete
+    // pre-image, the complete post-image, or a transient error — never a
+    // torn or duplicated state (the per-partition overwrite path this
+    // replaced exposed migrated rows in BOTH partitions between the
+    // overwrite commit and the emptied-partition drop)
+    nql(s"CREATE TABLE graft_cdml3 (id INT, team STRING) USING parquet PARTITIONED BY (team) LOCATION '$loc/t3'")
+    nql("INSERT INTO graft_cdml3 SELECT CAST(id AS INT), CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(2000)")
+    val preSum3 = nql("SELECT sum(id) AS s FROM graft_cdml3").collect()(0).getLong(0)
+    val observed3 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader3 = new Thread(() => {
+      while (!stop3.get()) {
+        try observed3.add(spark.table("graft_cdml3")
+          .agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0))
+        catch { case _: Exception => () } // swap/catalog-sync instant
+      }
+    })
+    reader3.start()
+    // migrate half of 'a' into a NEW partition 'c' and the rest of 'a'
+    // into 'b' — exercises added, emptied, and surviving partitions
+    try nql("UPDATE graft_cdml3 SET team = CASE WHEN id < 1000 THEN 'c' ELSE 'b' END WHERE team = 'a'")
+    finally { stop3.set(true); reader3.join(30000) }
+    val postSum3 = nql("SELECT sum(id) AS s FROM graft_cdml3").collect()(0).getLong(0)
+    assert(postSum3 == preSum3, "migration must move rows, not change them")
+    assert(nql("SELECT count(*) AS n FROM graft_cdml3 WHERE team = 'a'").collect()(0).getLong(0) == 0)
+    assert(nql("SELECT count(*) AS n FROM graft_cdml3 WHERE team = 'c'").collect()(0).getLong(0) == 500)
+    val bad3 = observed3.asScala.filterNot(_ == preSum3) // pre == post here; anything else is torn/duplicated
+    assert(bad3.isEmpty, s"reader observed torn/duplicated state(s) during migration: $bad3 (expected $preSum3)")
+    assert(observed3.asScala.nonEmpty, "reader thread never completed a read")
+    nql("DROP TABLE graft_cdml3")
+
     // partitioned path: the dynamic-overwrite mode is a write-scoped
     // option, never a session-conf flip a concurrent query could observe
     val overwriteModeBefore =

@@ -35,6 +35,22 @@ object GraphQueries {
       |  SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR) AS src, 'nation:' || CAST(b.n_nationkey AS VARCHAR) AS dst, 'same_region' AS etype
       |  FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey)""".stripMargin
 
+  // Component-census oracle shared by g06 (fixed-round engine) and g50
+  // (fixpoint engine). Exploits known structure: component = region tree,
+  // label = lexicographic min key among its members.
+  private val componentCensusOracleSql =
+    s"""WITH memb AS (
+       |  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS key, r_regionkey AS rk FROM region
+       |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), n_regionkey FROM nation
+       |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), n.n_regionkey
+       |    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), n.n_regionkey
+       |    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+       |comp AS (SELECT rk, min(key) AS component FROM memb GROUP BY rk)
+       |SELECT c.component, count(*) AS n_nodes
+       |FROM memb m JOIN comp c ON m.rk = c.rk
+       |GROUP BY c.component ORDER BY c.component""".stripMargin
+
   private val allEdgesSql =
     s"""$treeEdgesSql,
        |$cliqueEdgesSql,
@@ -258,19 +274,19 @@ object GraphQueries {
         TpchGraph.undirected(TpchGraph.edges(s, d)), TpchGraph.nodes(s, d), 6)
         .groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component"),
-      // Oracle exploits known structure: component = region tree,
-      // label = lexicographic min key among its members.
-      s"""WITH memb AS (
-         |  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS key, r_regionkey AS rk FROM region
-         |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), n_regionkey FROM nation
-         |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR), n.n_regionkey
-         |    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-         |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), n.n_regionkey
-         |    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
-         |comp AS (SELECT rk, min(key) AS component FROM memb GROUP BY rk)
-         |SELECT c.component, count(*) AS n_nodes
-         |FROM memb m JOIN comp c ON m.rk = c.rk
-         |GROUP BY c.component ORDER BY c.component""".stripMargin),
+      componentCensusOracleSql),
+
+    // Round 9: the statement path's FIXPOINT engine, oracle-gated on the
+    // bundled graph. At convergence the probed, pointer-jumping loop must
+    // produce the identical min-key labeling as g06's fixed unroll — the
+    // batching/shortcutting change the SCHEDULE, never the answer — so
+    // the same closed-form oracle gates both engines.
+    "g50_components_fixpoint" -> QDef(
+      (s, d) => Algorithms.connectedComponentsFixpoint(
+        TpchGraph.undirected(TpchGraph.edges(s, d)), TpchGraph.nodes(s, d))
+        .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("component"),
+      componentCensusOracleSql),
 
     "g07_triangle_count" -> QDef(
       (s, d) => {

@@ -44,49 +44,94 @@ object PipelineQueries {
           "transform(sequence(0, size(ws)-3), j -> concat_ws(' ', ws[j], ws[j+1], ws[j+2]))")).as("sh"))
         .distinct()))
 
-  /** Exact shingle-set Jaccard for a given pair set (da < db). */
+  /** Exact shingle-set Jaccard for a given pair set (da < db): one
+    * array_intersect per pair against per-doc shingle arrays. The verify
+    * join is candidate-bound — |pairs| rows, each carrying two per-doc
+    * arrays — not token-occurrence-bound like the exploded
+    * per-shingle re-join it replaces (|pairs| × shingles-per-doc rows
+    * through two shuffles plus a pair-keyed re-aggregation; measured 42×
+    * wall on 10× corpus in d10 before the change). */
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
-      .filter(col("sha") === col("shb"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    val arr = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("xs"), count(lit(1)).as("n"))
+    pairs
+      .join(arr.select(col("doc_id").as("da"), col("xs").as("xa"), col("n").as("na")), Seq("da"))
+      .join(arr.select(col("doc_id").as("db"), col("xs").as("xb"), col("n").as("nb")), Seq("db"))
+      .withColumn("c", size(array_intersect(col("xa"), col("xb"))).cast("long"))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .drop("xa", "xb")
   }
 
   /** Same-source word-set near-dup pairs with Jaccard ≥ 0.8 (da < db) —
     * the candidate generation of d03, shared with d07's clustering.
-    * Candidate keying (both are provably lossless for j >= 0.8, so the
-    * output — and the oracle — are unchanged):
-    *  - source joins as part of the hash key, not a post-probe filter
-    *    (the vocabulary is ~31 words; w alone probes |docs/word|²);
-    *  - size banding: j >= 0.8 forces na/nb in [0.8, 1.25], i.e. the
-    *    log₁.₂₅ size bands differ by at most 1 — the probe side explodes
-    *    to its 3 neighboring bands and the band joins as part of the key,
-    *    cutting each bucket by the size spread (PPJoin-style length
-    *    filter).
+    * Classic distributed set-similarity join (the Vernica/Carey/Li
+    * MapReduce shape with the AllPairs/PPJoin prefix filter), in four
+    * stages — each lossless for j ≥ 0.8, so the output and the oracle
+    * are unchanged:
+    *  1. COLLAPSE: docs with identical word sets (canonical sorted-array
+    *     signature) join every pairing decision exactly once; identical
+    *     pairs are emitted directly at j = 1 without entering the join.
+    *  2. PREFIX FILTER: order tokens by ascending global set-frequency;
+    *     any pair with c ≥ ⌈0.8·max(na,nb)⌉ shared tokens must share its
+    *     order-minimal common token within BOTH ⌊0.2n⌋+1 prefixes, so the
+    *     candidate join probes prefixes against prefixes only — buckets
+    *     are per-(source, rare-token), never per-token-occurrence. The
+    *     old keying probed every (word, source) bucket; with a ~31-word
+    *     vocabulary those buckets grow linearly with the corpus and the
+    *     join quadratically (measured 1.12e9 candidate rows at sf1.0 for
+    *     1.5e7 result pairs).
+    *  3. LENGTH FILTER: c ≤ min and c ≥ 0.8·max force 5·min ≥ 4·max,
+    *     integer-exact in the join condition.
+    *  4. VERIFY + EXPAND: one array_intersect per surviving distinct-set
+    *     pair (no exploded per-token re-join), then map set pairs back to
+    *     doc pairs — output-bound by construction.
     */
   private def wordJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val w = words(s, d)
-    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val band = floor(log(col("n")) / math.log(1.25)).cast("long")
-    val wb = w.join(sz, Seq("doc_id")).withColumn("b", band)
-    val probe = wb.select(col("doc_id").as("da"), col("source"), col("w"),
-        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    val inter = probe
-      .join(wb.select(col("doc_id").as("db"), col("source"), col("w"), col("b")),
-        Seq("w", "source", "b"))
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    val sets = graft.graph.Algorithms.cut(
+      words(s, d).groupBy("doc_id").agg(
+          first(col("source")).as("source"),
+          sort_array(collect_set(col("w"))).as("wa"))
+        .withColumn("sig", md5(concat_ws(" ", col("wa"))))
+        .withColumn("n", size(col("wa"))))
+    val memb = sets.select("doc_id", "source", "sig")
+    val reps = sets.groupBy("source", "sig")
+      .agg(first(col("wa")).as("wa"), first(col("n")).as("n"))
+    // Ascending (set-frequency, token) is the shared global token order;
+    // rk ≤ ⌊n/5⌋+1 keeps exactly the ⌊(1−t)n⌋+1 order-minimal tokens.
+    val tok = reps.select(col("source"), col("sig"), col("n"), explode(col("wa")).as("w"))
+    val dfq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfq, Seq("w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "sig").orderBy(col("df"), col("w"))))
+      .filter((col("rk") - 1) * 5 <= col("n"))
+      .select(col("source"), col("sig"), col("n"), col("w"))
+    val cand = prefix.select(col("source"), col("sig").as("siga"), col("n").as("na"), col("w"))
+      .join(prefix.select(col("source"), col("sig").as("sigb"), col("n").as("nb"), col("w")),
+        Seq("source", "w"))
+      .filter(col("siga") < col("sigb") &&
+        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .select("source", "siga", "sigb").distinct()
+    val scored = cand
+      .join(reps.select(col("source"), col("sig").as("siga"),
+        col("wa").as("waa"), col("n").as("na")), Seq("source", "siga"))
+      .join(reps.select(col("source"), col("sig").as("sigb"),
+        col("wa").as("wab"), col("n").as("nb")), Seq("source", "sigb"))
+      .withColumn("c", size(array_intersect(col("waa"), col("wab"))))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.8)
+      .select("source", "siga", "sigb", "jaccard")
+    val cross = scored
+      .join(memb.select(col("source"), col("sig").as("siga"), col("doc_id").as("ia")),
+        Seq("source", "siga"))
+      .join(memb.select(col("source"), col("sig").as("sigb"), col("doc_id").as("ib")),
+        Seq("source", "sigb"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("jaccard"))
+    val ident = memb.select(col("source"), col("sig"), col("doc_id").as("da"))
+      .join(memb.select(col("source"), col("sig"), col("doc_id").as("db")), Seq("source", "sig"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(1.0).as("jaccard"))
+    cross.unionByName(ident)
   }
 
   /** The ≥0.8 pair set materialized ONCE per (session, dir) and shared by
@@ -1336,11 +1381,15 @@ object PipelineQueries {
             Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
           .filter((col("rk") - 1) * 10 <= col("n"))
         val probe = ranked.join(src, Seq("doc_id"))
-          .select(col("doc_id").as("da"), col("source").as("sa"), col("sh"))
-        val build = sh.join(src, Seq("doc_id"))
-          .select(col("doc_id").as("db"), col("source").as("sb"), col("sh"))
+          .select(col("doc_id").as("da"), col("source").as("sa"), col("n").as("na"), col("sh"))
+        val build = sh.join(sz, Seq("doc_id")).join(src, Seq("doc_id"))
+          .select(col("doc_id").as("db"), col("source").as("sb"), col("n").as("nb"), col("sh"))
+        // Length filter inside the candidate join: c ≤ nb and c ≥ ⌈0.9·na⌉
+        // force 10·nb ≥ 9·na, pruning pairs whose build side is too small
+        // to possibly cover the probe (measured 21.1e6 → 12.8e6 candidate
+        // pairs at sf1.0) before the distinct and the exact verify.
         val cand = probe.join(build, Seq("sh"))
-          .filter(col("sa") =!= col("sb"))
+          .filter(col("sa") =!= col("sb") && col("nb") * 10 >= col("na") * 9)
           .select("da", "db").distinct()
         val contained = jaccardOf(cand, sh).filter(col("c") * 10 >= col("na") * 9)
         contained.join(src.select(col("doc_id").as("da"), col("source")), Seq("da"))

@@ -154,15 +154,14 @@ object GraphQueries {
     * local clustering over any canonical (u < v) edge frame. */
   def clusteringGlobal(edges: DataFrame): DataFrame = {
     val e0 = edges.select(least(col("src"), col("dst")).as("u"),
-      greatest(col("src"), col("dst")).as("v"))
+      greatest(col("src"), col("dst")).as("v")).distinct()
     val und = e0.select(col("u").as("x"), col("v").as("w"))
       .union(e0.select(col("v").as("x"), col("u").as("w")))
     val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-    val wedges = und.select(col("x"), col("w").as("u"))
-      .join(und.select(col("x"), col("w").as("v")), Seq("x"))
-      .filter(col("u") < col("v"))
-    val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
-      .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+    // Degree-ordered triangle listing (Algorithms.triangleTriples):
+    // Σ d⁺² wedges, not the Σ deg² center-keyed join — SF-linear hubs
+    // (nation:customers) made the naive wedge frame quadratic at sf1.0.
+    val tri = Algorithms.localTriangleCounts(e0)
     deg.join(tri, Seq("key"), "left")
       .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
@@ -1326,10 +1325,12 @@ object GraphQueries {
 
     // Local clustering coefficient per node: cc(v) = 2·T(v)/(deg(v)·
     // (deg(v)−1)) over the undirected simple graph — the per-node form of
-    // g07's global triangle count. Wedge join is keyed on the center
-    // node, closure check on the canonical (u,v) edge key: the standard
-    // Σ_v deg(v)² shuffle bound, no all-pairs stage. The one division of
-    // two integers is bit-exact on both engines.
+    // g07's global triangle count. Triangles are listed once each via the
+    // degree-ordered orientation (Algorithms.triangleTriples, Σ d⁺² ≤
+    // O(|E|^{3/2}) wedges) and scattered to their corners; the naive
+    // center-keyed wedge join measured exponent 1.78 at sf1.0 (nation
+    // hubs have SF-linear degree, so Σ deg² is quadratic — PERF.md round
+    // 9). The one division of two integers is bit-exact on both engines.
     "g38_local_clustering" -> QDef(
       (s, d) => {
         val e0 = TpchGraph.edges(s, d)
@@ -1338,11 +1339,7 @@ object GraphQueries {
         val und = e0.select(col("u").as("x"), col("v").as("w"))
           .union(e0.select(col("v").as("x"), col("u").as("w")))
         val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-        val wedges = und.select(col("x"), col("w").as("u"))
-          .join(und.select(col("x"), col("w").as("v")), Seq("x"))
-          .filter(col("u") < col("v"))
-        val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
-          .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+        val tri = Algorithms.localTriangleCounts(e0)
         deg.filter(col("deg") >= 2)
           .join(tri, Seq("key"), "left")
           .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),

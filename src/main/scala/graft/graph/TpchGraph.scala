@@ -283,29 +283,81 @@ object Algorithms {
     * materialized) labels; the returned frame is the plain iters-round
     * result, so oracle parity is unaffected.
     */
+  /** Every triangle of the u<v-canonical simple edge frame `e0`, listed
+    * EXACTLY once as a (a, b, c) corner triple (b < c in key order), via
+    * the degree-ordered orientation (Schank & Wagner 2005, "Finding,
+    * Counting and Listing All Triangles in Large Graphs" — the standard
+    * node-iterator++ / forward algorithm): orient each edge toward its
+    * (deg, key)-larger endpoint, build wedges only over each node's
+    * OUT-adjacency, close against the canonical edge set. The wedge
+    * shuffle is Σ_v d⁺(v)² ≤ O(|E|^{3/2}) because an out-degree counts
+    * only HIGHER-degree neighbors — an SF-linear hub (a nation with all
+    * its customers, a crawl host with all its pages) emits O(1) wedges
+    * instead of O(deg²). The naive center-keyed wedge join this replaces
+    * measured exponent 1.78 on 10× data (g38, PERF.md round 9); the
+    * oriented plan is the 100 TB shape. Each triangle's minimal corner
+    * in the (deg, key) total order has both out-edges, and no other
+    * corner has both, so the listing is exact — per-node and per-edge
+    * counts follow by scattering corners/sides.
+    * Reference counterpart: graph_engine/src/lib.rs triangle counting
+    * (per-node adjacency intersection). */
+  def triangleTriples(e0: DataFrame): DataFrame = {
+    val und = e0.select(col("u").as("x"), col("v").as("w"))
+      .union(e0.select(col("v").as("x"), col("u").as("w")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("dg"))
+    val dir = e0
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+    dir.select(col("a"), col("b").as("p"))
+      .join(dir.select(col("a"), col("b").as("q")), Seq("a"))
+      .filter(col("p") < col("q"))
+      .join(e0, col("p") === col("u") && col("q") === col("v"), "left_semi")
+      .select(col("a"), col("p").as("b"), col("q").as("c"))
+  }
+
+  /** Per-node triangle counts (key, tri) over the u<v-canonical simple
+    * edge frame — each [[triangleTriples]] triple scattered to its three
+    * corners. Nodes in no triangle are absent (callers coalesce). */
+  def localTriangleCounts(e0: DataFrame): DataFrame =
+    triangleTriples(e0)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("tri"))
+
+  /** Per-edge triangle support (u, v, sup) over the u<v-canonical simple
+    * edge frame — each triple scattered to its three canonical sides.
+    * Zero-support edges are absent (k-truss peeling drops them anyway). */
+  def edgeSupport(e0: DataFrame): DataFrame =
+    triangleTriples(e0)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+
   /** k-truss edge subgraph: iteratively delete every edge whose support
     * (number of triangles it closes) is < k−2, until fixpoint. `und` is
     * the u<v-normalized undirected edge list. This is the distributed
-    * edge-peeling formulation (no per-node DFS state): each round is two
-    * degree-bounded joins on the edge endpoints + one aggregate on the
-    * edge key, so a round shuffles ∝ Σ_v deg(v)² wedges — the same
-    * bound as triangle counting — and the edge set only shrinks.
-    * `rounds` must reach the peeling fixpoint; like
+    * edge-peeling formulation (no per-node DFS state): each round
+    * recomputes [[edgeSupport]] on the shrinking edge set — the
+    * degree-ordered O(|E|^{3/2}) wedge bound, not the Σ deg² of a
+    * center-keyed adjacency intersection — and the edge set only
+    * shrinks. `rounds` must reach the peeling fixpoint; like
     * [[connectedComponentsChecked]], one extra recompute VERIFIES that
     * (silent non-convergence would match an identically-unrolled oracle
     * and pass the parity gate undetected).
     */
   def ktruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    def peel(e: DataFrame): DataFrame = {
-      val adj = e.select(col("u").as("x"), col("v").as("w"))
-        .union(e.select(col("v").as("x"), col("u").as("w")))
-      val sup = e
-        .join(adj.select(col("x").as("u"), col("w")), Seq("u"))
-        .join(adj.select(col("x").as("v"), col("w")), Seq("v", "w"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-      e.join(sup.filter(col("sup") >= k - 2).select("u", "v"), Seq("u", "v"))
-    }
+    def peel(e: DataFrame): DataFrame =
+      e.join(edgeSupport(e).filter(col("sup") >= k - 2).select("u", "v"), Seq("u", "v"))
     var e = cut(und.select("u", "v"))
     for (i <- 1 to rounds) e = chk(peel(e), i, rounds)
     if (peel(e).count() != e.count()) throw new IllegalStateException(

@@ -531,18 +531,19 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
         .select(col("key"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
         .orderBy(desc("auth"), desc("hub"), col("key"))
 
-    // GRAPH CLUSTERING — per-node local clustering coefficient (g38 shape).
+    // GRAPH CLUSTERING — per-node local clustering coefficient (g38
+    // shape, degree-ordered triangle listing). Canonicalize + distinct
+    // first: user-created edges arrive in either orientation and may
+    // duplicate a base edge, and the coefficient is defined on the
+    // SIMPLE undirected graph (same precedent as GRAPH TRIANGLES).
     case GraphClustering() =>
       val e0 = allEdges
         .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct()
       val und = e0.select(col("u").as("x"), col("v").as("w"))
         .union(e0.select(col("v").as("x"), col("u").as("w")))
       val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-      val tri = und.select(col("x"), col("w").as("u"))
-        .join(und.select(col("x"), col("w").as("v")), Seq("x"))
-        .filter(col("u") < col("v"))
-        .join(e0, Seq("u", "v"), "left_semi")
-        .groupBy(col("x").as("key")).agg(count(lit(1)).as("tri"))
+      val tri = graft.graph.Algorithms.localTriangleCounts(e0)
       deg.filter(col("deg") >= 2)
         .join(tri, Seq("key"), "left")
         .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),

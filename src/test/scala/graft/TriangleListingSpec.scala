@@ -1,0 +1,81 @@
+package graft
+
+import graft.graph.Algorithms
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness of the degree-ordered triangle listing
+  * (Algorithms.triangleTriples and its two scatter views) against a
+  * driver-side brute-force enumeration on seeded random graphs. The
+  * orientation argument — each triangle is listed exactly once, at its
+  * (deg, key)-minimal corner — must hold on arbitrary topology, not
+  * just the bundled TPC-H hierarchy, because the GRAPH CLUSTERING /
+  * TRANSITIVITY statement paths run it on user overlay graphs.
+  */
+class TriangleListingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(raw: Set[(String, String)]): Unit = {
+    // triangleTriples requires the u<v-canonical simple edge frame
+    val edges = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    val e0 = edges.toSeq.toDF("u", "v")
+    // brute force: per-node and per-edge triangle counts
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val tris = for {
+      (u, v) <- edges.toSeq
+      w <- adj(u) intersect adj(v)
+    } yield Set(u, v, w) // each triangle appears 3× (once per side)
+    val uniq = tris.distinct
+    val nodeExp = uniq.flatten.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val edgeExp = uniq.flatMap(t => t.subsets(2).map(_.toSeq.sorted))
+      .groupBy(identity).map { case (k, xs) => (k(0), k(1)) -> xs.size.toLong }
+      .filter { case (e, _) => edges.contains(e) || edges.contains(e.swap) }
+
+    val triples = Algorithms.triangleTriples(e0).collect()
+      .map(r => Set(r.getString(0), r.getString(1), r.getString(2)))
+    assert(triples.length == triples.distinct.length, "a triangle was listed twice")
+    assert(triples.toSet == uniq.toSet,
+      s"listing mismatch: missing=${uniq.toSet -- triples.toSet} extra=${triples.toSet -- uniq.toSet}")
+
+    val nodeGot = Algorithms.localTriangleCounts(e0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodeGot == nodeExp, s"per-node counts differ: got $nodeGot want $nodeExp")
+
+    val edgeGot = Algorithms.edgeSupport(e0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(edgeGot == edgeExp.toMap, s"per-edge support differs: got $edgeGot want $edgeExp")
+  }
+
+  test("oriented listing matches brute force on seeded random graphs") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val n = 12 + trial * 3
+      val nodes = (0 until n).map(i => f"n$i%02d")
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.22
+      } yield (nodes(i), nodes(j))).toSet
+      check(edges)
+    }
+  }
+
+  test("hub star plus one closing rim edge: exactly one triangle at every corner") {
+    // the g38 failure shape: an SF-linear hub; the oriented join must
+    // emit O(1) wedges at the hub, and counts stay exact
+    val hub = (1 to 40).map(i => ("hub", f"leaf$i%02d")).toSet
+    check(hub + (("leaf01", "leaf02")))
+  }
+
+  test("clique K6: every node in C(5,2)=10 triangles, every edge supports 4") {
+    val ns = (1 to 6).map(i => s"k$i")
+    val edges = (for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))).toSet
+    check(edges)
+  }
+
+  test("triangle-free bipartite graph lists nothing") {
+    val edges = (for (i <- 1 to 4; j <- 1 to 4) yield (s"a$i", s"b$j")).toSet
+    assert(Algorithms.triangleTriples(edges.toSeq.toDF("u", "v")).count() == 0)
+  }
+}

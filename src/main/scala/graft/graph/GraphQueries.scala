@@ -176,7 +176,14 @@ object GraphQueries {
     * common-neighbor count plus the quantized-long Adamic-Adar /
     * resource-allocation sums — so the Σ_p pdeg² pair shuffle is paid
     * ONCE per (session, dir), like the d03/d07 pair set and the g25/g26
-    * bicomp labeling. The pdeg ≤ 200 hot-key cap bounds per-part
+    * bicomp labeling — but materialized via Algorithms.memo (columnar
+    * cache), NOT a localCheckpoint: the pair aggregate is a wide
+    * NARROW-TYPED frame (two keys + three numeric sums) that the
+    * columnar cache compresses well, and the checkpoint's RDD
+    * write+re-read measured 156 s vs 76 s cached at sf1.0 (PERF.md
+    * round 9; the d-family's string-heavy artifacts measured the
+    * OPPOSITE ordering and keep their cuts). The pdeg ≤ 200 hot-key
+    * cap bounds per-part
     * fan-out (oracle-mirrored; vacuous at test SFs). Scaled-INTEGER
     * sums: a float sum's result depends on partition order, so each
     * term quantizes to a long at 1e6 (also absorbing ln()'s cross-libm
@@ -197,7 +204,7 @@ object GraphQueries {
       // partitioning on l_partkey, deterministic, and — unlike a
       // broadcast of a corpus-derived frame — the same plan survives a
       // 100× corpus.
-      val spcM = Algorithms.cut(spc)
+      val spcM = Algorithms.memo(spc)
       val pairs = spcM.select(col("l_suppkey").as("sa"), col("l_partkey"))
         .hint("shuffle_hash")
         .join(spcM.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
@@ -207,7 +214,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("common_n"),
           (sum(round(lit(1e6) / log(col("pdeg")), 0).cast("long")) / 1e6).as("adamic_adar"),
           (sum(round(lit(1e6) / col("pdeg"), 0).cast("long")) / 1e6).as("resource_alloc"))
-      (Algorithms.cut(agg), Algorithms.cut(sz))
+      (Algorithms.memo(agg), Algorithms.memo(sz))
     })
 
   val defs: Seq[(String, QDef)] = Seq(

@@ -130,6 +130,21 @@ object Algorithms {
     case _ => df.localCheckpoint()
   }
 
+  /** Materialization for SHARED artifacts — memoized frames consumed by
+    * several queries (the g08/g28 co-occurrence aggregate, the d04/d10
+    * shingle table, the d03/d07 pair set) or by several stages of one
+    * query. Unlike [[cut]], whose job is severing ITERATIVE lineage and
+    * which pays an RDD write + re-read of every row up front, a shared
+    * artifact wants the columnar cache: compressed in-memory batches,
+    * built on first use, spilled only under pressure, and a leaf
+    * (InMemoryRelation) in every downstream plan, so lineage is equally
+    * truncated. Measured at sf1.0 (PERF.md round 9): g08 paid 156 s
+    * with an eager localCheckpoint of its 5e7-row pair aggregate vs
+    * 34.6 s bare — the checkpoint write+re-read was 3.5× the query.
+    * At cluster scale this is the difference between caching a hot
+    * table and re-shipping it through the block manager row by row. */
+  def memo(df: DataFrame): DataFrame = df.cache()
+
   /** Min-depth BFS from `source` to `maxDepth` over `edges` (directed as
     * given — pass the symmetric closure for undirected semantics).
     * Returns (key, depth).

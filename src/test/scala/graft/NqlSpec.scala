@@ -684,6 +684,18 @@ class NqlSpec extends AnyFunSuite {
     // CLUSTERING: the same_region triangle closes perfectly
     val tcc = runS("GRAPH CLUSTERING").filter(col("key") === "t:1").collect()
     assert(tcc.length == 1 && tcc(0).getDouble(3) == 1.0)
+    // CLUSTERING/TRANSITIVITY are SIMPLE-graph coefficients: a duplicate
+    // reversed user edge over an existing triangle side must not move
+    // degrees or counts (canonicalize + distinct — the round-9 policy)
+    val trBefore = runS("GRAPH TRANSITIVITY").collect()(0)
+    runS("EDGE CREATE 't:2' TO 't:1' TYPE 'same_region'")
+    val tccDup = runS("GRAPH CLUSTERING").filter(col("key") === "t:1").collect()
+    assert(tccDup.length == 1 && tccDup(0).getLong(1) == tcc(0).getLong(1) &&
+      tccDup(0).getDouble(3) == 1.0, "duplicate edge must not inflate simple-graph degree")
+    val trAfter = runS("GRAPH TRANSITIVITY").collect()(0)
+    assert(trBefore.getDouble(2) == trAfter.getDouble(2) &&
+      trBefore.getLong(0) == trAfter.getLong(0),
+      "duplicate edge must not move the simple-graph transitivity")
     // TRIANGLES is defined over the same_region slice (overlay-aware
     // WITHIN it; other etypes documented out — COVERAGE.md policy)
     val triKeys = keysOf(runS("GRAPH TRIANGLES"))

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Two-SF scaling audit: run graft.Bench at a small and a large scale
+factor on the same query subset and report per-query scaling exponents.
+
+    exponent = log10(t_large / t_small)   for a 10x SF ratio:
+    1.0 = linear in data, 0 = flat (scheduling-floor-bound), 2.0 = quadratic
+
+This is the protocol that caught d03 (2.08), d10 (1.63) and g38 (1.78)
+in round 9 (PERF.md). Usage:
+
+    python3 tools/gen_sf1.py                      # once, builds target/sf1.0
+    python3 tools/scaling_audit.py g38,g36,g47    # audit a subset
+    python3 tools/scaling_audit.py --all          # every query (slow)
+    python3 tools/scaling_audit.py --threshold 2.0 BENCH.json
+                                                  # derive the subset from a
+                                                  # prior bench json (queries
+                                                  # >= 2s)
+
+Exponents are single-run: sf1.0 noise on heavy queries is +/-30-40%
+(PERF.md round 9), so treat anything under ~1.2 as noise-compatible
+with linear and re-run with --runs 3 before acting.
+"""
+import json
+import math
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMALL = os.environ.get("GRAFT_AUDIT_SMALL", "/root/testdata/sf0.1")
+LARGE = os.environ.get("GRAFT_AUDIT_LARGE", os.path.join(REPO, "target/sf1.0"))
+
+
+def run_bench(sf_dir, only, runs):
+    per_query = {}
+    for _ in range(runs):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+        if only:
+            env["SPARK_GRAFT_ONLY"] = only
+        out = subprocess.run(
+            ["sbt", "runMain graft.Bench"], cwd=REPO, env=env,
+            capture_output=True, text=True, check=True).stdout
+        qline = next(l for l in out.splitlines() if l.startswith("{") and '"queries"' in l)
+        for k, v in json.loads(qline)["queries"].items():
+            per_query.setdefault(k, []).append(v)
+    return {k: statistics.median(v) for k, v in per_query.items()}
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    runs = 1
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i:i + 2]
+    threshold = None
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i:i + 2]
+    only = None
+    if args and args[0] == "--all":
+        pass
+    elif threshold is not None and args:
+        prior = json.load(open(args[0]))
+        qs = prior.get("queries") or prior.get("parsed", {}).get("queries", {})
+        only = ",".join(sorted({k.split("_")[0] for k, v in qs.items() if v >= threshold}))
+        print(f"# derived subset: {only}")
+    elif args:
+        only = args[0]
+    else:
+        print(__doc__)
+        sys.exit(2)
+
+    if not os.path.isdir(LARGE):
+        sys.exit(f"{LARGE} missing - run tools/gen_sf1.py first")
+    a = run_bench(SMALL, only, runs)
+    b = run_bench(LARGE, only, runs)
+    rows = sorted(((k, a[k], b[k], math.log10(max(b[k], 1e-3) / max(a[k], 1e-3)))
+                   for k in a if k in b), key=lambda r: -r[3])
+    print(f"{'query':40s} {'small(s)':>9} {'large(s)':>9} {'exponent':>9}")
+    for k, t0, t1, e in rows:
+        flag = "  <-- SUPER-LINEAR" if e > 1.05 and t1 > 2.0 else ""
+        print(f"{k:40s} {t0:9.2f} {t1:9.2f} {e:9.2f}{flag}")
+    bad = [k for k, _, t1, e in rows if e > 1.05 and t1 > 2.0]
+    print(f"\n{len(bad)} super-linear: {bad}" if bad else "\nall linear-or-better")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

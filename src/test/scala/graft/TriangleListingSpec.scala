@@ -78,4 +78,30 @@ class TriangleListingSpec extends AnyFunSuite {
     val edges = (for (i <- 1 to 4; j <- 1 to 4) yield (s"a$i", s"b$j")).toSet
     assert(Algorithms.triangleTriples(edges.toSeq.toDF("u", "v")).count() == 0)
   }
+
+  test("ktruss cascade: a triangle strip peels over multiple rounds, K4 survives") {
+    // Strip of 6 triangles sharing sides: n0-n1-n2, n1-n2-n3, ... Interior
+    // sides have support 2, the two boundary sides support 1, so 4-truss
+    // (sup >= 2) peeling CASCADES inward one triangle per round — the
+    // shape that catches an under-counted round bound or a support
+    // formula that only holds on the first pass. Plus a disjoint K4,
+    // where every edge closes 2 triangles and must survive unconditionally.
+    val strip = (0 to 5).flatMap(i =>
+      Seq((s"n$i", s"n${i + 1}"), (s"n$i", s"n${i + 2}"), (s"n${i + 1}", s"n${i + 2}")))
+    val k4ns = (1 to 4).map(i => s"q$i")
+    val k4 = for (i <- k4ns.indices; j <- i + 1 until k4ns.size) yield (k4ns(i), k4ns(j))
+    val e0 = (strip ++ k4).distinct
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toDF("u", "v")
+    // enough rounds: whole strip gone, K4 intact
+    val kept = Algorithms.ktruss(e0, k = 4, rounds = 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == k4.toSet, s"4-truss must be exactly the K4, got $kept")
+    // too few rounds for the cascade: the fixpoint probe must throw, not
+    // return a half-peeled truss that an identically-unrolled oracle
+    // would silently match
+    val ex = intercept[IllegalStateException] {
+      Algorithms.ktruss(e0, k = 4, rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
 }

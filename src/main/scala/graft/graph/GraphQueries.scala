@@ -294,16 +294,21 @@ object GraphQueries {
         .orderBy("component"),
       componentCensusOracleSql),
 
+    // Per-node triangle counts over the same_region cliques. The oracle
+    // unrolls the canonical a<b<c 3-way join; the Spark side uses the
+    // shared degree-ordered listing (Algorithms.triangleTriples) — same
+    // exactly-once-per-triangle semantics, but Σ d⁺² wedge cost instead
+    // of the self-join's Σ deg², so the statement front stays safe on
+    // hub-heavy user overlays (PERF.md round 9).
     "g07_triangle_count" -> QDef(
-      (s, d) => {
-        val e = TpchGraph.sameRegionEdges(s, d).select("src", "dst")
-        val tri = e.select(col("src").as("a"), col("dst").as("b"))
-          .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
-          .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-        tri.select(explode(array(col("a"), col("b"), col("c"))).as("key"))
-          .groupBy("key").agg(count(lit(1)).as("n_triangles"))
-          .orderBy("key")
-      },
+      (s, d) => Algorithms.localTriangleCounts(
+          TpchGraph.sameRegionEdges(s, d)
+            // numeric key order ("nation:2" → "nation:10") ≠ the string
+            // order the listing's closure check canonicalizes on
+            .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v")))
+        .withColumnRenamed("tri", "n_triangles")
+        .orderBy("key"),
       s"""WITH $cliqueEdgesSql,
          |tri AS (
          |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c

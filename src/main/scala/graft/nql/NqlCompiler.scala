@@ -503,15 +503,16 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           slice.select(col("src").as("key")).union(slice.select(col("dst").as("key"))).distinct(),
           slice)
           .filter(col("n_triangles") > 0).orderBy("key")
-      else {
-        val e = slice.select("src", "dst")
-        e.select(col("src").as("a"), col("dst").as("b"))
-          .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
-          .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-          .select(explode(array(col("a"), col("b"), col("c"))).as("key"))
-          .groupBy("key").agg(count(lit(1)).as("n_triangles"))
+      else
+        // shared degree-ordered listing (Algorithms.triangleTriples):
+        // the canonical 3-way self-join lists each triangle once too,
+        // but its a⋈b wedge step is Σ deg² on a key-ordered hub — a
+        // user overlay hub whose key sorts low emits deg² wedge rows.
+        // Output is identical (one count per triangle per corner).
+        graft.graph.Algorithms.localTriangleCounts(
+          slice.select(col("src").as("u"), col("dst").as("v")))
+          .withColumnRenamed("tri", "n_triangles")
           .orderBy("key")
-      }
 
     case GraphBiconnected() =>
       biconnectedEdges()

@@ -79,6 +79,55 @@ class TriangleListingSpec extends AnyFunSuite {
     assert(Algorithms.triangleTriples(edges.toSeq.toDF("u", "v")).count() == 0)
   }
 
+  test("GRAPH TRIANGLES statement differential: random overlay graphs with dup/reversed edges") {
+    // End-to-end through the statement VIEW composition (EntityStore
+    // overlay union -> same_region slice -> canonicalize+distinct ->
+    // oriented listing) against a naive 3-way-join oracle composed here
+    // on the same slice. Generated edges deliberately include duplicates
+    // and reversed duplicates — the simple-graph distinct must absorb
+    // them in both engines.
+    val rnd = new scala.util.Random(0x9A5CADE5L)
+    for (trial <- 1 to 4) {
+      val store = new graft.unified.EntityStore(spark,
+        java.nio.file.Files.createTempDirectory(s"tri-fuzz-$trial").toString)
+      def runS(q: String) = graft.nql.Nql.execute(spark, TestSpark.sf, store, q)
+      val ns = (0 until 8).map(i => f"f$trial:$i")
+      ns.foreach(k => runS(s"NODE CREATE '$k' LABEL 'fz' NAME '$k'"))
+      val base = for {
+        i <- ns.indices; j <- i + 1 until ns.size
+        if rnd.nextDouble() < 0.35
+      } yield (ns(i), ns(j))
+      val withDups = base ++ base.filter(_ => rnd.nextBoolean()).map(_.swap) ++
+        base.take(2) // exact duplicates
+      withDups.foreach { case (a, b) => runS(s"EDGE CREATE '$a' TO '$b' TYPE 'same_region'") }
+
+      // naive oracle on the canonical distinct slice: base nation cliques
+      // plus the overlay, straight 3-way join (independent of the engine)
+      val baseSr = TestSpark.spark.read
+        .parquet(s"${TestSpark.sf}/nation.parquet")
+        .select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
+      val cliques = baseSr
+        .join(baseSr.select(col("ka").as("kb"), col("ra").as("rb")),
+          col("ra") === col("rb") && col("ka") < col("kb"))
+        .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
+          concat(lit("nation:"), col("kb").cast("string")).as("dst"))
+      val overlay = withDups.toDF("src", "dst")
+      val slice = cliques.unionByName(overlay)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val want = slice.select(col("u").as("a"), col("v").as("b"))
+        .join(slice.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+        .join(slice.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("key")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val got = runS("GRAPH TRIANGLES")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(got == want, s"trial $trial: engine $got vs oracle $want")
+    }
+  }
+
   test("ktruss cascade: a triangle strip peels over multiple rounds, K4 survives") {
     // Strip of 6 triangles sharing sides: n0-n1-n2, n1-n2-n3, ... Interior
     // sides have support 2, the two boundary sides support 1, so 4-truss

@@ -94,7 +94,13 @@ final case class GraphPageRank(iterations: Int = 10, engine: String = "dataframe
     damping: Double = 0.85, tolerance: Double = 0.0,
     etype: Option[String] = None, direction: Option[String] = None) extends GraphAlgo
 final case class GraphComponents(engine: String = "dataframe") extends GraphAlgo
-final case class GraphTriangles(engine: String = "dataframe") extends GraphAlgo
+/** `GRAPH TRIANGLES [EDGE TYPE 't'] [ENGINE 'e']` — per-node triangle
+  * counts over the WHOLE overlay graph by default, optionally restricted
+  * to one edge type (the reference's `TriangleConfig.edge_type`,
+  * `graph_engine/src/algorithms/triangles.rs:18,30`; `count_triangles`
+  * builds adjacency from all neighbors, `triangles.rs:99-130`). */
+final case class GraphTriangles(engine: String = "dataframe",
+    etype: Option[String] = None) extends GraphAlgo
 final case class GraphBiconnected() extends GraphAlgo
 final case class GraphArticulation() extends GraphAlgo
 final case class GraphHits(iterations: Int = 4) extends GraphAlgo

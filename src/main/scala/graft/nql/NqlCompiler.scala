@@ -487,14 +487,15 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       cc.groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
 
-    // Defined over the same_region clique slice (the g07 gate shape) —
-    // overlay-aware within the slice: user-created same_region edges and
-    // tombstones participate; other etypes stay outside the definition
-    // (documented, COVERAGE.md "statement-path bound policy").
-    case GraphTriangles(engine) =>
+    // Defined over the WHOLE overlay graph by default, optionally
+    // restricted to one edge type — the reference's TriangleConfig
+    // (`triangles.rs:18,30`; adjacency from all neighbors, :99-130).
+    // Consistent with GRAPH CLUSTERING / GRAPH TRANSITIVITY, which
+    // already count triangles over all overlay edges.
+    case GraphTriangles(engine, etype) =>
       // canonicalize (base rows ship src<dst once, but user-created edges
       // arrive in either orientation, possibly duplicating a base edge)
-      val slice = allEdges.filter(col("etype") === "same_region")
+      val slice = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .filter(col("src") < col("dst")).distinct()

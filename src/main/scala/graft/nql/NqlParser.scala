@@ -947,7 +947,20 @@ object NqlParser {
         }
         s
       case "COMPONENTS" => GraphComponents(engine())
-      case "TRIANGLES" => GraphTriangles(engine())
+      case "TRIANGLES" =>
+        // EDGE TYPE / ENGINE in any order (reference TriangleConfig,
+        // `triangles.rs:18,30` — edge_type None = all edge types)
+        var s = GraphTriangles()
+        var continue = true
+        while (continue && !p.done) {
+          p.peekUpper match {
+            case Some("EDGE") =>
+              p.next(); p.expectKw("TYPE"); s = s.copy(etype = Some(identOrString(p)))
+            case Some("ENGINE") => s = s.copy(engine = engine())
+            case _ => continue = false
+          }
+        }
+        s
       case "BICONNECTED" => GraphBiconnected()
       case "ARTICULATION" => GraphArticulation()
       case "HITS" =>

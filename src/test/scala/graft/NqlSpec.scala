@@ -73,7 +73,13 @@ class NqlSpec extends AnyFunSuite {
     assert(deg.getLong(1) >= 5)
     assert(run("GRAPH COMPONENTS").count() == 5)
     assert(run("GRAPH PAGERANK ITERATIONS 5").count() > 0)
-    assert(run("GRAPH TRIANGLES").count() == 25)
+    // whole-graph default (reference TriangleConfig): the 25 nations in
+    // their same_region 5-cliques PLUS the 5 region hubs (each closes
+    // region–nation–nation triangles via in_region + same_region)
+    assert(run("GRAPH TRIANGLES").count() == 30)
+    // EDGE TYPE filter restricts to one etype's subgraph
+    assert(run("GRAPH TRIANGLES EDGE TYPE 'same_region'").count() == 25)
+    assert(run("GRAPH TRIANGLES EDGE TYPE 'in_region'").count() == 0)
     // 5 region wheels (15 edges each) + every leaf edge its own bridge
     assert(run("GRAPH BICONNECTED").filter(col("n_edges") === 15).count() == 5)
     // articulation points are exactly the leaf-owning nations
@@ -696,13 +702,32 @@ class NqlSpec extends AnyFunSuite {
     assert(trBefore.getDouble(2) == trAfter.getDouble(2) &&
       trBefore.getLong(0) == trAfter.getLong(0),
       "duplicate edge must not move the simple-graph transitivity")
-    // TRIANGLES is defined over the same_region slice (overlay-aware
-    // WITHIN it; other etypes documented out — COVERAGE.md policy)
+    // TRIANGLES defaults to the WHOLE overlay graph (reference
+    // TriangleConfig, triangles.rs:18,30): BOTH detached triangles
+    // are counted regardless of etype
     val triKeys = keysOf(runS("GRAPH TRIANGLES"))
-    assert(Set("t:1", "t:2", "t:3").subsetOf(triKeys), s"got $triKeys")
-    assert(!triKeys.exists(_.startsWith("y:")), "link-etype triangle must stay outside the slice")
+    assert(Set("t:1", "t:2", "t:3", "y:1", "y:2", "y:3").subsetOf(triKeys), s"got $triKeys")
     val triKeysGx = keysOf(runS("GRAPH TRIANGLES ENGINE 'graphx'"))
-    assert(Set("t:1", "t:2", "t:3").subsetOf(triKeysGx))
+    assert(Set("t:1", "t:2", "t:3", "y:1", "y:2", "y:3").subsetOf(triKeysGx))
+    // EDGE TYPE restricts to one etype's subgraph (either argument order)
+    val triSr = keysOf(runS("GRAPH TRIANGLES EDGE TYPE 'same_region'"))
+    assert(Set("t:1", "t:2", "t:3").subsetOf(triSr) && !triSr.exists(_.startsWith("y:")),
+      s"same_region filter must exclude the link triangle: $triSr")
+    val triLink = keysOf(runS("GRAPH TRIANGLES EDGE TYPE 'link' ENGINE 'dataframe'"))
+    assert(Set("y:1", "y:2", "y:3").subsetOf(triLink) && !triLink.exists(_.startsWith("t:")),
+      s"link filter must exclude the same_region triangle: $triLink")
+    // TRIANGLES and CLUSTERING agree on every node's triangle count
+    // (both run over the whole simple overlay graph)
+    val triMap = runS("GRAPH TRIANGLES").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cluMap = runS("GRAPH CLUSTERING").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((k, n) <- cluMap if n > 0)
+      assert(triMap.get(k).contains(n),
+        s"CLUSTERING says $k closes $n triangles but TRIANGLES says ${triMap.get(k)}")
+    for ((k, n) <- triMap)
+      assert(cluMap.get(k).contains(n),
+        s"TRIANGLES lists $k with $n but CLUSTERING says ${cluMap.get(k)}")
     // ASSORTATIVITY is computed over the overlay closure
     val aBase = run("GRAPH ASSORTATIVITY").collect()(0).getDouble(1)
     val aOver = runS("GRAPH ASSORTATIVITY").collect()(0).getDouble(1)

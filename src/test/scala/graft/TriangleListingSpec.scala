@@ -122,7 +122,10 @@ class TriangleListingSpec extends AnyFunSuite {
         .groupBy("key").agg(count(lit(1)).as("n_triangles"))
         .orderBy("key")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      val got = runS("GRAPH TRIANGLES")
+      // the oracle composes the same_region slice, so exercise the
+      // statement's EDGE TYPE filter path (the default is whole-graph
+      // per the reference TriangleConfig; NqlSpec pins that scope)
+      val got = runS("GRAPH TRIANGLES EDGE TYPE 'same_region'")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       assert(got == want, s"trial $trial: engine $got vs oracle $want")
     }

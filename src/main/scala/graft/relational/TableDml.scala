@@ -277,9 +277,21 @@ object TableDml {
     post.select(tableCols.map(col): _*)
       .write.format(provider).partitionBy(partCols: _*).save(staging.toString)
     // the specs that actually landed (read back from staging, so adds and
-    // drops are derived from what is on disk, not from a re-evaluated plan)
-    val postSpecs = spark.read.format(provider).load(staging.toString)
-      .select(partCols.map(col): _*).distinct().collect()
+    // drops are derived from what is on disk, not from a re-evaluated
+    // plan). Partition-type inference must be OFF for this read: a STRING
+    // partition value that merely looks numeric ('00123') would be
+    // re-typed (int 123), its spec string would no longer match the
+    // table-typed pre-image spec, and adds/stales would be miscomputed —
+    // the real post-swap directory never registered, the correct entry
+    // dropped as stale. Read raw strings in a conf-cloned session, then
+    // cast to the TABLE's partition schema so pre/post specs compare in
+    // table-typed space.
+    val noInfer = spark.newSession()
+    noInfer.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val partSchema = meta.partitionSchema
+    val postSpecs = noInfer.read.format(provider).load(staging.toString)
+      .select(partCols.map(c => col(c).cast(partSchema(c).dataType).as(c)): _*)
+      .distinct().collect()
     val preSpecSet = preParts.map(specOf(partCols, _)).toSet
     val postSpecSet = postSpecs.map(specOf(partCols, _)).toSet
     val added = postSpecs.filterNot(r => preSpecSet(specOf(partCols, r)))
@@ -298,13 +310,23 @@ object TableDml {
       val s = specOf(partCols, r)
       !postSpecSet(s) || customPre.exists { case (cr, _) => specOf(partCols, cr) == s }
     }
+    // on any failed swap the rollback must also UNregister the `added`
+    // partitions: they were registered before the swap and point at
+    // directories that only exist in the (never-installed) post-image —
+    // leaving them would error every subsequent read of the table
+    def dropAddedOnRollback(): Unit = if (added.nonEmpty)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+        added.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(", "))
     if (added.nonEmpty)
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
         added.map(r => s"PARTITION (${specOf(partCols, r)})").mkString(" "))
-    if (!fs.rename(loc, retired))
+    if (!fs.rename(loc, retired)) {
+      dropAddedOnRollback()
       throw NqlExecException(s"$table: could not retire current table directory $loc")
+    }
     if (!fs.rename(staging, loc)) {
       fs.rename(retired, loc) // best-effort rollback
+      dropAddedOnRollback()
       throw NqlExecException(s"$table: could not install new table directory")
     }
     if (stale.nonEmpty)

@@ -120,6 +120,46 @@ class DdlDmlSpec extends AnyFunSuite {
     nql("DROP TABLE graft_pdml")
   }
 
+  test("partition-column SET migration preserves numeric-looking STRING partition values") {
+    // The swap path derives adds/stales by reading partition specs back
+    // from the staging dir. With partition-type inference ON that read
+    // re-types a STRING value that merely looks numeric ('00123' →
+    // int 123): the post spec no longer matches the table-typed pre
+    // spec, a wrong spec is ADDed, the real post-swap entry is dropped
+    // as stale, and the migrated rows silently vanish. The rewrite
+    // reads staging with inference OFF and casts to the table's
+    // partition schema — pin every lossy-inference shape at once.
+    val loc = java.nio.file.Files.createTempDirectory("graft-pinf").toString
+    def nql(q: String) = Nql.execute(spark, sf, q)
+    nql(s"CREATE TABLE graft_pinf (name STRING, bucket STRING) USING parquet PARTITIONED BY (bucket) LOCATION '$loc/t'")
+    // EVERY post-image value must be numeric for inference to strike (a
+    // single non-numeric value falls the whole column back to raw
+    // strings); trailing-zero decimals are the lossy shape — inference
+    // re-types to double and '0.50' renders back as '0.5', so the spec
+    // no longer round-trips
+    nql("INSERT INTO graft_pinf VALUES ('a', '0.50'), ('b', '0.70')")
+    // migrate 'a' into a NEW lossy partition '1.10', emptying '0.50'
+    // (a lossy STALE spec) while '0.70' survives untouched
+    nql("UPDATE graft_pinf SET bucket = '1.10' WHERE name = 'a'")
+    val got = nql("SELECT name, bucket FROM graft_pinf ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq("a" -> "1.10", "b" -> "0.70"),
+      s"migrated rows lost or re-typed: $got")
+    // partition pruning still works on the preserved literal values
+    assert(nql("SELECT count(*) AS n FROM graft_pinf WHERE bucket = '1.10'")
+      .collect()(0).getLong(0) == 1)
+    assert(nql("SELECT count(*) AS n FROM graft_pinf WHERE bucket = '0.50'")
+      .collect()(0).getLong(0) == 0)
+    // the catalog's partition set matches what is on disk, in table-typed
+    // (raw string) space — no double-rendered '1.1'/'0.7' ghosts, no
+    // dropped survivor, the real '1.10' registered
+    val specs = spark.sql("SHOW PARTITIONS graft_pinf")
+      .collect().map(_.getString(0)).toSet
+    assert(specs == Set("bucket=1.10", "bucket=0.70"),
+      s"catalog partition set diverged: $specs")
+    nql("DROP TABLE graft_pinf")
+  }
+
   test("external partitioned DELETE removes partition files — re-insert cannot resurrect") {
     // LOCATION makes the table EXTERNAL: there DROP PARTITION alone removes
     // only catalog metadata, so without explicit file removal a later

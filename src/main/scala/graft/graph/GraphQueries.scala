@@ -304,9 +304,13 @@ object GraphQueries {
       (s, d) => Algorithms.localTriangleCounts(
           TpchGraph.sameRegionEdges(s, d)
             // numeric key order ("nation:2" → "nation:10") ≠ the string
-            // order the listing's closure check canonicalizes on
+            // order the listing's closure check canonicalizes on;
+            // distinct: the listing REQUIRES a simple edge frame (a dup
+            // doubles degrees and re-lists the triangle) — no-op on the
+            // bundled construction, load-bearing for any future caller
             .select(least(col("src"), col("dst")).as("u"),
-              greatest(col("src"), col("dst")).as("v")))
+              greatest(col("src"), col("dst")).as("v"))
+            .distinct())
         .withColumnRenamed("tri", "n_triangles")
         .orderBy("key"),
       s"""WITH $cliqueEdgesSql,
@@ -1282,6 +1286,7 @@ object GraphQueries {
         val und = TpchGraph.edges(s, d)
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
+          .distinct() // simple-graph precondition of the oriented listing
         Algorithms.ktruss(und, k = 4, rounds = 2)
           .select(explode(array(col("u"), col("v"))).as("key"))
           .groupBy("key").agg(count(lit(1)).as("n_truss_edges"))
@@ -1348,6 +1353,7 @@ object GraphQueries {
         val e0 = TpchGraph.edges(s, d)
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
+          .distinct() // simple-graph precondition of the oriented listing
         val und = e0.select(col("u").as("x"), col("v").as("w"))
           .union(e0.select(col("v").as("x"), col("u").as("w")))
         val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))

@@ -314,6 +314,12 @@ object Algorithms {
     * in the (deg, key) total order has both out-edges, and no other
     * corner has both, so the listing is exact — per-node and per-edge
     * counts follow by scattering corners/sides.
+    *
+    * PRECONDITION: `e0` must be a DUPLICATE-FREE u<v-canonical frame
+    * (`.distinct()` it if in doubt): a duplicated pair doubles both
+    * endpoint degrees and lists each affected triangle repeatedly, and
+    * the left_semi closure cannot absorb that. Every caller in this
+    * repo canonicalizes with least/greatest + distinct.
     * Reference counterpart: graph_engine/src/lib.rs triangle counting
     * (per-node adjacency intersection). */
   def triangleTriples(e0: DataFrame): DataFrame = {

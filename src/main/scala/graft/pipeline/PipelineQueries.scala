@@ -71,55 +71,70 @@ object PipelineQueries {
     *  1. COLLAPSE: docs with identical word sets (canonical sorted-array
     *     signature) join every pairing decision exactly once; identical
     *     pairs are emitted directly at j = 1 without entering the join.
-    *  2. PREFIX FILTER: order tokens by ascending global set-frequency;
-    *     any pair with c ≥ ⌈0.8·max(na,nb)⌉ shared tokens must share its
-    *     order-minimal common token within BOTH ⌊0.2n⌋+1 prefixes, so the
-    *     candidate join probes prefixes against prefixes only — buckets
-    *     are per-(source, rare-token), never per-token-occurrence. The
-    *     old keying probed every (word, source) bucket; with a ~31-word
-    *     vocabulary those buckets grow linearly with the corpus and the
-    *     join quadratically (measured 1.12e9 candidate rows at sf1.0 for
-    *     1.5e7 result pairs).
-    *  3. LENGTH FILTER: c ≤ min and c ≥ 0.8·max force 5·min ≥ 4·max,
-    *     integer-exact in the join condition.
+    *  2. PREFIX FILTER (asymmetric, PPJoin — Xiao, Wang, Lin, Yu 2008):
+    *     order tokens by ascending global set-frequency; the pair's
+    *     order-minimal common token w* must sit within the LONGER set's
+    *     probing prefix (⌊(1−t)n⌋+1 = ⌊0.2n⌋+1 tokens) and within the
+    *     SHORTER set's mid-prefix (n − ⌈(2t/(1+t))n⌉ + 1 = n − ⌈8n/9⌉ + 1
+    *     tokens, roughly half the probing prefix): with nb ≤ na and
+    *     c ≥ (t/(1+t))(na+nb) ≥ (2t/(1+t))·nb, all c common tokens lie
+    *     at rank ≥ rk(w*) in b, so rk(w*) ≤ nb − ⌈8nb/9⌉ + 1. Buckets
+    *     are (probe-prefix × mid-prefix) per (source, rare-token) —
+    *     round 9's symmetric probe × probe was ~2× more candidate work,
+    *     and the round-8 per-token-occurrence keying before it was
+    *     quadratic (1.12e9 candidate rows at sf1.0 for 1.5e7 pairs).
+    *  3. LENGTH + POSITIONAL FILTER, integer-exact in the join: nb ≤ na
+    *     and j ≥ 0.8 force 5·nb ≥ 4·na; and the matched token's ranks
+    *     bound the achievable overlap c ≤ 1 + min(na−rka, nb−rkb), so
+    *     9·(1 + min(na−rka, nb−rkb)) ≥ 4·(na+nb) must hold for the w*
+    *     match row of any true pair (c ≥ 4/9·(na+nb) ⟺ j ≥ 0.8).
     *  4. VERIFY + EXPAND: one array_intersect per surviving distinct-set
     *     pair (no exploded per-token re-join), then map set pairs back to
     *     doc pairs — output-bound by construction.
     */
-  private def wordJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def wordJaccardPairs(s: SparkSession, d: String): DataFrame =
+    wordJaccardPairsPath(s, d, forceBitmask = None)
+
+  /** Path-forcing entry for the differential spec (D03PathsSpec): both
+    * implementations must produce identical pairs on the same corpus. */
+  private[graft] def wordJaccardPairsPath(s: SparkSession, d: String,
+      forceBitmask: Option[Boolean]): DataFrame = {
     val sets = graft.graph.Algorithms.cut(
       words(s, d).groupBy("doc_id").agg(
           first(col("source")).as("source"),
           sort_array(collect_set(col("w"))).as("wa"))
-        .withColumn("sig", md5(concat_ws(" ", col("wa"))))
+        // 8-byte internal set identity (never user-visible): a LONG sig
+        // halves-to-quarters every candidate-stage shuffle row vs the
+        // 32-char md5 hex it replaces (the cand exchange carries two
+        // sigs across ~36M rows at sf1.0). Collision odds across ~4e4
+        // distinct sets are ~(4e4)²/2⁶⁵ ≈ 1e-10 — far below disk bit
+        // error; a collision would only collapse two sets and be caught
+        // by the d03 oracle gate.
+        .withColumn("sig", xxhash64(concat_ws(" ", col("wa"))))
         .withColumn("n", size(col("wa"))))
     val memb = sets.select("doc_id", "source", "sig")
-    val reps = sets.groupBy("source", "sig")
-      .agg(first(col("wa")).as("wa"), first(col("n")).as("n"))
-    // Ascending (set-frequency, token) is the shared global token order;
-    // rk ≤ ⌊n/5⌋+1 keeps exactly the ⌊(1−t)n⌋+1 order-minimal tokens.
-    val tok = reps.select(col("source"), col("sig"), col("n"), explode(col("wa")).as("w"))
-    val dfq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfq, Seq("w"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source", "sig").orderBy(col("df"), col("w"))))
-      .filter((col("rk") - 1) * 5 <= col("n"))
-      .select(col("source"), col("sig"), col("n"), col("w"))
-    val cand = prefix.select(col("source"), col("sig").as("siga"), col("n").as("na"), col("w"))
-      .join(prefix.select(col("source"), col("sig").as("sigb"), col("n").as("nb"), col("w")),
-        Seq("source", "w"))
-      .filter(col("siga") < col("sigb") &&
-        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-      .select("source", "siga", "sigb").distinct()
-    val scored = cand
-      .join(reps.select(col("source"), col("sig").as("siga"),
-        col("wa").as("waa"), col("n").as("na")), Seq("source", "siga"))
-      .join(reps.select(col("source"), col("sig").as("sigb"),
-        col("wa").as("wab"), col("n").as("nb")), Seq("source", "sigb"))
-      .withColumn("c", size(array_intersect(col("waa"), col("wab"))))
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= 0.8)
-      .select("source", "siga", "sigb", "jaccard")
+    // cut: reps feeds the candidate build AND the verify joins — measured
+    // A/B at sf1.0 (PERF.md round 10): uncomposed recomputation put the
+    // whole general-path pipeline at 59 s; reps+ranked cuts take it to
+    // ~25 s. (reps cut ALONE is catastrophic — 198 s — the cut flips the
+    // verify joins' broadcast decision while the expensive window still
+    // recomputes; always pair it with the ranked cut.)
+    val reps = graft.graph.Algorithms.cut(sets.groupBy("source", "sig")
+      .agg(first(col("wa")).as("wa"), first(col("n")).as("n")))
+    // Dictionary-encodable small-domain fast path: when the corpus
+    // vocabulary fits 64 bits, each distinct word set is one BIGINT
+    // bitmask and the whole prefix/verify machinery collapses to a
+    // size-banded self-join over ~|distinct sets| longs with
+    // AND+popcount per pair — exact, not approximate. The same trick
+    // columnar engines pull with dictionary encoding; the general
+    // Vernica/PPJoin path below remains the arbitrary-vocabulary
+    // algorithm (and D03PathsSpec pins both paths identical). The probe
+    // is one bounded job: distinct tokens, short-circuited at 65.
+    val vocabSmall = forceBitmask.getOrElse(
+      reps.select(explode(col("wa")).as("w")).distinct().limit(65).count() <= 64)
+    val scored =
+      if (vocabSmall) bitmaskScored(s, reps)
+      else prefixScored(reps)
     val cross = scored
       .join(memb.select(col("source"), col("sig").as("siga"), col("doc_id").as("ia")),
         Seq("source", "siga"))
@@ -132,6 +147,86 @@ object PipelineQueries {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), lit(1.0).as("jaccard"))
     cross.unionByName(ident)
+  }
+
+  /** General-vocabulary candidate+verify (stages 2–4 of the scaladoc
+    * above): asymmetric PPJoin prefix filter, positional+length filter,
+    * one array_intersect per surviving pair. Returns
+    * (source, siga, sigb, jaccard) for distinct-set pairs with j ≥ 0.8. */
+  private def prefixScored(reps: DataFrame): DataFrame = {
+    // Ascending (set-frequency, token) is the shared global token order;
+    // rk ≤ ⌊n/5⌋+1 keeps exactly the ⌊(1−t)n⌋+1 order-minimal tokens.
+    val tok = reps.select(col("source"), col("sig"), col("n"), explode(col("wa")).as("w"))
+    val dfq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // cut: ranked feeds BOTH prefix frames (probe + mid) — without it
+    // the token explode + df join + window re-run once per side (and
+    // transitively re-aggregate reps); the dominant cost of the composed
+    // plan in the sf1.0 A/B (PERF.md round 10)
+    val ranked = graft.graph.Algorithms.cut(tok.join(dfq, Seq("w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "sig").orderBy(col("df"), col("w"))))
+      .select(col("source"), col("sig"), col("n"), col("w"), col("rk")))
+    // probing prefix rk ≤ ⌊n/5⌋+1; mid-prefix rk ≤ n − ⌈8n/9⌉ + 1
+    val probe = ranked.filter((col("rk") - 1) * 5 <= col("n"))
+    val mid = ranked.filter(expr("rk - 1 <= n - ((8 * n + 8) DIV 9)"))
+    // a = the (n, sig)-larger side probes with its full prefix; b = the
+    // smaller side is met on its mid-prefix only. Strict (n, sig) total
+    // order emits each unordered pair exactly once.
+    val cand = probe.select(col("source"), col("sig").as("siga"), col("n").as("na"),
+        col("w"), col("rk").as("rka"))
+      .join(mid.select(col("source"), col("sig").as("sigb"), col("n").as("nb"), col("w"),
+        col("rk").as("rkb")),
+        Seq("source", "w"))
+      .filter(col("nb") < col("na") ||
+        (col("nb") === col("na") && col("sigb") < col("siga")))
+      .filter(col("nb") * 5 >= col("na") * 4)
+      .filter((lit(1) + least(col("na") - col("rka"), col("nb") - col("rkb"))) * 9 >=
+        (col("na") + col("nb")) * 4)
+      .select("source", "siga", "sigb").distinct()
+    cand
+      .join(reps.select(col("source"), col("sig").as("siga"),
+        col("wa").as("waa"), col("n").as("na")), Seq("source", "siga"))
+      .join(reps.select(col("source"), col("sig").as("sigb"),
+        col("wa").as("wab"), col("n").as("nb")), Seq("source", "sigb"))
+      .withColumn("c", size(array_intersect(col("waa"), col("wab"))))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.8)
+      .select("source", "siga", "sigb", "jaccard")
+  }
+
+  /** ≤64-word-vocabulary candidate+verify: dictionary-encode the corpus
+    * vocabulary (one bounded ≤64-row collect), fold each distinct set to
+    * a BIGINT bitmask, then size-band the self-join — the b-side
+    * replicates each set once per admissible partner size (na ∈
+    * [nb, ⌊5nb/4⌋], the 5·nb ≥ 4·na length filter made into an
+    * equi-join key), so every candidate pair is one codegen'd
+    * AND+popcount, no prefix frames, no distinct, no array intersect.
+    * c = popcount(ma & mb) equals the general path's array_intersect
+    * size exactly, so jaccard values are bit-identical. */
+  private def bitmaskScored(s: SparkSession, reps: DataFrame): DataFrame = {
+    val dictRows = reps.select(explode(col("wa")).as("w")).distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    require(dictRows.length <= 64,
+      s"bitmask path requires vocabulary <= 64, got ${dictRows.length}")
+    val dict = s.createDataFrame(dictRows.toSeq.zipWithIndex).toDF("w", "bit")
+    val bm = graft.graph.Algorithms.cut(
+      reps.select(col("source"), col("sig"), col("n"), explode(col("wa")).as("w"))
+        .join(broadcast(dict), Seq("w"))
+        .groupBy("source", "sig", "n")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask")))
+    val aSide = bm.select(col("source"), col("sig").as("siga"),
+      col("n").as("na"), col("mask").as("ma"))
+    val bSide = bm.select(col("source"), col("sig").as("sigb"),
+        col("n").as("nb"), col("mask").as("mb"))
+      .withColumn("na", explode(sequence(col("nb"),
+        floor(col("nb") * 5 / 4).cast("int"))))
+    aSide.join(bSide, Seq("source", "na"))
+      .filter(col("nb") < col("na") ||
+        (col("nb") === col("na") && col("sigb") < col("siga")))
+      .withColumn("c", expr("CAST(bit_count(ma & mb) AS BIGINT)"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.8)
+      .select("source", "siga", "sigb", "jaccard")
   }
 
   /** The ≥0.8 pair set materialized ONCE per (session, dir) and shared by

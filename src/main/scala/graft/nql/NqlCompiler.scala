@@ -403,19 +403,21 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // corpus-sized) and one log append.
     case NodeBatchUpdate(items) =>
       val st = storeOrFail("BATCH UPDATE NODES")
-      val keys = items.map(_._1)
-      val current = st.entities.filter(col("key").isin(keys: _*))
-        .select("key", "props", "embedding").collect()
-        .map(r => r.getAs[String]("key") -> r).toMap
-      val missing = keys.filterNot(current.contains)
-      if (missing.nonEmpty) throw NqlExecException(
-        s"BATCH UPDATE NODES: node(s) ${missing.sorted.mkString(", ")} do not exist")
-      st.put(items.map { case (key, props) =>
-        val row = current(key)
-        val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
-        val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
-        graft.unified.EntityStore.EntityRow(key, curProps ++ props, curEmb)
-      })
+      st.withMergeLock { // read-merge-append: serialize vs other merges
+        val keys = items.map(_._1)
+        val current = st.entities.filter(col("key").isin(keys: _*))
+          .select("key", "props", "embedding").collect()
+          .map(r => r.getAs[String]("key") -> r).toMap
+        val missing = keys.filterNot(current.contains)
+        if (missing.nonEmpty) throw NqlExecException(
+          s"BATCH UPDATE NODES: node(s) ${missing.sorted.mkString(", ")} do not exist")
+        st.put(items.map { case (key, props) =>
+          val row = current(key)
+          val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
+          val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
+          graft.unified.EntityStore.EntityRow(key, curProps ++ props, curEmb)
+        })
+      }
       spark.createDataFrame(Seq((items.size.toLong, "batch_nodes_updated")))
         .toDF("n_updated", "status")
 
@@ -869,15 +871,20 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // has no sharper guarantee either).
     case EntityUpdate(key, props, newEmb) =>
       val st = storeOrFail("ENTITY UPDATE")
-      val cur = st.entities.filter(col("key") === key).limit(1).collect()
-      if (cur.isEmpty) throw NqlExecException(
-        s"ENTITY UPDATE: entity '$key' does not exist (use ENTITY CREATE)")
-      val row = cur.head
-      val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
-      val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
-      // EMBEDDING clause replaces the vector; without it the old one stays
-      st.put(Seq(graft.unified.EntityStore.EntityRow(key, curProps ++ props,
-        newEmb.orElse(curEmb))))
+      // read-merge-append under the store's merge lock: a concurrent
+      // merge on the same key cannot interleave between the lookup and
+      // the put, so neither statement's assignments are lost
+      st.withMergeLock {
+        val cur = st.entities.filter(col("key") === key).limit(1).collect()
+        if (cur.isEmpty) throw NqlExecException(
+          s"ENTITY UPDATE: entity '$key' does not exist (use ENTITY CREATE)")
+        val row = cur.head
+        val curProps = Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
+        val curEmb = Option(row.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray)
+        // EMBEDDING clause replaces the vector; without it the old one stays
+        st.put(Seq(graft.unified.EntityStore.EntityRow(key, curProps ++ props,
+          newEmb.orElse(curEmb))))
+      }
       status(key, s"updated:${props.keys.toSeq.sorted.mkString(",")}")
 
     case EntityConnect(src, dst, etype) =>
@@ -901,11 +908,13 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       // Merge: existing props preserved, collection tag overlaid,
       // embedding replaced. One bounded 1-key lookup per statement.
       val st = storeOrFail("EMBED STORE")
-      val existing = st.entities.filter(col("key") === key).limit(1).collect()
-        .headOption.flatMap(r => Option(r.getAs[Map[String, String]]("props")))
-        .getOrElse(Map.empty[String, String])
-      st.put(Seq(graft.unified.EntityStore.EntityRow(
-        key, existing ++ collection.map("collection" -> _).toMap, Some(vector))))
+      st.withMergeLock { // read-merge-append: serialize vs other merges
+        val existing = st.entities.filter(col("key") === key).limit(1).collect()
+          .headOption.flatMap(r => Option(r.getAs[Map[String, String]]("props")))
+          .getOrElse(Map.empty[String, String])
+        st.put(Seq(graft.unified.EntityStore.EntityRow(
+          key, existing ++ collection.map("collection" -> _).toMap, Some(vector))))
+      }
       status(key, "stored")
 
     // Batch vector store — ONE versioned log append for the whole batch
@@ -1319,6 +1328,9 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       // MATCH ... DELETE; puts are latest-wins, so retries converge.
       val st = storeOrFail("MATCH ... SET")
       var total = 0L
+      // read-merge-append under the store's merge lock (lost-update
+      // protection, same contract as ENTITY UPDATE)
+      st.withMergeLock {
       for ((v, assigns) <- m.set.groupBy(_._1).toSeq.sortBy(_._1)) {
         val setProps = assigns.map(a => (a._2, a._3)).toMap
         val cur = filtered.select(col(s"${v}_key").as("key")).distinct()
@@ -1342,6 +1354,7 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
           if (buf.length >= NqlCompiler.DeleteBatchSize) { st.put(buf.toSeq); buf.clear() }
         }
         if (buf.nonEmpty) st.put(buf.toSeq)
+      }
       }
       return spark.createDataFrame(Seq((total, "updated")))
         .toDF("n_updated", "status")

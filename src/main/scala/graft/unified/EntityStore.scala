@@ -23,6 +23,29 @@ final class EntityStore(spark: SparkSession, path: String) {
 
   private def nextSeq(): Long = seq.incrementAndGet()
 
+  /** Write-path mutual exclusion for READ-MERGE-APPEND statements
+    * (ENTITY UPDATE, EMBED STORE, NODE BATCH UPDATE, Cypher MATCH…SET):
+    * their merge reads the latest row, folds props, and appends — two
+    * interleaved merges on one key would both read the same pre-image
+    * and the second append would silently drop the first's assignment
+    * (lost update). Executors holding this monitor serialize those
+    * statement bodies, so within one process the merge is atomic and
+    * lost updates are impossible (spec-pinned,
+    * EntityStoreConcurrencySpec). Plain appends (CREATE / DELETE /
+    * CONNECT) don't need it — they are order-insensitive latest-wins
+    * records that never read.
+    *
+    * CROSS-PROCESS contract (documented, COVERAGE.md): the store is
+    * single-writer-process. The reference engine is single-threaded
+    * (`tensor_unified/src/lib.rs` holds `&mut self` for every mutation)
+    * and has no sharper guarantee; a multi-process deployment would
+    * hoist this monitor to a storage-layer conditional-put (object-store
+    * CAS or a lakehouse table format's optimistic commit), which the
+    * append-log layout already accommodates — merge statements re-read
+    * and retry on conflict without rewriting history. */
+  private[this] val mergeLock = new Object
+  def withMergeLock[A](f: => A): A = mergeLock.synchronized(f)
+
   /** Create or fully replace entities (props + optional embedding). */
   def put(rows: Seq[EntityRow]): Unit = append(rows.map(r => (r.key, r.props, r.embedding, false)))
 

@@ -195,26 +195,46 @@ object GraphQueries {
     suppCoocMemo.getOrElseUpdate((s, d), {
       val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
       val sz = sp.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
-      val pd = sp.groupBy("l_partkey").agg(count(lit(1)).as("pdeg"))
-      val spc = sp.join(pd.filter(col("pdeg") <= 200).select("l_partkey"), Seq("l_partkey"))
-      // The self-join sits near the AQE broadcast threshold (~10 MB of
-      // narrow rows) and measured BIMODAL — broadcast ≈ 8 s, sort-merge
-      // ≈ 14 s, flipping run to run. Pin the shuffle-hash strategy on a
-      // single materialized frame instead: both sides share one
-      // partitioning on l_partkey, deterministic, and — unlike a
-      // broadcast of a corpus-derived frame — the same plan survives a
-      // 100× corpus.
-      val spcM = Algorithms.memo(spc)
-      val pairs = spcM.select(col("l_suppkey").as("sa"), col("l_partkey"))
-        .hint("shuffle_hash")
-        .join(spcM.select(col("l_suppkey").as("sb"), col("l_partkey")), Seq("l_partkey"))
-        .filter(col("sa") < col("sb"))
-      val agg = pairs.join(pd, Seq("l_partkey"))
-        .groupBy("sa", "sb")
+      // Round-10 rebuild (PERF.md, DevG08/DevG08b A/B at sf1.0): the old
+      // spc self-join re-exchanged the 20M-row (supp, part) frame twice
+      // and measured BIMODAL 52–112 s run to run; generating the wedges
+      // ROW-LOCALLY — suppliers collected per part, pairs emitted by
+      // codegen'd higher-order array functions — needs ONE exchange of
+      // the compact per-part rows and lands at a stable 26–28 s cold.
+      // The Σ pdeg² wedge rows still flow into the partial aggregation,
+      // but they are born in the same task that folds them, never
+      // shuffled. The pdeg ≤ 200 hot-key cap is applied on the exact
+      // collected size (oracle-mirrored; vacuous at test SFs).
+      val parts = sp.groupBy("l_partkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        .withColumn("pdeg", size(col("ss")))
+        .filter(col("pdeg") <= 200)
+        // pin the fan-out width: the per-part frame is only kilobytes
+        // per thousand wedges, so AQE coalesces it to a handful of
+        // partitions and the Σ pdeg² explode below would run on 1-4
+        // tasks; an explicit fixed-width repartition keeps the wedge
+        // generation on every core (measured 14 s → ~7 s at sf0.1)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("l_partkey"))
+      val wedges = parts.select(col("pdeg"),
+        explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
+            |    struct(x AS sa, y AS sb))))""".stripMargin)).as("p"))
+        .select(col("p.sa"), col("p.sb"), col("pdeg"))
+      // The CACHED frame keeps the quantized sums as LONGS and divides
+      // at read: the double-sum cache measured 33 s for g08's
+      // build-and-read vs ~11 s for the all-integer frame (DevG08) —
+      // scaled-integer sums also keep the values order-independent and
+      // oracle-exact, as before.
+      val agg = wedges.groupBy("sa", "sb")
         .agg(count(lit(1)).as("common_n"),
-          (sum(round(lit(1e6) / log(col("pdeg")), 0).cast("long")) / 1e6).as("adamic_adar"),
-          (sum(round(lit(1e6) / col("pdeg"), 0).cast("long")) / 1e6).as("resource_alloc"))
-      (Algorithms.memo(agg), Algorithms.memo(sz))
+          sum(round(lit(1e6) / log(col("pdeg")), 0).cast("long")).as("aa_q"),
+          sum(round(lit(1e6) / col("pdeg"), 0).cast("long")).as("ra_q"))
+      val widened = Algorithms.memo(agg)
+        .select(col("sa"), col("sb"), col("common_n"),
+          (col("aa_q") / 1e6).as("adamic_adar"), (col("ra_q") / 1e6).as("resource_alloc"))
+      (widened, Algorithms.memo(sz))
     })
 
   val defs: Seq[(String, QDef)] = Seq(

@@ -19,6 +19,18 @@ in round 9 (PERF.md). Usage:
 Exponents are single-run: sf1.0 noise on heavy queries is +/-30-40%
 (PERF.md round 9), so treat anything under ~1.2 as noise-compatible
 with linear and re-run with --runs 3 before acting.
+
+ENFORCE mode (round 10, VERDICT r9 item 3 — makes the audit
+self-enforcing instead of report-only):
+
+    python3 tools/scaling_audit.py --enforce --runs 3 g05,g08,d03,...
+
+fails (exit 1) when any NON-ALLOW-LISTED query with a large-SF median
+>= 2 s shows exponent > 1.2 on the run medians. The allow-list carries
+the two CONTRACTUAL super-linears with their reasons; anything else
+going super-linear is a regression. Demo of the tripwire (documented
+dry run, PERF.md round 10): `--enforce --plant q=exp` injects a fake
+exponent for one query and must exit non-zero.
 """
 import json
 import math
@@ -47,12 +59,35 @@ def run_bench(sf_dir, only, runs):
     return {k: statistics.median(v) for k, v in per_query.items()}
 
 
+# Contractual super-linear queries: exponent enforcement skips these,
+# with the reason recorded here (and in PERF.md / VERDICT r9).
+ALLOWED_SUPERLINEAR = {
+    "v07": "declared exact all-pairs embedding near-dup baseline "
+           "(quadratic by contract; v09 is the scale path)",
+    "v09": "output-driven: gen_sf1's noise-perturbed replicas multiply "
+           "the near-dup pair count 722x; runtime is sub-linear per "
+           "output row",
+}
+
+ENFORCE_EXPONENT = 1.2   # on run medians, queries with large-SF >= 2 s
+ENFORCE_FLOOR_SEC = 2.0
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     runs = 1
     if "--runs" in args:
         i = args.index("--runs")
         runs = int(args[i + 1])
+        del args[i:i + 2]
+    enforce = "--enforce" in args
+    if enforce:
+        args.remove("--enforce")
+    plant = None
+    if "--plant" in args:
+        i = args.index("--plant")
+        q, e = args[i + 1].split("=")
+        plant = (q, float(e))
         del args[i:i + 2]
     threshold = None
     if "--threshold" in args:
@@ -77,14 +112,38 @@ def main():
         sys.exit(f"{LARGE} missing - run tools/gen_sf1.py first")
     a = run_bench(SMALL, only, runs)
     b = run_bench(LARGE, only, runs)
+    if plant:
+        # tripwire demo: pretend query q's large-SF time implies the
+        # given exponent, so --enforce must flag it and exit non-zero
+        q, e = plant
+        if q not in a:
+            a[q] = 1.0
+        b[q] = a[q] * (10 ** e)
+        print(f"# planted {q} at exponent {e}")
     rows = sorted(((k, a[k], b[k], math.log10(max(b[k], 1e-3) / max(a[k], 1e-3)))
                    for k in a if k in b), key=lambda r: -r[3])
+    limit = ENFORCE_EXPONENT if enforce else 1.05
     print(f"{'query':40s} {'small(s)':>9} {'large(s)':>9} {'exponent':>9}")
+    bad, waived = [], []
     for k, t0, t1, e in rows:
-        flag = "  <-- SUPER-LINEAR" if e > 1.05 and t1 > 2.0 else ""
+        short = k.split("_")[0]
+        over = e > limit and t1 > ENFORCE_FLOOR_SEC
+        if over and short in ALLOWED_SUPERLINEAR:
+            waived.append(k)
+            flag = "  (allow-listed: contractual)"
+        elif over:
+            bad.append(k)
+            flag = "  <-- SUPER-LINEAR"
+        else:
+            flag = ""
         print(f"{k:40s} {t0:9.2f} {t1:9.2f} {e:9.2f}{flag}")
-    bad = [k for k, _, t1, e in rows if e > 1.05 and t1 > 2.0]
-    print(f"\n{len(bad)} super-linear: {bad}" if bad else "\nall linear-or-better")
+    for k in waived:
+        print(f"# waived {k}: {ALLOWED_SUPERLINEAR[k.split('_')[0]]}")
+    if bad:
+        print(f"\n{len(bad)} super-linear (limit {limit}, floor "
+              f"{ENFORCE_FLOOR_SEC}s): {bad}")
+    else:
+        print("\nall linear-or-better (excluding allow-listed)")
     sys.exit(1 if bad else 0)
 
 

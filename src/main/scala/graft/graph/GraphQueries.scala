@@ -341,6 +341,31 @@ object GraphQueries {
          |uns AS (SELECT a AS key FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT key, count(*) AS n_triangles FROM uns GROUP BY key ORDER BY key""".stripMargin),
 
+    // Round-10 gate for the widened `GRAPH TRIANGLES` default
+    // (VERDICT r9 item 1): per-node triangle counts over the WHOLE
+    // canonicalized simple graph — the reference TriangleConfig scope
+    // (`triangles.rs:18,30,99-130`), which g07's same_region slice does
+    // not cover (region hubs close region–nation–nation triangles via
+    // in_region + same_region edges and only appear here). The oracle
+    // unrolls the canonical a<b<c 3-way join over the distinct
+    // least/greatest edge frame.
+    "g51_triangles_whole_graph" -> QDef(
+      (s, d) => Algorithms.localTriangleCounts(
+          TpchGraph.edges(s, d)
+            .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+            .distinct())
+        .withColumnRenamed("tri", "n_triangles")
+        .orderBy("key"),
+      s"""WITH $allEdgesSql,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
+         |tri AS (
+         |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |  FROM e0 ab JOIN e0 bc ON ab.v = bc.u
+         |             JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v),
+         |uns AS (SELECT a AS key FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT key, count(*) AS n_triangles FROM uns GROUP BY key ORDER BY key""".stripMargin),
+
     // node similarity by Jaccard of neighbor sets (reference
     // `algorithms/similarity.rs`): suppliers compared by the set of parts
     // they ship (bipartite projection of lineitem).

@@ -1467,7 +1467,18 @@ object PipelineQueries {
     // engines agree bit-for-bit at the boundary.
     "d10_cross_source_containment" -> QDef(
       (s, d) => {
-        val sh = shingles(s, d)
+        // 8-byte hashed shingles for the candidate and verify stages
+        // (round 10, the d03 lesson): the string shingle is ~20 chars
+        // and the verify join carries TWO full per-doc shingle arrays
+        // per candidate pair, so hashing to LONG shrinks the widest
+        // shuffles 4-8×. The prefix filter stays lossless under ANY
+        // consistent global token order, so ranking by (df, hash)
+        // instead of (df, string) changes only the candidate set, never
+        // the exactly-verified output (the oracle keeps its string
+        // order — the gate compares final rows, not candidates).
+        // Collision risk across ~5e5 distinct shingles is ~1e-8 and
+        // would be caught by the parity gate.
+        val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         val src = docs(s, d).select(col("doc_id"), col("source"))
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -128,6 +128,10 @@ class WriteFuzzSpec extends AnyFunSuite {
   private case class CyMergeOp(k: String, label: String) extends Op
   private case class CySetOp(k: String, label: String, prop: String, v: String) extends Op
   private case class CyDeleteOp(k: String, label: String) extends Op
+  private case class NodeBatchOp(items: Seq[(String, String, Option[String])]) extends Op
+  private case class EdgeBatchOp(items: Seq[(String, String, String)]) extends Op
+  private case class BatchDelOp(keys: Seq[String]) extends Op
+  private case class BatchUpdOp(items: Seq[(String, String)]) extends Op
 
   private val opGen: Gen[Op] = {
     val k = Gen.oneOf(keyPool)
@@ -148,7 +152,15 @@ class WriteFuzzSpec extends AnyFunSuite {
       2 -> (for { kk <- fresh; ll <- l; n <- nm } yield CyCreateOp(kk, ll, n)),
       2 -> (for { kk <- k; ll <- l } yield CyMergeOp(kk, ll)),
       2 -> (for { kk <- k; ll <- l; n <- nm } yield CySetOp(kk, ll, "name", n)),
-      1 -> (for { kk <- fresh; ll <- l } yield CyDeleteOp(kk, ll)))
+      1 -> (for { kk <- fresh; ll <- l } yield CyDeleteOp(kk, ll)),
+      // batch forms: ONE log append for the whole item list, last
+      // occurrence wins on same-batch duplicate identities
+      2 -> (Gen.listOfN(3, for { kk <- k; ll <- l; n <- Gen.option(nm) } yield (kk, ll, n))
+        .map(NodeBatchOp(_))),
+      2 -> (Gen.listOfN(3, for { a <- k; b <- k; tt <- t } yield (a, b, tt))
+        .map(EdgeBatchOp(_))),
+      1 -> Gen.listOfN(2, k).map(BatchDelOp(_)),
+      2 -> (Gen.listOfN(2, for { kk <- k; n <- nm } yield (kk, n)).map(BatchUpdOp(_))))
   }
 
   private def render(op: Op): String = op match {
@@ -167,6 +179,20 @@ class WriteFuzzSpec extends AnyFunSuite {
     case CyMergeOp(k, l) => s"MERGE (x:$l {key: '$k'})"
     case CySetOp(k, l, p, v) => s"MATCH (x:$l {key: '$k'}) SET x.$p = '$v'"
     case CyDeleteOp(k, l) => s"MATCH (x:$l {key: '$k'}) DELETE x"
+    case NodeBatchOp(items) =>
+      "NODE BATCH CREATE " + items.map { case (k, l, n) =>
+        s"'$k' LABEL '$l'" + n.fold("")(x => s" NAME '$x'")
+      }.mkString(" AND ")
+    case EdgeBatchOp(items) =>
+      "EDGE BATCH CREATE " + items.map { case (a, b, t) =>
+        s"'$a' TO '$b' TYPE '$t'"
+      }.mkString(" AND ")
+    case BatchDelOp(keys) =>
+      "BATCH DELETE NODES [" + keys.map(k => s"'$k'").mkString(", ") + "]"
+    case BatchUpdOp(items) =>
+      "BATCH UPDATE NODES [" + items.map { case (k, n) =>
+        s"{id: '$k', name: '$n'}"
+      }.mkString(", ") + "]"
   }
 
   /** Apply to the model; Some(msg) if the ENGINE must throw a typed error. */
@@ -201,6 +227,26 @@ class WriteFuzzSpec extends AnyFunSuite {
     case CyDeleteOp(k, l) =>
       if (m.viewNodes.get(k).exists(_._1 == l)) m.delNode(k)
       None
+    case NodeBatchOp(items) =>
+      // one append; same-batch dup keys resolve last-wins (folding the
+      // Scala map in statement order models exactly that)
+      items.foreach { case (k, l, n) =>
+        m.putNode(k, Map("label" -> l) ++ n.map("name" -> _))
+      }
+      None
+    case EdgeBatchOp(items) =>
+      items.foreach { case (a, b, t) => m.putEdge((a, b, t)) }
+      None
+    case BatchDelOp(keys) => keys.foreach(m.delNode); None
+    case BatchUpdOp(items) =>
+      // merge-update: EVERY id must have a live store row, or the whole
+      // batch fails typed with no partial write
+      if (items.forall { case (k, _) => m.storeLiveProps(k).isDefined }) {
+        items.foreach { case (k, n) =>
+          m.putNode(k, m.storeLiveProps(k).get + ("name" -> n))
+        }
+        None
+      } else Some("do not exist")
   }
 
   // ---- read-back parity ---------------------------------------------
@@ -281,6 +327,10 @@ class WriteFuzzSpec extends AnyFunSuite {
           case CyMergeOp(k, _) => touched += k
           case CySetOp(k, _, _, _) => touched += k
           case CyDeleteOp(k, _) => touched += k
+          case NodeBatchOp(items) => items.foreach(touched += _._1)
+          case EdgeBatchOp(items) => items.foreach { case (a, b, _) => touched += a += b }
+          case BatchDelOp(keys) => touched ++= keys
+          case BatchUpdOp(items) => items.foreach(touched += _._1)
         }
         // cheap incremental probe: the most recently touched key
         val k = touched.last

@@ -47,7 +47,12 @@ LARGE = os.environ.get("GRAFT_AUDIT_LARGE", os.path.join(REPO, "target/sf1.0"))
 def run_bench(sf_dir, only, runs):
     per_query = {}
     for _ in range(runs):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+        # SPARK_GRAFT_RUNS=1: this loop does its own cold-JVM draws and
+        # medians them; Bench's internal multi-run mode (round 12) would
+        # re-run the sweep warm inside one JVM, which is a different (and
+        # for scaling purposes less honest) protocol.
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_RUNS="1")
         if only:
             env["SPARK_GRAFT_ONLY"] = only
         out = subprocess.run(
@@ -59,14 +64,17 @@ def run_bench(sf_dir, only, runs):
     return {k: statistics.median(v) for k, v in per_query.items()}
 
 
-# Contractual super-linear queries: exponent enforcement skips these,
-# with the reason recorded here (and in PERF.md / VERDICT r9).
+# Contractual super-linear queries: enforcement applies a PER-QUERY CEILING
+# exponent instead of the global limit (round 12 — an unconditional waiver
+# would let a contractual query regress arbitrarily without tripping).
+# Ceilings = observed r10 exponent + noise headroom: v07 drew 1.79 (exact
+# all-pairs is ~2.0 by contract), v09 drew 1.61 (output-driven).
 ALLOWED_SUPERLINEAR = {
-    "v07": "declared exact all-pairs embedding near-dup baseline "
-           "(quadratic by contract; v09 is the scale path)",
-    "v09": "output-driven: gen_sf1's noise-perturbed replicas multiply "
-           "the near-dup pair count 722x; runtime is sub-linear per "
-           "output row",
+    "v07": (2.1, "declared exact all-pairs embedding near-dup baseline "
+                 "(quadratic by contract; v09 is the scale path)"),
+    "v09": (1.9, "output-driven: gen_sf1's noise-perturbed replicas multiply "
+                 "the near-dup pair count 722x; runtime is sub-linear per "
+                 "output row"),
 }
 
 ENFORCE_EXPONENT = 1.2   # on run medians, queries with large-SF >= 2 s
@@ -127,18 +135,22 @@ def main():
     bad, waived = [], []
     for k, t0, t1, e in rows:
         short = k.split("_")[0]
-        over = e > limit and t1 > ENFORCE_FLOOR_SEC
-        if over and short in ALLOWED_SUPERLINEAR:
-            waived.append(k)
-            flag = "  (allow-listed: contractual)"
-        elif over:
+        ceiling = ALLOWED_SUPERLINEAR.get(short, (limit,))[0]
+        over = e > ceiling and t1 > ENFORCE_FLOOR_SEC
+        if over:
             bad.append(k)
-            flag = "  <-- SUPER-LINEAR"
+            flag = "  <-- SUPER-LINEAR" + (
+                f" (exceeds contractual ceiling {ceiling})"
+                if short in ALLOWED_SUPERLINEAR else "")
+        elif short in ALLOWED_SUPERLINEAR and e > limit and t1 > ENFORCE_FLOOR_SEC:
+            waived.append(k)
+            flag = f"  (contractual, within ceiling {ceiling})"
         else:
             flag = ""
         print(f"{k:40s} {t0:9.2f} {t1:9.2f} {e:9.2f}{flag}")
     for k in waived:
-        print(f"# waived {k}: {ALLOWED_SUPERLINEAR[k.split('_')[0]]}")
+        c, reason = ALLOWED_SUPERLINEAR[k.split("_")[0]]
+        print(f"# within ceiling {c} {k}: {reason}")
     if bad:
         print(f"\n{len(bad)} super-linear (limit {limit}, floor "
               f"{ENFORCE_FLOOR_SEC}s): {bad}")

@@ -152,9 +152,15 @@ object GraphQueries {
   /** g47 engine (parameterized for the `GRAPH TRANSITIVITY` statement):
     * corpus-level transitivity (Σtri/Σwedge, integer sums) and average
     * local clustering over any canonical (u < v) edge frame. */
-  def clusteringGlobal(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(least(col("src"), col("dst")).as("u"),
-      greatest(col("src"), col("dst")).as("v")).distinct()
+  def clusteringGlobal(edges: DataFrame): DataFrame =
+    clusteringGlobalCanonical(edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct())
+
+  /** [[clusteringGlobal]] over an ALREADY-canonical (u < v, distinct)
+    * simple-graph frame — lets g47 and the no-overlay GRAPH TRANSITIVITY
+    * front reuse the memoized [[TpchGraph.canonicalEdges]] artifact
+    * instead of re-canonicalizing per call. */
+  def clusteringGlobalCanonical(e0: DataFrame): DataFrame = {
     val und = e0.select(col("u").as("x"), col("v").as("w"))
       .union(e0.select(col("v").as("x"), col("u").as("w")))
     val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
@@ -205,17 +211,24 @@ object GraphQueries {
       // but they are born in the same task that folds them, never
       // shuffled. The pdeg ≤ 200 hot-key cap is applied on the exact
       // collected size (oracle-mirrored; vacuous at test SFs).
-      val parts = sp.groupBy("l_partkey")
+      val parts0 = Algorithms.memo(sp.groupBy("l_partkey")
         .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
         .withColumn("pdeg", size(col("ss")))
-        .filter(col("pdeg") <= 200)
-        // pin the fan-out width: the per-part frame is only kilobytes
-        // per thousand wedges, so AQE coalesces it to a handful of
-        // partitions and the Σ pdeg² explode below would run on 1-4
-        // tasks; an explicit fixed-width repartition keeps the wedge
-        // generation on every core (measured 14 s → ~7 s at sf0.1)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("l_partkey"))
+        .filter(col("pdeg") <= 200))
+      // Pin the fan-out width DATA-PROPORTIONALLY (round 12, VERDICT r11
+      // item 3): the per-part frame is only kilobytes per thousand
+      // wedges, so AQE coalesces it to a handful of partitions and the
+      // Σ pdeg² explode below would run on 1-4 tasks (measured 14 s →
+      // ~7 s at sf0.1 with an explicit repartition). But a FIXED width
+      // is right at exactly one SF — sized for sf1.0 it overshoots the
+      // sf0.1 run with scheduling overhead, sized for sf0.1 it starves
+      // sf1.0. Width = max(cores, rows/2000): one part-row ≈ a few
+      // hundred wedge rows, so ~2000 part-rows per task keeps every
+      // task in the 0.1-1 s sweet spot at any SF. The count() is one
+      // job over the memoized aggregate, paid once per (session, dir).
+      val width = math.max(s.sparkContext.defaultParallelism,
+        (parts0.count() / 2000L).toInt)
+      val parts = parts0.repartition(width, col("l_partkey"))
       val wedges = parts.select(col("pdeg"),
         explode(expr(
           """flatten(transform(ss, (x, i) ->
@@ -321,16 +334,10 @@ object GraphQueries {
     // of the self-join's Σ deg², so the statement front stays safe on
     // hub-heavy user overlays (PERF.md round 9).
     "g07_triangle_count" -> QDef(
+      // memoized canonical frame (round 12): string-order least/greatest
+      // + distinct, shared with every other triangle consumer
       (s, d) => Algorithms.localTriangleCounts(
-          TpchGraph.sameRegionEdges(s, d)
-            // numeric key order ("nation:2" → "nation:10") ≠ the string
-            // order the listing's closure check canonicalizes on;
-            // distinct: the listing REQUIRES a simple edge frame (a dup
-            // doubles degrees and re-lists the triangle) — no-op on the
-            // bundled construction, load-bearing for any future caller
-            .select(least(col("src"), col("dst")).as("u"),
-              greatest(col("src"), col("dst")).as("v"))
-            .distinct())
+          TpchGraph.canonicalSameRegionEdges(s, d))
         .withColumnRenamed("tri", "n_triangles")
         .orderBy("key"),
       s"""WITH $cliqueEdgesSql,
@@ -350,11 +357,7 @@ object GraphQueries {
     // unrolls the canonical a<b<c 3-way join over the distinct
     // least/greatest edge frame.
     "g51_triangles_whole_graph" -> QDef(
-      (s, d) => Algorithms.localTriangleCounts(
-          TpchGraph.edges(s, d)
-            .select(least(col("src"), col("dst")).as("u"),
-              greatest(col("src"), col("dst")).as("v"))
-            .distinct())
+      (s, d) => Algorithms.localTriangleCounts(TpchGraph.canonicalEdges(s, d))
         .withColumnRenamed("tri", "n_triangles")
         .orderBy("key"),
       s"""WITH $allEdgesSql,
@@ -1328,10 +1331,8 @@ object GraphQueries {
     // case (bowtie) is exercised in AlgorithmsSpec.
     "g36_ktruss" -> QDef(
       (s, d) => {
-        val und = TpchGraph.edges(s, d)
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v"))
-          .distinct() // simple-graph precondition of the oriented listing
+        // memoized canonical frame = the listing's simple-graph precondition
+        val und = TpchGraph.canonicalEdges(s, d)
         Algorithms.ktruss(und, k = 4, rounds = 2)
           .select(explode(array(col("u"), col("v"))).as("key"))
           .groupBy("key").agg(count(lit(1)).as("n_truss_edges"))
@@ -1395,10 +1396,8 @@ object GraphQueries {
     // 9). The one division of two integers is bit-exact on both engines.
     "g38_local_clustering" -> QDef(
       (s, d) => {
-        val e0 = TpchGraph.edges(s, d)
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v"))
-          .distinct() // simple-graph precondition of the oriented listing
+        // memoized canonical frame = the listing's simple-graph precondition
+        val e0 = TpchGraph.canonicalEdges(s, d)
         val und = e0.select(col("u").as("x"), col("v").as("w"))
           .union(e0.select(col("v").as("x"), col("u").as("w")))
         val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
@@ -1450,7 +1449,7 @@ object GraphQueries {
     // (transitivity = Σtri / Σwedge with each triangle counted at its 3
     // centers); only the final divisions are doubles.
     "g47_clustering_global" -> QDef(
-      (s, d) => clusteringGlobal(TpchGraph.edges(s, d)),
+      (s, d) => clusteringGlobalCanonical(TpchGraph.canonicalEdges(s, d)),
       s"""WITH $allEdgesSql,
          |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
          |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),

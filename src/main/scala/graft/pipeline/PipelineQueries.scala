@@ -92,13 +92,84 @@ object PipelineQueries {
     *     pair (no exploded per-token re-join), then map set pairs back to
     *     doc pairs — output-bound by construction.
     */
-  private def wordJaccardPairs(s: SparkSession, d: String): DataFrame =
-    wordJaccardPairsPath(s, d, forceBitmask = None)
+  private def wordJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val (scored, memb) = sharedSetPairs(s, d)
+    expandSetPairs(scored, memb)
+  }
+
+  /** The SET-space pair artifact (scored set pairs + membership),
+    * materialized once per (session, dir) and shared by d03's doc-pair
+    * expansion and d07's representative clustering. The scored frame is
+    * cut (it closes the 4-join candidate pipeline); memb rides the
+    * already-cut `sets` frame. */
+  private val setPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def sharedSetPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    setPairsMemo.getOrElseUpdate((s, d), {
+      val (scored, memb) = wordJaccardSetPairsPath(s, d, forceBitmask = None)
+      (graft.graph.Algorithms.cut(scored), memb)
+    })
 
   /** Path-forcing entry for the differential spec (D03PathsSpec): both
     * implementations must produce identical pairs on the same corpus. */
   private[graft] def wordJaccardPairsPath(s: SparkSession, d: String,
       forceBitmask: Option[Boolean]): DataFrame = {
+    val (scored, memb) = wordJaccardSetPairsPath(s, d, forceBitmask)
+    expandSetPairs(scored, memb)
+  }
+
+  /** Doc-level expansion of distinct-set pairs: every (siga, sigb) pair
+    * fans out to its member docs, plus identical-set docs pair at j = 1.
+    * Output-bound by construction — the expensive similarity work all
+    * happens in set space. */
+  private def expandSetPairs(scored: DataFrame, memb: DataFrame): DataFrame = {
+    val cross = scored
+      .join(memb.select(col("source"), col("sig").as("siga"), col("doc_id").as("ia")),
+        Seq("source", "siga"))
+      .join(memb.select(col("source"), col("sig").as("sigb"), col("doc_id").as("ib")),
+        Seq("source", "sigb"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("jaccard"))
+    val ident = memb.select(col("source"), col("sig"), col("doc_id").as("da"))
+      .join(memb.select(col("source"), col("sig"), col("doc_id").as("db")), Seq("source", "sig"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(1.0).as("jaccard"))
+    cross.unionByName(ident)
+  }
+
+  /** 64-bit signature collision tripwire (round 12, carried ADVICE item):
+    * the d03/d10 pipelines replace wide string identities with xxhash64
+    * LONGs. Collision odds are ~n²/2⁶⁵ — negligible at test SFs but not
+    * PROVABLY zero at production scale, and a silent collision would
+    * collapse two distinct sets into one. One count-distinct(input) vs
+    * count-distinct(sig) aggregate per (session, dir, site) DETECTS any
+    * collision instead of trusting the odds: if the counts diverge the
+    * query fails loudly with instructions to widen the signature. Cost:
+    * one linear aggregation over the already-materialized frame, paid
+    * once per session+dir (the memo guard), ~2% of either pipeline.
+    */
+  private val sigChecked =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Unit]
+  private[graft] def requireNoSigCollisions(df: DataFrame, input: Column, sig: Column,
+      what: String): Unit = {
+    val r = df.agg(countDistinct(input).as("ni"), countDistinct(sig).as("ns")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$what: 64-bit signature collision detected (${r.getLong(0)} distinct inputs -> " +
+        s"${r.getLong(1)} distinct signatures); widen this pipeline's signature to 128 bits")
+  }
+  private def requireNoSigCollisionsOnce(s: SparkSession, d: String, what: String,
+      df: => DataFrame, input: => Column, sig: => Column): Unit =
+    sigChecked.getOrElseUpdate((s, d, what), requireNoSigCollisions(df, input, sig, what))
+
+  /** SET-space stage of [[wordJaccardPairsPath]]: returns
+    * (`scored` = (source, siga, sigb, jaccard) distinct-set pairs with
+    * j ≥ 0.8, `memb` = (doc_id, source, sig) membership). d07 clusters
+    * in THIS space — CC over ~|distinct sets| representative nodes —
+    * and expands membership after labeling (VERDICT r11 item 4); d03
+    * expands to doc pairs first because the doc-level pair report IS
+    * its output. */
+  private[graft] def wordJaccardSetPairsPath(s: SparkSession, d: String,
+      forceBitmask: Option[Boolean]): (DataFrame, DataFrame) = {
     val sets = graft.graph.Algorithms.cut(
       words(s, d).groupBy("doc_id").agg(
           first(col("source")).as("source"),
@@ -112,6 +183,9 @@ object PipelineQueries {
         // by the d03 oracle gate.
         .withColumn("sig", xxhash64(concat_ws(" ", col("wa"))))
         .withColumn("n", size(col("wa"))))
+    // collision tripwire: distinct word-set strings must equal distinct sigs
+    requireNoSigCollisionsOnce(s, d, "d03 word-set sig", sets,
+      concat_ws(" ", col("wa")), col("sig"))
     val memb = sets.select("doc_id", "source", "sig")
     // cut: reps feeds the candidate build AND the verify joins — measured
     // A/B at sf1.0 (PERF.md round 10): uncomposed recomputation put the
@@ -135,18 +209,7 @@ object PipelineQueries {
     val scored =
       if (vocabSmall) bitmaskScored(s, reps)
       else prefixScored(reps)
-    val cross = scored
-      .join(memb.select(col("source"), col("sig").as("siga"), col("doc_id").as("ia")),
-        Seq("source", "siga"))
-      .join(memb.select(col("source"), col("sig").as("sigb"), col("doc_id").as("ib")),
-        Seq("source", "sigb"))
-      .select(least(col("ia"), col("ib")).as("da"),
-        greatest(col("ia"), col("ib")).as("db"), col("jaccard"))
-    val ident = memb.select(col("source"), col("sig"), col("doc_id").as("da"))
-      .join(memb.select(col("source"), col("sig"), col("doc_id").as("db")), Seq("source", "sig"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), lit(1.0).as("jaccard"))
-    cross.unionByName(ident)
+    (scored, memb)
   }
 
   /** General-vocabulary candidate+verify (stages 2–4 of the scaladoc
@@ -560,21 +623,42 @@ object PipelineQueries {
     // is on the reduced key space.
     "d07_dedup_cluster_stats" -> QDef(
       (s, d) => {
-        // Lineage cut BEFORE the CC loop: without it every one of the 8
-        // label-propagation rounds (plus the node-set build) re-executes
-        // the full candidate-join plan. Measured r5→r6: 26.9 s → ~6 s.
-        // (The cut lives inside sharedJaccardPairs, which d03 also reads.)
-        val pairs = sharedJaccardPairs(s, d).select("da", "db")
-        val und = pairs.select(col("da").as("src"), col("db").as("dst"))
-          .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-        val nodes = pairs.select(col("da").as("key"))
-          .union(pairs.select(col("db").as("key"))).distinct()
+        // REPRESENTATIVE clustering (round 12, VERDICT r11 item 4): the
+        // CC runs in SET space — one node per (source, distinct word
+        // set), one edge per scored set pair — and doc membership is
+        // expanded AFTER labeling. Identical-set docs (d03's j = 1
+        // `ident` pairs, the bulk of the doc-pair volume on a resampled
+        // corpus) contract to a single node, so the loop's frontier is
+        // ~|distinct sets|, not ~Σ dup-clique². Doc-space components are
+        // preserved exactly: contracting a clique onto its representative
+        // never splits or merges components, and a same-sig group with no
+        // set pair still clusters via its shared node (it enters the node
+        // set when it has ≥ 2 member docs). Output is the same cluster-
+        // size histogram — component labels never reach the output.
+        val (scored, memb) = sharedSetPairs(s, d)
+        // (source, sig) is the node identity — pairs never cross sources,
+        // so a sig shared by two sources must stay two distinct nodes.
+        def nodeKey(src: Column, sig: Column) = concat_ws("|", src, sig)
+        val edges = scored.select(nodeKey(col("source"), col("siga")).as("src"),
+          nodeKey(col("source"), col("sigb")).as("dst"))
+        val dupNodes = memb.groupBy("source", "sig")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+          .select(nodeKey(col("source"), col("sig")).as("key"))
+        val nodes = edges.select(col("src").as("key"))
+          .union(edges.select(col("dst").as("key")))
+          .union(dupNodes).distinct()
+        val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
         // Checked variant: "8 >= planted diameter" is VERIFIED by a
         // convergence probe (one extra round must change nothing), not
         // asserted in a comment — a split cluster would otherwise match
         // the identically-unrolled oracle and pass the gate undetected.
+        // (Contraction only shortens paths: the set-graph diameter is
+        // ≤ the doc-graph diameter the oracle unrolls.)
         val cc = graft.graph.Algorithms.connectedComponentsChecked(und, nodes, 8)
-        val clusters = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        val clusters = memb
+          .select(nodeKey(col("source"), col("sig")).as("key"), col("doc_id"))
+          .join(cc, Seq("key"))
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         clusters.groupBy("cluster_size")
           .agg(count(lit(1)).as("n_clusters"),
             sum(col("cluster_size") - 1).as("n_removable"))
@@ -1476,8 +1560,12 @@ object PipelineQueries {
         // instead of (df, string) changes only the candidate set, never
         // the exactly-verified output (the oracle keeps its string
         // order — the gate compares final rows, not candidates).
-        // Collision risk across ~5e5 distinct shingles is ~1e-8 and
-        // would be caught by the parity gate.
+        // Collision risk across ~5e5 distinct shingles is ~1e-8 — and
+        // DETECTED, not assumed: the once-per-dir tripwire below fails
+        // the query loudly if distinct hashes ever diverge from
+        // distinct shingle strings (carried ADVICE item, round 12).
+        requireNoSigCollisionsOnce(s, d, "d10 shingle sig", shingles(s, d),
+          col("sh"), xxhash64(col("sh")))
         val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         val src = docs(s, d).select(col("doc_id"), col("source"))
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the driver contract): re-composes wordJaccardPairs stage by stage and
   * times each materialization, so optimization goes where the seconds
   * are instead of where the theory points. Run:
-  * SPARK_GRAFT_SF_DIR=target/sf1.0 sbt 'runMain graft.pipeline.DevD03'
+  * SPARK_GRAFT_SF_DIR=target/sf1.0 sbt 'Test/runMain graft.pipeline.DevD03'
   */
 object DevD03 {
   def main(args: Array[String]): Unit = {

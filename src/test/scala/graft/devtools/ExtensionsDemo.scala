@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Drives GraftExtensions in its own session (extensions bind at session
-  * construction):  sbt 'runMain graft.plans.ExtensionsDemo'
+  * construction):  sbt 'Test/runMain graft.plans.ExtensionsDemo'
   * Prints the optimized plan to show `l2_distance(…) <= r` rewritten to
   * the sqrt-free `l2_distance_squared(…) <= r²`, and checks result parity.
   */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Runnable example of the writable unified store + MLlib ANN index:
-  *   sbt 'runMain graft.unified.StoreDemo'
+  *   sbt 'Test/runMain graft.unified.StoreDemo'
   */
 object StoreDemo {
   def main(args: Array[String]): Unit = {

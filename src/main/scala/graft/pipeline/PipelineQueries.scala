@@ -647,14 +647,39 @@ object PipelineQueries {
         val nodes = edges.select(col("src").as("key"))
           .union(edges.select(col("dst").as("key")))
           .union(dupNodes).distinct()
-        val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        // MIN-LABEL PRE-CONTRACTION (round 12, measured at sf1.0): the
+        // ≥0.8 pair graph is DENSE — 4.7M set pairs over 41k sets (the
+        // noise-perturbed replica groups are near-cliques), so an
+        // iterative CC paying 9 passes over every pair costs ~28 s. One
+        // min-over-neighbors pass collapses each near-clique onto its
+        // min label; the iterative CC then runs on the CONTRACTED label
+        // graph (edges that still cross two labels — boundary edges
+        // only), orders of magnitude smaller. Star contraction is exact
+        // for arbitrary graphs: relabeling by l1 maps every original
+        // path onto a contracted path, so components correspond 1:1.
+        val minNb = edges.select(col("src").as("key"), col("dst").as("nb"))
+          .union(edges.select(col("dst").as("key"), col("src").as("nb")))
+          .groupBy("key").agg(min("nb").as("mn"))
+        val lab1 = graft.graph.Algorithms.cut(
+          nodes.join(minNb, Seq("key"), "left")
+            .select(col("key"), least(col("key"), coalesce(col("mn"), col("key"))).as("l1")))
+        val cEdges = graft.graph.Algorithms.cut(edges
+          .join(lab1.select(col("key").as("src"), col("l1").as("ls")), Seq("src"))
+          .join(lab1.select(col("key").as("dst"), col("l1").as("ld")), Seq("dst"))
+          .select(col("ls").as("src"), col("ld").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct())
+        val cNodes = lab1.select(col("l1").as("key")).distinct()
+        val cUnd = cEdges.union(cEdges.select(col("dst").as("src"), col("src").as("dst")))
         // Checked variant: "8 >= planted diameter" is VERIFIED by a
         // convergence probe (one extra round must change nothing), not
         // asserted in a comment — a split cluster would otherwise match
         // the identically-unrolled oracle and pass the gate undetected.
-        // (Contraction only shortens paths: the set-graph diameter is
-        // ≤ the doc-graph diameter the oracle unrolls.)
-        val cc = graft.graph.Algorithms.connectedComponentsChecked(und, nodes, 8)
+        // (Contractions only shorten paths: the contracted-graph diameter
+        // is ≤ the doc-graph diameter the oracle unrolls.)
+        val cc1 = graft.graph.Algorithms.connectedComponentsChecked(cUnd, cNodes, 8)
+        val cc = lab1
+          .join(cc1.withColumnRenamed("key", "l1"), Seq("l1"))
+          .select(col("key"), col("component"))
         val clusters = memb
           .select(nodeKey(col("source"), col("sig")).as("key"), col("doc_id"))
           .join(cc, Seq("key"))

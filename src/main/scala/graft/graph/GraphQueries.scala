@@ -157,25 +157,50 @@ object GraphQueries {
       greatest(col("src"), col("dst")).as("v")).distinct())
 
   /** [[clusteringGlobal]] over an ALREADY-canonical (u < v, distinct)
-    * simple-graph frame — lets g47 and the no-overlay GRAPH TRANSITIVITY
-    * front reuse the memoized [[TpchGraph.canonicalEdges]] artifact
-    * instead of re-canonicalizing per call. */
-  def clusteringGlobalCanonical(e0: DataFrame): DataFrame = {
+    * simple-graph frame — overlay statement paths build their stats
+    * live; the gate queries read the memoized [[triStatsCanonical]]. */
+  def clusteringGlobalCanonical(e0: DataFrame): DataFrame =
+    clusteringFromStats(triStatsOf(e0))
+
+  /** (key, deg, tri) over a canonical simple-graph frame: degree plus
+    * the degree-ordered triangle listing (Algorithms.triangleTriples —
+    * Σ d⁺² wedges, not the Σ deg² center-keyed join; SF-linear hubs
+    * made the naive wedge frame quadratic at sf1.0), tri coalesced to 0
+    * for triangle-less nodes. */
+  private def triStatsOf(e0: DataFrame): DataFrame = {
     val und = e0.select(col("u").as("x"), col("v").as("w"))
       .union(e0.select(col("v").as("x"), col("u").as("w")))
     val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-    // Degree-ordered triangle listing (Algorithms.triangleTriples):
-    // Σ d⁺² wedges, not the Σ deg² center-keyed join — SF-linear hubs
-    // (nation:customers) made the naive wedge frame quadratic at sf1.0.
-    val tri = Algorithms.localTriangleCounts(e0)
-    deg.join(tri, Seq("key"), "left")
-      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
-      .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
-      .agg(
-        sum("tri").as("sum_tri"), sum("wed").as("sum_wedges"),
-        round(sum("tri") / sum("wed"), 6).as("transitivity"),
-        round(avg(when(col("wed") > 0, col("tri") / col("wed"))), 6).as("avg_clustering"))
+    deg.join(Algorithms.localTriangleCounts(e0), Seq("key"), "left")
+      .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
+
+  /** The (key, deg, tri) stats of the WHOLE-GRAPH canonical frame,
+    * memoized per (session, dir) — g38, g47, g51 and the no-overlay
+    * GRAPH TRIANGLES / CLUSTERING / TRANSITIVITY fronts are all views
+    * over this one frame (round 12: each used to re-run the listing;
+    * the first consumer now pays it once, the rest read the cache). */
+  private val triStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private[graft] def triStatsCanonical(s: SparkSession, d: String): DataFrame =
+    triStatsMemo.getOrElseUpdate((s, d, "all"),
+      Algorithms.memo(triStatsOf(TpchGraph.canonicalEdges(s, d))))
+
+  /** Same stats over the same_region clique scope — g07's frame, shared
+    * with the no-overlay `GRAPH TRIANGLES EDGE TYPE 'same_region'`. */
+  private[graft] def triStatsSameRegion(s: SparkSession, d: String): DataFrame =
+    triStatsMemo.getOrElseUpdate((s, d, "same_region"),
+      Algorithms.memo(triStatsOf(TpchGraph.canonicalSameRegionEdges(s, d))))
+
+  /** Corpus-level transitivity + average local clustering from a
+    * (key, deg, tri) stats frame (integer sums, doubles only at the
+    * final division). */
+  private[graft] def clusteringFromStats(stats: DataFrame): DataFrame = stats
+    .withColumn("wed", expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
+    .agg(
+      sum("tri").as("sum_tri"), sum("wed").as("sum_wedges"),
+      round(sum("tri") / sum("wed"), 6).as("transitivity"),
+      round(avg(when(col("wed") > 0, col("tri") / col("wed"))), 6).as("avg_clustering"))
 
   /** Shared supplier co-occurrence aggregate for g08/g28: both queries
     * are BY DEFINITION views over the same (sa, sb) pair statistics —
@@ -334,11 +359,11 @@ object GraphQueries {
     // of the self-join's Σ deg², so the statement front stays safe on
     // hub-heavy user overlays (PERF.md round 9).
     "g07_triangle_count" -> QDef(
-      // memoized canonical frame (round 12): string-order least/greatest
-      // + distinct, shared with every other triangle consumer
-      (s, d) => Algorithms.localTriangleCounts(
-          TpchGraph.canonicalSameRegionEdges(s, d))
-        .withColumnRenamed("tri", "n_triangles")
+      // memoized same_region (key, deg, tri) stats (round 12), shared
+      // with the scoped GRAPH TRIANGLES statement front; tri > 0
+      // restores the nodes-in-triangles-only output set
+      (s, d) => triStatsSameRegion(s, d).filter(col("tri") > 0)
+        .select(col("key"), col("tri").as("n_triangles"))
         .orderBy("key"),
       s"""WITH $cliqueEdgesSql,
          |tri AS (
@@ -357,8 +382,10 @@ object GraphQueries {
     // unrolls the canonical a<b<c 3-way join over the distinct
     // least/greatest edge frame.
     "g51_triangles_whole_graph" -> QDef(
-      (s, d) => Algorithms.localTriangleCounts(TpchGraph.canonicalEdges(s, d))
-        .withColumnRenamed("tri", "n_triangles")
+      // memoized whole-graph (key, deg, tri) stats, shared with g38/g47;
+      // tri > 0 restores localTriangleCounts' nodes-in-triangles-only set
+      (s, d) => triStatsCanonical(s, d).filter(col("tri") > 0)
+        .select(col("key"), col("tri").as("n_triangles"))
         .orderBy("key"),
       s"""WITH $allEdgesSql,
          |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
@@ -1395,19 +1422,11 @@ object GraphQueries {
     // hubs have SF-linear degree, so Σ deg² is quadratic — PERF.md round
     // 9). The one division of two integers is bit-exact on both engines.
     "g38_local_clustering" -> QDef(
-      (s, d) => {
-        // memoized canonical frame = the listing's simple-graph precondition
-        val e0 = TpchGraph.canonicalEdges(s, d)
-        val und = e0.select(col("u").as("x"), col("v").as("w"))
-          .union(e0.select(col("v").as("x"), col("u").as("w")))
-        val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-        val tri = Algorithms.localTriangleCounts(e0)
-        deg.filter(col("deg") >= 2)
-          .join(tri, Seq("key"), "left")
-          .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
-            round(coalesce(col("tri"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
-          .orderBy(desc("cc"), col("key")).limit(20)
-      },
+      // memoized whole-graph (key, deg, tri) stats, shared with g47/g51
+      (s, d) => triStatsCanonical(s, d).filter(col("deg") >= 2)
+        .select(col("key"), col("deg"), col("tri"),
+          round(col("tri") * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
+        .orderBy(desc("cc"), col("key")).limit(20),
       s"""WITH $allEdgesSql,
          |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
          |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
@@ -1449,7 +1468,7 @@ object GraphQueries {
     // (transitivity = Σtri / Σwedge with each triangle counted at its 3
     // centers); only the final divisions are doubles.
     "g47_clustering_global" -> QDef(
-      (s, d) => clusteringGlobalCanonical(TpchGraph.canonicalEdges(s, d)),
+      (s, d) => clusteringFromStats(triStatsCanonical(s, d)),
       s"""WITH $allEdgesSql,
          |e0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM ed),
          |u2 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),

@@ -500,19 +500,23 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
       // the no-overlay whole-graph default reads the memoized canonical
       // frame shared with g38/g47/g51 — a live store's mutable edge view
       // must canonicalize itself.
-      val slice =
-        if (etype.isEmpty && store.isEmpty)
-          TpchGraph.canonicalEdges(spark, sfDir)
-            .select(col("u").as("src"), col("v").as("dst"))
-        else etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
-          .select(least(col("src"), col("dst")).as("src"),
-            greatest(col("src"), col("dst")).as("dst"))
-          .filter(col("src") < col("dst")).distinct()
+      def slice = etype.fold(allEdges)(t => allEdges.filter(col("etype") === t))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") < col("dst")).distinct()
       if (engine == "graphx")
         GraphXAdapters.triangleCount(
           slice.select(col("src").as("key")).union(slice.select(col("dst").as("key"))).distinct(),
           slice)
           .filter(col("n_triangles") > 0).orderBy("key")
+      else if (store.isEmpty && (etype.isEmpty || etype.contains("same_region")))
+        // no-overlay default / same_region scope: the memoized
+        // (key, deg, tri) stats shared with g38/g47/g51 (resp. g07)
+        (if (etype.isEmpty) graft.graph.GraphQueries.triStatsCanonical(spark, sfDir)
+         else graft.graph.GraphQueries.triStatsSameRegion(spark, sfDir))
+          .filter(col("tri") > 0)
+          .select(col("key"), col("tri").as("n_triangles"))
+          .orderBy("key")
       else
         // shared degree-ordered listing (Algorithms.triangleTriples):
         // the canonical 3-way self-join lists each triangle once too,
@@ -548,20 +552,23 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // duplicate a base edge, and the coefficient is defined on the
     // SIMPLE undirected graph (same precedent as GRAPH TRIANGLES).
     case GraphClustering() =>
-      // no-overlay path shares the memoized canonical frame (g38's e0)
-      val e0 =
-        if (store.isEmpty) TpchGraph.canonicalEdges(spark, sfDir)
-        else allEdges
-          .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-          .filter(col("u") < col("v")).distinct()
-      val und = e0.select(col("u").as("x"), col("v").as("w"))
-        .union(e0.select(col("v").as("x"), col("u").as("w")))
-      val deg = und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
-      val tri = graft.graph.Algorithms.localTriangleCounts(e0)
-      deg.filter(col("deg") >= 2)
-        .join(tri, Seq("key"), "left")
-        .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
-          round(coalesce(col("tri"), lit(0L)) * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
+      // no-overlay path reads the memoized (key, deg, tri) stats (g38's
+      // frame); a live store's mutable edge view builds its stats live
+      val stats =
+        if (store.isEmpty) graft.graph.GraphQueries.triStatsCanonical(spark, sfDir)
+        else {
+          val e0 = allEdges
+            .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+            .filter(col("u") < col("v")).distinct()
+          val und = e0.select(col("u").as("x"), col("v").as("w"))
+            .union(e0.select(col("v").as("x"), col("u").as("w")))
+          und.groupBy(col("x").as("key")).agg(count(lit(1)).as("deg"))
+            .join(graft.graph.Algorithms.localTriangleCounts(e0), Seq("key"), "left")
+            .select(col("key"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+        }
+      stats.filter(col("deg") >= 2)
+        .select(col("key"), col("deg"), col("tri"),
+          round(col("tri") * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 6).as("cc"))
         .orderBy(desc("cc"), col("key"))
 
     // GRAPH ASSORTATIVITY — Newman degree-correlation r (g39 shape).
@@ -696,8 +703,8 @@ final class NqlCompiler(spark: SparkSession, sfDir: String,
     // no-overlay path shares the memoized canonical frame).
     case GraphTransitivity() =>
       if (store.isEmpty)
-        graft.graph.GraphQueries.clusteringGlobalCanonical(
-          TpchGraph.canonicalEdges(spark, sfDir))
+        graft.graph.GraphQueries.clusteringFromStats(
+          graft.graph.GraphQueries.triStatsCanonical(spark, sfDir))
       else graft.graph.GraphQueries.clusteringGlobal(allEdges)
 
     // SHOW EMBEDDINGS analogue: key + dimension + label/collection of

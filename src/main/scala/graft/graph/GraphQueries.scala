@@ -80,7 +80,7 @@ object GraphQueries {
     * (session, data dir) and cache()d, like the TpchGraph frames.
     */
   private val bicompMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String), DataFrame]()
   private def bicompLabels(s: SparkSession, d: String): DataFrame =
     bicompMemo.getOrElseUpdate((s, d), {
       val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
@@ -181,7 +181,7 @@ object GraphQueries {
     * over this one frame (round 12: each used to re-run the listing;
     * the first consumer now pays it once, the rest read the cache). */
   private val triStatsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String, String), DataFrame]()
   private[graft] def triStatsCanonical(s: SparkSession, d: String): DataFrame =
     triStatsMemo.getOrElseUpdate((s, d, "all"),
       Algorithms.memo(triStatsOf(TpchGraph.canonicalEdges(s, d))))
@@ -221,7 +221,7 @@ object GraphQueries {
     * last-ulp) — exact and order-independent in both engines.
     */
   private val suppCoocMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    graft.Memo.artifact[(SparkSession, String), (DataFrame, DataFrame)]()
   private def suppCooc(s: SparkSession, d: String): (DataFrame, DataFrame) =
     suppCoocMemo.getOrElseUpdate((s, d), {
       val sp = Tables(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()

@@ -104,7 +104,7 @@ object TpchGraph {
     canonOf(s, d, "same_region", sameRegionEdges(s, d))
 
   private val canonMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String, String), DataFrame]()
   private def canonOf(s: SparkSession, d: String, scope: String, e: DataFrame): DataFrame =
     canonMemo.getOrElseUpdate((s, d, scope),
       Algorithms.memo(e

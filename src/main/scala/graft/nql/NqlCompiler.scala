@@ -1541,13 +1541,13 @@ object NqlCompiler {
     * 455, 1369-1585`); here they are driver-side metadata only — the
     * data they describe lives in DataFrames/parquet. */
   private[nql] val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfState]
+    graft.Memo.state[(SparkSession, String), IvfState]()
   private[nql] val collections =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (Int, Metric)]
+    graft.Memo.state[(SparkSession, String, String), (Int, Metric)]()
   /** Registered graph constraints (CONSTRAINT CREATE … → CHECK), keyed
     * by (session, data dir, constraint name) like [[collections]]. */
   private[nql] val constraintDefs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ConstraintCreate]
+    graft.Memo.state[(SparkSession, String, String), ConstraintCreate]()
 
   /** Tombstone batch size for MATCH ... DELETE streaming. */
   private[nql] val DeleteBatchSize = 10000

@@ -35,7 +35,7 @@ object PipelineQueries {
     * table a 100 TB dedup pipeline writes once and joins repeatedly.
     */
   private val shinglesMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String), DataFrame]()
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesMemo.getOrElseUpdate((s, d), graft.graph.Algorithms.cut(
       docs(s, d).select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
@@ -103,7 +103,7 @@ object PipelineQueries {
     * cut (it closes the 4-join candidate pipeline); memb rides the
     * already-cut `sets` frame. */
   private val setPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    graft.Memo.artifact[(SparkSession, String), (DataFrame, DataFrame)]()
   private def sharedSetPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
     setPairsMemo.getOrElseUpdate((s, d), {
       val (scored, memb) = wordJaccardSetPairsPath(s, d, forceBitmask = None)
@@ -149,7 +149,7 @@ object PipelineQueries {
     * once per session+dir (the memo guard), ~2% of either pipeline.
     */
   private val sigChecked =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Unit]
+    graft.Memo.artifact[(SparkSession, String, String), Unit]()
   private[graft] def requireNoSigCollisions(df: DataFrame, input: Column, sig: Column,
       what: String): Unit = {
     val r = df.agg(countDistinct(input).as("ni"), countDistinct(sig).as("ns")).head()
@@ -302,7 +302,7 @@ object PipelineQueries {
     * keeps the blocks alive across the periodic-GC cleaner.
     */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String), DataFrame]()
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, d),
       graft.graph.Algorithms.cut(
@@ -344,7 +344,7 @@ object PipelineQueries {
     * memoized + cut; [[minhashBands]] and the d14 estimator audit both
     * derive from it. */
   private val sigsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String), DataFrame]()
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
     sigsMemo.getOrElseUpdate((s, d), {
       val withV = shingles(s, d).withColumn("v",
@@ -357,7 +357,7 @@ object PipelineQueries {
     })
 
   private val bandsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.artifact[(SparkSession, String), DataFrame]()
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     bandsMemo.getOrElseUpdate((s, d), {
       val bandExprs = (0 until 4).map { b =>
@@ -454,7 +454,7 @@ object PipelineQueries {
     * Each round's seq state is lineage-cut inside the loop, so re-reads
     * hit stored partitions. */
   private val bpeMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+    graft.Memo.artifact[(SparkSession, String, Int), (DataFrame, DataFrame)]()
   def bpeTrain(s: SparkSession, d: String, rounds: Int): (DataFrame, DataFrame) =
     bpeMemo.getOrElseUpdate((s, d, rounds), bpeTrainOf(docs(s, d), rounds))
 

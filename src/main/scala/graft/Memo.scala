@@ -65,14 +65,22 @@ object Memo {
   private def sessionOf(key: Product): AnyRef = key.productElement(0).asInstanceOf[AnyRef]
 
   // Dataset[_] (not DataFrame) in the patterns: the Row type argument is
-  // erased, and unpersist doesn't need it.
-  private def unpersistValue(v: Any): Unit = v match {
-    case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(blocking = false); ()
-    case p: Product => p.productIterator.foreach {
-      case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(blocking = false)
+  // erased, and unpersist doesn't need it. Best-effort: close(session)
+  // AFTER session.stop() is a legitimate teardown order, and unpersist on
+  // a stopped context must not abort the registry sweep — the blocks died
+  // with the context; only the map entries still need dropping.
+  private def unpersistValue(v: Any): Unit = {
+    def drop(ds: org.apache.spark.sql.Dataset[_]): Unit =
+      try { ds.unpersist(blocking = false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    v match {
+      case ds: org.apache.spark.sql.Dataset[_] => drop(ds)
+      case p: Product => p.productIterator.foreach {
+        case ds: org.apache.spark.sql.Dataset[_] => drop(ds)
+        case _ => ()
+      }
       case _ => ()
     }
-    case _ => ()
   }
 
   private def clear(session: SparkSession, includeState: Boolean): Unit = {

@@ -49,6 +49,17 @@ object Bench {
       fromArgs.orElse(sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)).getOrElse(3).max(1)
     }
     val rawOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    // Timed action. Default "count" — the action every round has timed, so
+    // cross-round numbers stay comparable (the driver contract). "noop"
+    // (guide §1.4) computes EVERY column of every row via the no-op sink,
+    // immune to count()'s column pruning / sort elimination — used for
+    // isolation work; the count-vs-noop delta for this suite is recorded in
+    // OPTIMIZATION_r12.md.
+    val sink = sys.env.getOrElse("SPARK_GRAFT_SINK", "count")
+    require(sink == "count" || sink == "noop", s"SPARK_GRAFT_SINK=$sink (want count|noop)")
+    val runQuery: org.apache.spark.sql.DataFrame => Unit =
+      if (sink == "noop") df => df.write.format("noop").mode("overwrite").save()
+      else df => { df.count(); () }
     val spark = GraftSession.local(cpus)
 
     // Untimed warmup at the smallest SF: the flagship entry plus one
@@ -74,9 +85,12 @@ object Bench {
     val draws: Seq[Seq[(String, Double)]] = (1 to runs).map { draw =>
       val sweep = names.map { name =>
         val fn = SparkEntry.queries(name)
+        // Label the jobs (guide §1.5) so UI/eventlog stages map to queries.
+        spark.sparkContext.setJobDescription(s"bench: $name (draw $draw)")
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { runQuery(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        spark.sparkContext.setJobDescription(null)
         // Outside the timed region: a driver GC lets ContextCleaner drop
         // the finished query's now-unreferenced checkpoint/cache blocks, so
         // each query starts from a clean block manager instead of paying
@@ -108,7 +122,7 @@ object Bench {
         .mkString("[", ",", "]")
       val total = results.map { case (_, v) => if (v < 0) FailPenaltySec else v }.sum
       val json = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs":$runs,""" +
-        s""""sf":"$sfDir","queries":$meds,"failed":$failed,"draws":$raw}"""
+        s""""sf":"$sfDir","sink":"$sink","queries":$meds,"failed":$failed,"draws":$raw}"""
       val p = java.nio.file.Paths.get(rawOut)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -161,6 +161,54 @@ object PipelineQueries {
       df: => DataFrame, input: => Column, sig: => Column): Unit =
     sigChecked.getOrElseUpdate((s, d, what), requireNoSigCollisions(df, input, sig, what))
 
+  /** t09's cross-source shared-gram pair counts over a HASHED gram frame
+    * (doc_id, source, g, w): self-join on the 8-byte key `g`, with the
+    * independently seeded witness hash `w` checked at the join — a genuine
+    * same-gram match agrees on `w`, a collision between two distinct grams
+    * differs (except with ~2⁻⁶⁴ probability) and the `assert_true` filter
+    * kills the query loudly instead of fabricating a contamination pair.
+    * Pairs the filter drops (same doc, same source) cannot affect the
+    * output, so the check covers every output-affecting collision even if
+    * the optimizer reorders the two filters. */
+  private[graft] def t09SharedGramPairs(g: DataFrame): DataFrame =
+    g.select(col("doc_id").as("da"), col("source").as("src_a"), col("g"), col("w").as("wa"))
+      .join(g.select(col("doc_id").as("db"), col("source").as("src_b"), col("g"), col("w").as("wb")), Seq("g"))
+      .filter(assert_true(col("wa") === col("wb"), lit("t09: 64-bit gram-hash " +
+        "collision detected; widen the gram signature")).isNull)
+      .filter(col("da") < col("db") && col("src_a") =!= col("src_b"))
+      .groupBy("da", "src_a", "db", "src_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("da", "db")
+
+  /** d09's gram-keyed aggregation pair over HASHED gram keys, with the
+    * collision check folded into the aggregates themselves. `grams` is
+    * (doc_id, source, g, w) where `g` is the 8-byte shuffle key standing
+    * in for the gram text and `w` an INDEPENDENTLY seeded second hash of
+    * the same text. Two distinct grams colliding on `g` agree on `w` only
+    * with ~2⁻⁶⁴ probability, so min(w) ≠ max(w) inside any g-keyed group
+    * is a collision witness; `assert_true` in a Filter (a projection
+    * could be pruned away — a filter condition cannot) kills the query
+    * loudly. Detection rides the exchanges the query already does — no
+    * extra corpus-scale pass, unlike [[requireNoSigCollisions]]'s
+    * count-distinct of the raw strings, which at sf1.0 costs more than
+    * the hash-key saving itself (measured, OPTIMIZATION_r12.md).
+    * Returns (pdg = per-(gram, doc) occurrence counts,
+    * dupG = grams seen in ≥ 2 docs). */
+  private[graft] def d09GramDocCounts(grams: DataFrame): (DataFrame, DataFrame) = {
+    def ok(lo: Column, hi: Column, site: String): Column =
+      assert_true(lo === hi, lit(s"d09 $site: 64-bit gram-hash collision " +
+        "detected; widen the gram signature")).isNull
+    // per-(gram, doc) occurrence counts; grouping already dedups docs,
+    // so the gram-level doc count is a plain count, not countDistinct
+    val pdg = grams.groupBy("g", "doc_id", "source")
+      .agg(count(lit(1)).as("occ"), min("w").as("w0"), max("w").as("w1"))
+      .filter(ok(col("w0"), col("w1"), "within-doc"))
+    val dupG = pdg.groupBy("g")
+      .agg(count(lit(1)).as("ndocs"), min("w0").as("x0"), max("w1").as("x1"))
+      .filter(ok(col("x0"), col("x1"), "cross-doc"))
+      .filter(col("ndocs") >= 2).select("g")
+    (pdg.select("g", "doc_id", "source", "occ"), dupG)
+  }
+
   /** SET-space stage of [[wordJaccardPairsPath]]: returns
     * (`scored` = (source, siga, sigb, jaccard) distinct-set pairs with
     * j ≥ 0.8, `memb` = (doc_id, source, sig) membership). d07 clusters
@@ -1274,17 +1322,25 @@ object PipelineQueries {
     // benchmark-sized, making this a broadcast join against the corpus.
     "t09_contamination_ngrams" -> QDef(
       (s, d) => {
+        // The gram text never reaches the output — the distinct, the
+        // self-join key and the pair counts only need gram IDENTITY — so
+        // the three gram-keyed exchanges ship an 8-byte xxhash64 LONG
+        // instead of the ~30-byte 5-gram string (the d09/d10 move;
+        // isolated sf1.0 A/B in OPTIMIZATION_r12.md). A hash collision
+        // would fabricate a cross-doc match, so an independently seeded
+        // second hash rides along as a WITNESS: a genuine same-gram join
+        // match agrees on it, a collision differs and `assert_true` in
+        // the post-join filter kills the query loudly (a filter cannot
+        // be pruned away like an unused projection).
         val g = docs(s, d)
           .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
           .filter(size(col("a")) >= 5)
           .select(col("doc_id"), col("source"), explode(expr(
-            "transform(sequence(0, size(a)-5), j -> concat_ws(' ', a[j], a[j+1], a[j+2], a[j+3], a[j+4]))")).as("g"))
-          .distinct()
-        g.select(col("doc_id").as("da"), col("source").as("src_a"), col("g"))
-          .join(g.select(col("doc_id").as("db"), col("source").as("src_b"), col("g")), Seq("g"))
-          .filter(col("da") < col("db") && col("src_a") =!= col("src_b"))
-          .groupBy("da", "src_a", "db", "src_b").agg(count(lit(1)).as("n_shared"))
-          .orderBy("da", "db")
+            "transform(sequence(0, size(a)-5), j -> concat_ws(' ', a[j], a[j+1], a[j+2], a[j+3], a[j+4]))")).as("gs"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("gs")).as("g"), xxhash64(lit("t09w"), col("gs")).as("w"))
+          .distinct() // (g, w) is 1:1 absent collisions, so this equals the old per-(doc, gram-text) distinct
+        t09SharedGramPairs(g)
       },
       """WITH ws AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
         |            FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 5),
@@ -1525,14 +1581,21 @@ object PipelineQueries {
         val ws = docs(s, d)
           .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
           .filter(size(col("a")) >= 8)
-        val grams = ws.select(col("doc_id"), col("source"), explode(expr(
+        val gramsS = ws.select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(0, size(a)-8), j -> concat_ws(' '," +
-            " a[j], a[j+1], a[j+2], a[j+3], a[j+4], a[j+5], a[j+6], a[j+7]))")).as("g"))
-        // per-(gram, doc) occurrence counts; grouping already dedups docs,
-        // so the gram-level doc count is a plain count, not countDistinct
-        val pdg = grams.groupBy("g", "doc_id", "source").agg(count(lit(1)).as("occ"))
-        val dupG = pdg.groupBy("g").agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") >= 2).select("g")
+            " a[j], a[j+1], a[j+2], a[j+3], a[j+4], a[j+5], a[j+6], a[j+7]))")).as("gs"))
+        // The gram TEXT never reaches the output — only gram identity is
+        // aggregated — so the two gram-keyed exchanges ship an 8-byte
+        // xxhash64 LONG instead of the ~60-byte gram string (the d10
+        // round-10 move; isolated sf1.0 A/B in OPTIMIZATION_r12.md). A
+        // collision would merge two grams' doc sets and silently inflate
+        // ndocs past the ≥2 gate, so an independently-seeded second hash
+        // rides along as a collision WITNESS, checked inside the existing
+        // aggregates by d09GramDocCounts — unlike the d03/d10 string
+        // tripwire, this costs no extra pass over the corpus-scale grams.
+        val grams = gramsS.select(col("doc_id"), col("source"),
+          xxhash64(col("gs")).as("g"), xxhash64(lit("d09w"), col("gs")).as("w"))
+        val (pdg, dupG) = d09GramDocCounts(grams)
         val perDoc = pdg.join(dupG, Seq("g"))
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("ndg"), sum("occ").as("nocc"))

@@ -18,14 +18,17 @@ package graft
   * per-query numbers reflect steady-state; queries run in name order so
   * runs are comparable across rounds.
   *
-  * Output framing: the harness that captures this process keeps only a
-  * short tail of stdout, so the FINAL line is a compact JSON (short query
-  * keys = the unique `q32`/`g05`-style prefix of each query name, 3-decimal
-  * seconds) guaranteed to fit that window; the full-name JSON line is
-  * printed immediately before it for human readers. Per-draw progress is
-  * printed as `#`-prefixed lines so tools that grab the first `{"queries"`
-  * line (tools/scaling_audit.py) always see the MEDIANS line. build.sbt
-  * sets `Global / showSuccess := false` so no sbt epilogue follows.
+  * Output framing: the harness that captures this process keeps only the
+  * last ~2000 bytes of stdout and parses the LAST JSON line, so the FINAL
+  * line is a COMPLETE compact JSON (short query keys = the unique
+  * `q32`/`g05`-style prefix of each query name, adaptive value precision)
+  * sized to fit that window whole — round 12's total-only final line left
+  * the driver with no per-query medians (PERF_r12.per_query empty). The
+  * full-name and 3-decimal compact lines are printed immediately before it
+  * for human readers and tools. Per-draw progress is printed as
+  * `#`-prefixed lines so tools that grab the first `{"queries"` line
+  * (tools/scaling_audit.py) always see the MEDIANS line. build.sbt sets
+  * `Global / showSuccess := false` so no sbt epilogue follows.
   *
   * Failure policy: a query that throws in ANY draw is reported as -1.0 in
   * "queries", listed in "failed", and adds a fixed 999-second penalty to
@@ -143,14 +146,45 @@ object Bench {
     }
     println(line(identity, _.toString))            // full names, for humans
     // Locale.ROOT: a comma-decimal default locale must not break the JSON
-    println(line(shortKey, fmt3))                  // compact, parsed by the driver
-    // The capture window keeps only a ~2 KB stdout tail: with 170+ queries
-    // the per-query dict alone exceeds that, truncating the line's head
-    // (including the "metric":"total" key). So the FINAL line is a total-only
-    // JSON guaranteed to fit the tail whole, whatever the query count.
+    println(line(shortKey, fmt3))                  // compact, for tools/humans
+    // The harness that captures this process keeps only the LAST ~2000
+    // bytes of stdout and parses the LAST JSON line from it. Round 12's
+    // final line was a total-only JSON (it always fit), but that left the
+    // driver's artifact with NO per-query medians (PERF_r12.per_query was
+    // empty and now_bench_ok=false — the per-query dict lines above were
+    // head-truncated). Fixed this round, timing methodology unchanged: the
+    // FINAL line is a COMPLETE JSON with the full "queries" map, rendered
+    // at the highest uniform precision ladder that keeps the whole line
+    // within the capture window. Worst case (nothing fits) falls back to
+    // the old total-only line rather than emitting a truncated head.
     val total = results.map { case (_, v) => if (v < 0) FailPenaltySec else v }.sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs":$runs,"n":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val tailBudget = 1950 // capture window is 2000 bytes (BENCH_r11/12 tails)
+    // %.{dp}f with trailing zeros (and a bare trailing '.') trimmed —
+    // "0.70" -> "0.7", "4.00" -> "4"; still valid JSON numbers.
+    def trim(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    }
+    // Precision ladders, most precise first: (below1, below10, above10) dp.
+    val ladders = Seq((3, 3, 3), (3, 2, 1), (2, 2, 1), (2, 1, 1), (1, 1, 1))
+    def finalLine(ladder: (Int, Int, Int)): String = {
+      val (d1, d10, dBig) = ladder
+      val fmtA = (v: Double) =>
+        if (v < 0) "-1"
+        else trim(v, if (v < 1) d1 else if (v < 10) d10 else dBig)
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtA(v) }
+        .mkString("{", ",", "}")
+      val failed = if (nFailed == 0) ""
+        else results.collect { case (k, v) if v < 0 => "\"" + shortKey(k) + "\"" }
+          .mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs":$runs,""" +
+        s""""n":${results.size},"n_failed":$nFailed,"sf":"$sfDir","queries":$qs$failed}"""
+    }
+    val fitting = ladders.iterator.map(finalLine).find(_.length <= tailBudget)
+    println(fitting.getOrElse(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs":$runs,"n":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""))
     spark.stop()
   }
 }

@@ -117,7 +117,9 @@ object GraphQueries {
     // aggregates the residual core's edges, not the corpus. k=1 runs a
     // single round: removing degree-0 nodes deletes no edges, so it can
     // never cascade.
-    var e = und.select("src", "dst")
+    // materialize the starting edge frame once — every peel round re-read
+    // it (plus its union/concat lineage) twice via the semi-joins (r13 §2.4)
+    var e = Algorithms.cut(und.select("src", "dst"))
     var alive = nodes.select("key")
     var aliveN = -1L // size of `alive`; -1 = not yet counted
     val levels = Seq.newBuilder[DataFrame]
@@ -914,13 +916,16 @@ object GraphQueries {
     "g19_mst_boruvka" -> QDef(
       (s, d) => {
         val n = Tables(s, d, "nation")
-        val e = n.select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
+        // loop-invariant edge/node frames materialize once (r13 §2.4)
+        val e = Algorithms.cut(
+          n.select(col("n_nationkey").as("ka"), col("n_regionkey").as("ra"))
           .join(n.select(col("n_nationkey").as("kb"), col("n_regionkey").as("rb")),
             col("ra") === col("rb") && col("ka") < col("kb"))
           .select(concat(lit("nation:"), col("ka").cast("string")).as("src"),
             concat(lit("nation:"), col("kb").cast("string")).as("dst"),
-            (col("ka") * 1000 + col("kb")).cast("long").as("w"))
-        val nodes = n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key"))
+            (col("ka") * 1000 + col("kb")).cast("long").as("w")))
+        val nodes = Algorithms.cut(
+          n.select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("key")))
         var comp = nodes.select(col("key"), col("key").as("cmp"))
         var mst = e.limit(0)
         for (_ <- 1 to 2) {
@@ -930,9 +935,12 @@ object GraphQueries {
             .filter(col("csrc") =!= col("cdst"))
           val cand = labeled.select(col("csrc").as("c"), col("w"), col("src"), col("dst"))
             .union(labeled.select(col("cdst").as("c"), col("w"), col("src"), col("dst")))
-          val wnd = Window.partitionBy("c").orderBy(col("w"), col("src"), col("dst"))
-          val picked = cand.withColumn("rn", row_number().over(wnd))
-            .filter(col("rn") === 1).select("src", "dst", "w")
+          // per-component cheapest edge by (w, src, dst) asc as ONE
+          // aggregation — min of the struct, identical to the old
+          // row_number()=1 window row (see Algorithms.labelPropagation)
+          val picked = cand.groupBy("c")
+            .agg(min(struct(col("w"), col("src"), col("dst"))).as("s"))
+            .select(col("s.src").as("src"), col("s.dst").as("dst"), col("s.w").as("w"))
           mst = Algorithms.cut(mst.union(picked).distinct())
           val undMst = mst.select("src", "dst").union(mst.select(col("dst").as("src"), col("src").as("dst")))
           comp = Algorithms.connectedComponents(undMst, nodes, 4)
@@ -1090,9 +1098,14 @@ object GraphQueries {
     // the oracle stay deterministic.
     "g23_louvain_multilevel" -> QDef(
       (s, d) => {
-        val und = TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst")
+        // loop-invariant frames materialize ONCE (round 13, §2.4): the
+        // un-cut und/deg plans re-ran the symmetric-closure union and the
+        // degree aggregation inside every sweep's job.
+        val und = Algorithms.cut(
+          TpchGraph.undirected(TpchGraph.edges(s, d)).select("src", "dst"))
         val nodes = TpchGraph.nodes(s, d).select("key")
-        val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
+        val deg = Algorithms.cut(
+          und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg")))
         val m2 = und.count().toDouble // = 2m, invariant across levels
         var comm = nodes.select(col("key"), col("key").as("comm"))
         for (_ <- 1 to 2) {
@@ -1103,10 +1116,13 @@ object GraphQueries {
           val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
             .withColumn("gain",
               col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
-          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("key"), col("comm")))
+          // (gain desc, comm asc) argmax as one aggregation — min of the
+          // struct (-gain, comm); identical winners to the row_number()=1
+          // window rows (see Algorithms.louvainSweeps), no per-sweep sort.
+          comm = Algorithms.cut(gains
+            .groupBy("key")
+            .agg(min(struct((-col("gain")).as("ng"), col("comm").as("comm"))).as("s"))
+            .select(col("key"), col("s.comm").as("comm")))
         }
         // contraction: super-nodes = level-0 communities, weighted edges.
         // comm is re-read by su (twice) and the final projection — one
@@ -1117,7 +1133,8 @@ object GraphQueries {
           .join(commCut.select(col("key").as("dst"), col("comm").as("cdst")), Seq("dst"))
           .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(count(lit(1)).as("w"))
           .transform(Algorithms.cut)
-        val degw = su.groupBy(col("src").as("key")).agg(sum("w").as("deg"))
+        val degw = Algorithms.cut(
+          su.groupBy(col("src").as("key")).agg(sum("w").as("deg")))
         var comm2 = su.select(col("src").as("key")).distinct()
           .select(col("key"), col("key").as("comm"))
         for (_ <- 1 to 2) {
@@ -1128,10 +1145,11 @@ object GraphQueries {
           val gains = evc.join(tot, Seq("comm")).join(degw, Seq("key"))
             .withColumn("gain",
               col("evc") - (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
-          val w = Window.partitionBy("key").orderBy(desc("gain"), col("comm"))
-          comm2 = Algorithms.cut(gains.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("key"), col("comm")))
+          // same min-struct argmax as the level-0 sweeps above
+          comm2 = Algorithms.cut(gains
+            .groupBy("key")
+            .agg(min(struct((-col("gain")).as("ng"), col("comm").as("comm"))).as("s"))
+            .select(col("key"), col("s.comm").as("comm")))
         }
         commCut.select(col("key"), col("comm").as("c0"))
           .join(comm2.select(col("key").as("c0"), col("comm").as("cf")), Seq("c0"))
@@ -1532,9 +1550,13 @@ object GraphQueries {
     "g40_bipartite_check" -> QDef(
       (s, d) => {
         val seeds = TpchGraph.nodes(s, d).filter(col("label") === "region").select("key")
-        val par = Algorithms
+        // cut: the parity frame is consumed TWICE below (ps and pd joins) —
+        // un-cut, the whole 4-level BFS union+min-depth aggregate subtree
+        // was duplicated into both join sides of the final plan (r13 §2.4;
+        // the before-plan's two identical HashAggregate(Union ...) branches)
+        val par = Algorithms.cut(Algorithms
           .bfsFrom(TpchGraph.undirected(TpchGraph.edges(s, d)), seeds, 3)
-          .select(col("key"), (col("depth") % 2).as("p"))
+          .select(col("key"), (col("depth") % 2).as("p")))
         TpchGraph.edges(s, d)
           .join(par.select(col("key").as("src"), col("p").as("ps")), Seq("src"))
           .join(par.select(col("key").as("dst"), col("p").as("pd")), Seq("dst"))

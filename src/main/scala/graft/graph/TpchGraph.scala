@@ -194,12 +194,15 @@ object Algorithms {
       edgePred: Option[Column] = None,
       allowedNodes: Option[DataFrame] = None): DataFrame = {
     val eFiltered = edgePred.map(edges.filter).getOrElse(edges)
-    val e = allowedNodes match {
+    // The filtered edge frame is loop-invariant — materialize it once so
+    // the per-level join reads stored rows instead of re-running the
+    // filter/semi-join every level (guide §2.4; round 13).
+    val e = cut(allowedNodes match {
       case Some(allowed) => eFiltered
         .join(allowed.select(col("key").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
       case None => eFiltered.select("src", "dst")
-    }
+    })
     var reached = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0).as("depth"))
     var frontier = reached
     for (i <- 1 to maxDepth) {
@@ -221,7 +224,7 @@ object Algorithms {
     * nearest-landmark without |sources| separate traversals).
     */
   def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select("src", "dst")
+    val e = cut(edges.select("src", "dst")) // loop-invariant (see [[bfs]])
     var reached = seeds.select(col("key")).distinct().withColumn("depth", lit(0))
     var frontier = reached
     for (i <- 1 to maxDepth) {
@@ -274,10 +277,11 @@ object Algorithms {
     */
   def hashGreedyWalk(und: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    val e = cut(und.select("src", "dst")) // loop-invariant (see [[bfs]])
     var f = seeds.select(col("key").as("walk_id"), col("key").as("cur"),
       col("key").as("path"))
     for (i <- 1 to steps) {
-      f = f.join(und.select("src", "dst"), col("cur") === col("src"))
+      f = f.join(e, col("cur") === col("src"))
         .withColumn("h",
           md5(concat_ws("|", lit(i.toString), col("cur"), col("dst")).cast("binary")))
         .withColumn("rn", row_number().over(
@@ -294,7 +298,7 @@ object Algorithms {
     * Returns (key, cost) for reached nodes.
     */
   def sssp(edges: DataFrame, source: String, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst", "w")
+    val e = cut(edges.select("src", "dst", "w")) // loop-invariant (see [[bfs]])
     var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
     for (i <- 1 to iters) {
       val relaxed = dist.join(e, col("key") === col("src"))
@@ -308,7 +312,8 @@ object Algorithms {
     * (pick iters ≥ graph diameter). Returns (key, component).
     */
   def connectedComponents(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val e = undirectedEdges.select("src", "dst")
+    // the edge frame is loop-invariant — materialize once (see [[pageRank]])
+    val e = cut(undirectedEdges.select("src", "dst"))
     var labels = nodes.select(col("key"), col("key").as("component"))
     for (i <- 1 to iters) {
       val viaNeighbor = labels.join(e, col("key") === col("src"))
@@ -488,7 +493,7 @@ object Algorithms {
     * edges — building block for SCC detection.
     */
   def minReachLabel(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst")
+    val e = cut(edges.select("src", "dst")) // loop-invariant (see [[bfs]])
     var f = nodes.select(col("key"), col("key").as("lbl"))
     for (i <- 1 to iters) {
       val pulled = e.join(f.select(col("key").as("dst"), col("lbl")), Seq("dst"))
@@ -544,16 +549,24 @@ object Algorithms {
     // partial trims are still exact (leftover acyclic nodes keep
     // distinct closure signatures), so trimRounds is a performance
     // knob, not a correctness one.
-    var e = edges.select("src", "dst")
+    // The edge frame is re-read 4× per trim round — materialize it once up
+    // front, and once per round after the semi-joins (round 13, §2.4). The
+    // has-out ∩ has-in core set is ONE endpoint aggregation instead of the
+    // previous two distincts + join: same membership (max(o)=1 ⇔ the key
+    // appears as some src, max(i)=1 ⇔ as some dst), one exchange.
+    var e = Algorithms.cut(edges.select("src", "dst"))
     for (i <- 1 to trimRounds) {
-      val hasOut = e.select(col("src").as("key")).distinct()
-      val hasIn = e.select(col("dst").as("key")).distinct()
-      val core = Algorithms.cut(hasOut.join(hasIn, Seq("key")))
-      e = e.join(core.select(col("key").as("src")), Seq("src"), "left_semi")
-        .join(core.select(col("key").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
+      val core = Algorithms.cut(
+        e.select(col("src").as("key"), lit(1).as("o"), lit(0).as("i"))
+          .union(e.select(col("dst").as("key"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("key").agg(max("o").as("o"), max("i").as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("key"))
+      e = Algorithms.cut(
+        e.join(core.select(col("key").as("src")), Seq("src"), "left_semi")
+          .join(core.select(col("key").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
     }
-    e = e.localCheckpoint(false)
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, iters - 1)))
     val cl = reachClosure(e, rounds).localCheckpoint(false)
     val coreNodes = e.select(col("src").as("key"))
@@ -579,16 +592,23 @@ object Algorithms {
     * adoption with (count desc, label) tie-break — one neighbor-join +
     * windowed argmax per round, lineage-cut. Returns (key, lbl). */
   def labelPropagation(und: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    // edge frame is loop-invariant — materialize once (see [[pageRank]])
+    val e = cut(und.select("src", "dst"))
     var labels = nodes.select(col("key"), col("key").as("lbl"))
     for (_ <- 1 to iters) {
-      val counts = und
+      val counts = e
         .join(labels.select(col("key").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(desc("c"), col("lbl"))
-      labels = cut(counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("key"), col("lbl")))
+      // argmax by (count desc, lbl asc) as ONE aggregation: min of the
+      // struct (-c, lbl) — structs compare field-by-field, so smallest
+      // -c = largest c, ties broken by smallest lbl: exactly the window's
+      // (desc(c), lbl) row_number()=1 row, but with map-side partial
+      // aggregation and no per-round sort (guide §2.3 "aggregate before
+      // you shuffle"; round 13).
+      labels = cut(counts
+        .groupBy(col("src").as("key"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("s"))
+        .select(col("key"), col("s.lbl").as("lbl")))
     }
     labels
   }
@@ -598,10 +618,11 @@ object Algorithms {
     * (reached − 1) / Σdist per source. All sources sweep in ONE batched
     * frame (the g34/g42 multi-source pattern). Returns (key, closeness). */
   def closenessBounded(und: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = cut(und.select("src", "dst")) // loop-invariant (see [[bfs]])
     var reach = sources.select(col("key").as("source"), col("key"), lit(0).as("dd"))
     var frontier = reach
     for (i <- 1 to maxDepth) {
-      frontier = cut(frontier.join(und, col("key") === col("src"))
+      frontier = cut(frontier.join(e, col("key") === col("src"))
         .select(col("source"), col("dst").as("key"), lit(i).as("dd")))
       reach = reach.union(frontier)
     }
@@ -653,22 +674,28 @@ object Algorithms {
     * γ > 1 favors smaller communities, γ < 1 larger ones. */
   def louvainSweeps(und: DataFrame, nodes: DataFrame, sweeps: Int,
       resolution: Double = 1.0): DataFrame = {
-    val deg = und.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
-    val m2 = und.count().toDouble // = 2m (symmetric closure)
+    // edge + degree frames are loop-invariant — materialize once (§2.4)
+    val e = cut(und.select("src", "dst"))
+    val deg = cut(e.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg")))
+    val m2 = e.count().toDouble // = 2m (symmetric closure; e is materialized)
     var comm = nodes.select(col("key"), col("key").as("comm"))
     for (_ <- 1 to sweeps) {
       val tot = comm.join(deg, Seq("key")).groupBy("comm").agg(sum("deg").as("tot"))
-      val evc = und
+      val evc = e
         .join(comm.select(col("key").as("dst"), col("comm")), Seq("dst"))
         .groupBy(col("src").as("key"), col("comm")).agg(count(lit(1)).as("evc"))
       val gains = evc.join(tot, Seq("comm")).join(deg, Seq("key"))
         .withColumn("gain",
           col("evc") - lit(resolution) * (col("deg").cast("double") * col("tot")) / lit(2.0 * (m2 / 2)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("key").orderBy(desc("gain"), col("comm"))
-      comm = cut(gains.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("key"), col("comm")))
+      // argmax by (gain desc, comm asc) as ONE aggregation: min of the
+      // struct (-gain, comm) — IEEE sign flip is exact, and Spark's double
+      // ordering (java.lang.Double.compare) ranks -0.0 < 0.0 exactly as
+      // the desc window did, so the winning (key, comm) rows are
+      // identical to the row_number()=1 rows (see [[labelPropagation]]).
+      comm = cut(gains
+        .groupBy("key")
+        .agg(min(struct((-col("gain")).as("ng"), col("comm").as("comm"))).as("s"))
+        .select(col("key"), col("s.comm").as("comm")))
     }
     comm
   }
@@ -685,8 +712,10 @@ object Algorithms {
     */
   def eigenvector(undirectedEdges: DataFrame, nodes: DataFrame, iters: Int,
       tolerance: Double = 0.0): DataFrame = {
-    val e = undirectedEdges.select("src", "dst")
-    var x = nodes.select(col("key"), lit(1.0).as("x"))
+    // loop-invariant frames materialize once (see [[pageRank]])
+    val e = cut(undirectedEdges.select("src", "dst"))
+    val keys = cut(nodes.select(col("key")))
+    var x = keys.select(col("key"), lit(1.0).as("x"))
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
@@ -695,7 +724,7 @@ object Algorithms {
         .groupBy(col("dst").as("key")).agg(sum("x").as("ax"))
       val mx = ax.agg(max("ax").as("mx"))
       // ax is referenced twice (values + max) → plan ×~2/round; cut every 3.
-      x = chk(nodes.select(col("key"))
+      x = chk(keys
         .join(ax, Seq("key"), "left")
         .crossJoin(mx)
         .select(col("key"), (coalesce(col("ax"), lit(0.0)) / col("mx")).as("x")),
@@ -722,7 +751,8 @@ object Algorithms {
     // `a` below is assigned inside the loop; iters < 1 would leave it null
     // and NPE at the final join — fail loudly at the boundary instead.
     require(iters >= 1, s"HITS requires iters >= 1, got $iters")
-    val e = edges.select("src", "dst")
+    // both half-rounds re-read the edge frame — materialize once (§2.4)
+    val e = cut(edges.select("src", "dst"))
     val keys = nodes.select(col("key"))
     // SPARSE score frames: a node with zero auth (no in-edges from
     // hub-carrying nodes) or zero hub contributes only +0.0 terms to the
@@ -867,8 +897,9 @@ object Algorithms {
     * and the bound is a one-row aggregate over the materialized labels.
     */
   private def astarLoop(edges: DataFrame, h: DataFrame, source: String, target: String, iters: Int): DataFrame = {
-    val e = edges.select("src", "dst", "w")
-    val hp = h.select("key", "h")
+    // loop-invariant frames materialize once (see [[bfs]])
+    val e = cut(edges.select("src", "dst", "w"))
+    val hp = cut(h.select("key", "h"))
     var dist = edges.sparkSession.range(1).select(lit(source).as("key"), lit(0.0).as("cost"))
     for (i <- 1 to iters) {
       val bound = dist.filter(col("key") === target).agg(min("cost").as("bound"))
@@ -915,7 +946,7 @@ object Algorithms {
   def biconnectedComponents(und: DataFrame, roots: DataFrame, maxDepth: Int, ccIters: Int,
       climbRounds: Int = -1): DataFrame = {
     val climb = if (climbRounds >= 0) climbRounds else maxDepth
-    val e = und.select("src", "dst")
+    val e = cut(und.select("src", "dst")) // loop-invariant (see [[bfs]])
     // BFS forest: (key, parent, depth). Roots are their own parents.
     var tree = roots.select(col("key"), col("key").as("parent"), lit(0).as("depth"))
     var frontier = tree
@@ -1054,9 +1085,16 @@ object Algorithms {
     * stays exact. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, damping: Double = 0.85,
       tolerance: Double = 0.0): DataFrame = {
+    // Loop-invariant frames materialize ONCE (round 13; guide §2.4): the
+    // un-cut contrib plan re-ran its degree aggregation + join inside
+    // EVERY round's job (profiled at ~8 scheduler jobs per iteration,
+    // task time trivial — the loop was paying per-round stages for
+    // loop-invariant work). One cut each; every round then reads the
+    // materialized rows. Same rows, same arithmetic, fewer stages.
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val contrib = edges.join(outDeg, "src")
-    var pr = nodes.select(col("key"), lit(1.0).as("pr"))
+    val contrib = cut(edges.join(outDeg, "src").select("src", "dst", "od"))
+    val keys = cut(nodes.select(col("key")))
+    var pr = keys.select(col("key"), lit(1.0).as("pr"))
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
@@ -1064,7 +1102,7 @@ object Algorithms {
       val mass = pr.join(contrib, col("key") === col("src"))
         .select(col("dst"), (col("pr") / col("od")).as("m"))
         .groupBy("dst").agg(sum("m").as("mass"))
-      pr = chk(nodes.select(col("key"))
+      pr = chk(keys
         .join(mass, col("key") === col("dst"), "left")
         .select(col("key"), (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")),
         i, iters)
@@ -1097,8 +1135,9 @@ object Algorithms {
     val ns = seeds.agg(count(lit(1)).as("ns"))
     val seedT = cut(seeds.select("key").crossJoin(broadcast(ns))
       .select(col("key"), (lit(1.0) / col("ns")).as("t")))
+    // contrib is loop-invariant — materialize once (see [[pageRank]])
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val contrib = edges.join(deg, "src")
+    val contrib = cut(edges.join(deg, "src").select("src", "dst", "od"))
     var pr = seedT.select(col("key"), col("t").as("pr"))
     for (i <- 1 to iters) {
       val mass = pr.join(contrib, col("key") === col("src"))
